@@ -1,0 +1,308 @@
+"""Encoded-block wire format: one self-describing byte blob per column chunk.
+
+This replaces the reference's toy unary serialization (``serialize_runs``,
+rl_encoding.v:5246-5279) with a real byte format; decode is exact-integer and
+bit-identical by construction (the engine's per-row invariant).  Every codec
+here is an *integer* codec over one token array; the string codec (FSST) lives
+in :mod:`rlv.kernels.fsst`.
+
+Layout (little-endian, varint = LEB128):
+
+==========  =================================================================
+codec id    payload after the 1-byte codec id
+==========  =================================================================
+PLAIN  (1)  uvarint n | width u8 (4|8) | n fixed-width signed values
+RLE    (2)  uvarint n_runs | svarint min_val | cbits u8 | vbits u8
+            | pack(counts-1, cbits) | pack(values-min_val, vbits)
+BITPACK(3)  uvarint n | bits u8 | pack(values, bits)           (min >= 0 only)
+FOR    (4)  uvarint n | svarint min_val | bits u8 | pack(values-min_val, bits)
+DICT   (5)  uvarint n | uvarint ndv | svarint dict_min | dbits u8
+            | pack(dict-dict_min, dbits) | ibits u8 | pack(indices, ibits)
+FSST   (6)  string codec, see rlv/kernels/fsst.py
+==========  =================================================================
+
+The empty array is the empty block ``b""`` so that the reference size budget
+``naive_rle_bytes = 2 * count_runs * 8`` (v:2744-2762, word_size=8 at v:2735)
+is met with equality at zero.  RLE stores ``counts - 1`` (counts are proven
+positive, v:247-255) so the worst case — all runs length 1, ``no_compression_worst``
+v:562-590 — packs its count plane in zero bytes.
+
+Size accounting is *exact*: ``codec_sizes`` computes, from cheap stats, the
+byte length each encoder would produce, and the selector's choice is the argmin
+— so the invariant ``len(encode_auto(a)) <= naive_rle_bytes(a)`` is provable
+(RLE is always a candidate; see tests/test_blocks.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rlv.kernels import rle
+from rlv.kernels.bitpack import (
+    add_min_i64,
+    deltas_u64,
+    pack_bits,
+    packed_nbytes,
+    read_uvarint,
+    unpack_bits,
+    unzigzag,
+    uvarint_len,
+    write_uvarint,
+    zigzag,
+)
+
+PLAIN = 1
+RLE = 2
+BITPACK = 3
+FOR = 4
+DICT = 5
+FSST = 6
+
+CODEC_NAMES = {0: "empty", PLAIN: "plain", RLE: "rle", BITPACK: "bitpack",
+               FOR: "for", DICT: "dict", FSST: "fsst"}
+
+# Integer codecs the auto-selector considers for a token array, in
+# deterministic tie-break order (lower id wins ties -> identical blocks on
+# every executor, the determinism law SURVEY §2.9 #54 requires).
+INT_CODECS = (PLAIN, RLE, BITPACK, FOR, DICT)
+
+
+def _storage_bits(max_delta: int) -> int:
+    """Bits to store values in [0, max_delta]; 0 encodes the constant column.
+
+    ``bits_required`` (v:3038-3039) maps 0 -> 1 for its information-theoretic
+    reading; for storage the constant plane needs no payload at all.
+    """
+    max_delta = int(max_delta)
+    if max_delta < 0:
+        raise ValueError("negative delta")
+    return max_delta.bit_length()
+
+
+def naive_rle_bytes(n_runs: int) -> int:
+    """The reference naive-RLE size budget: 2 words/run, word_size=8
+    (``encode_space_usage``/``run_memory_size``, v:2735-2762)."""
+    return 16 * int(n_runs)
+
+
+def _svarint(out: bytearray, n: int) -> None:
+    write_uvarint(out, zigzag(n))
+
+
+def _read_svarint(buf: bytes, pos: int) -> tuple[int, int]:
+    z, pos = read_uvarint(buf, pos)
+    return unzigzag(z), pos
+
+
+# ---------------------------------------------------------------------------
+# Encoders (array -> bytes).  All exact-integer; no float paths anywhere.
+# ---------------------------------------------------------------------------
+
+
+def encode_plain(a: np.ndarray) -> bytes:
+    a = np.asarray(a)
+    if a.size == 0:
+        return b""
+    width = 8 if (int(a.max()) > 2**31 - 1 or int(a.min()) < -(2**31)) else 4
+    out = bytearray([PLAIN])
+    write_uvarint(out, a.size)
+    out.append(width)
+    dt = np.dtype("<i8") if width == 8 else np.dtype("<i4")
+    out += a.astype(dt, copy=False).tobytes()
+    return bytes(out)
+
+
+def encode_rle(a: np.ndarray) -> bytes:
+    a = np.asarray(a)
+    if a.size == 0:
+        return b""
+    counts, values = rle.rle_encode(a)
+    return encode_rle_runs(counts, values)
+
+
+def encode_rle_runs(counts: np.ndarray, values: np.ndarray) -> bytes:
+    """Serialize a well-formed run list (counts > 0)."""
+    if counts.size == 0:
+        return b""
+    min_val = int(values.min())
+    cbits = _storage_bits(int(counts.max()) - 1)
+    vbits = _storage_bits(int(values.max()) - min_val)
+    out = bytearray([RLE])
+    write_uvarint(out, counts.size)
+    _svarint(out, min_val)
+    out.append(cbits)
+    out.append(vbits)
+    out += pack_bits(counts.astype(np.uint64) - np.uint64(1), cbits)
+    out += pack_bits(deltas_u64(values, min_val), vbits)
+    return bytes(out)
+
+
+def encode_bitpack(a: np.ndarray) -> bytes:
+    a = np.asarray(a)
+    if a.size == 0:
+        return b""
+    if int(a.min()) < 0:
+        raise ValueError("bitpack requires nonnegative values (use FOR)")
+    bits = _storage_bits(int(a.max()))
+    out = bytearray([BITPACK])
+    write_uvarint(out, a.size)
+    out.append(bits)
+    out += pack_bits(a, bits)
+    return bytes(out)
+
+
+def encode_for(a: np.ndarray) -> bytes:
+    """Frame-of-reference: subtract min, bit-pack the deltas (width via the
+    reference's ``bits_required`` ceil-log2 model, v:3038-3039)."""
+    a = np.asarray(a)
+    if a.size == 0:
+        return b""
+    min_val = int(a.min())
+    bits = _storage_bits(int(a.max()) - min_val)
+    out = bytearray([FOR])
+    write_uvarint(out, a.size)
+    _svarint(out, min_val)
+    out.append(bits)
+    out += pack_bits(deltas_u64(a, min_val), bits)
+    return bytes(out)
+
+
+def encode_dict(a: np.ndarray) -> bytes:
+    """Dictionary: sorted-unique dictionary (FOR-packed) + bit-packed indices.
+
+    ``np.unique`` sorts, so the block is deterministic — the uniqueness law
+    (v:1524-1538) generalized to the dict codec for idempotent retries.
+    """
+    a = np.asarray(a)
+    if a.size == 0:
+        return b""
+    uniq, inv = np.unique(a, return_inverse=True)
+    dict_min = int(uniq.min())
+    dbits = _storage_bits(int(uniq.max()) - dict_min)
+    ibits = _storage_bits(uniq.size - 1)
+    out = bytearray([DICT])
+    write_uvarint(out, a.size)
+    write_uvarint(out, uniq.size)
+    _svarint(out, dict_min)
+    out.append(dbits)
+    out += pack_bits(deltas_u64(uniq, dict_min), dbits)
+    out.append(ibits)
+    out += pack_bits(inv, ibits)
+    return bytes(out)
+
+
+_ENCODERS = {PLAIN: encode_plain, RLE: encode_rle, BITPACK: encode_bitpack,
+             FOR: encode_for, DICT: encode_dict}
+
+
+def encode_with(codec: int, a: np.ndarray) -> bytes:
+    return _ENCODERS[codec](a)
+
+
+# ---------------------------------------------------------------------------
+# Decoder (bytes -> array) — single dispatch point, used by the verify pass.
+# ---------------------------------------------------------------------------
+
+
+def decode_block(block: bytes, dtype=np.int32) -> np.ndarray:
+    if len(block) == 0:
+        return np.empty(0, dtype=dtype)
+    codec = block[0]
+    pos = 1
+    if codec == PLAIN:
+        n, pos = read_uvarint(block, pos)
+        width = block[pos]
+        pos += 1
+        dt = np.dtype("<i8") if width == 8 else np.dtype("<i4")
+        return np.frombuffer(block, dtype=dt, count=n, offset=pos).astype(dtype)
+    if codec == RLE:
+        n_runs, pos = read_uvarint(block, pos)
+        min_val, pos = _read_svarint(block, pos)
+        cbits = block[pos]
+        vbits = block[pos + 1]
+        pos += 2
+        cbytes = packed_nbytes(n_runs, cbits)
+        counts = unpack_bits(block[pos:pos + cbytes], n_runs, cbits) + 1
+        pos += cbytes
+        vbytes = packed_nbytes(n_runs, vbits)
+        values = add_min_i64(
+            unpack_bits(block[pos:pos + vbytes], n_runs, vbits, dtype=np.uint64),
+            min_val,
+        )
+        return rle.rle_decode(counts, values).astype(dtype)
+    if codec == BITPACK:
+        n, pos = read_uvarint(block, pos)
+        bits = block[pos]
+        pos += 1
+        return unpack_bits(block[pos:], n, bits).astype(dtype)
+    if codec == FOR:
+        n, pos = read_uvarint(block, pos)
+        min_val, pos = _read_svarint(block, pos)
+        bits = block[pos]
+        pos += 1
+        return add_min_i64(
+            unpack_bits(block[pos:], n, bits, dtype=np.uint64), min_val
+        ).astype(dtype)
+    if codec == DICT:
+        n, pos = read_uvarint(block, pos)
+        ndv, pos = read_uvarint(block, pos)
+        dict_min, pos = _read_svarint(block, pos)
+        dbits = block[pos]
+        pos += 1
+        dbytes = packed_nbytes(ndv, dbits)
+        uniq = add_min_i64(
+            unpack_bits(block[pos:pos + dbytes], ndv, dbits, dtype=np.uint64),
+            dict_min,
+        )
+        pos += dbytes
+        ibits = block[pos]
+        pos += 1
+        idx = unpack_bits(block[pos:], n, ibits)
+        return uniq[idx].astype(dtype)
+    raise ValueError(f"unknown codec id {codec}")
+
+
+# ---------------------------------------------------------------------------
+# Exact size accounting (the selector's cost model).
+# ---------------------------------------------------------------------------
+
+
+def codec_sizes(
+    n: int,
+    min_val: int,
+    max_val: int,
+    n_runs: int,
+    max_count: int,
+    ndv: int,
+) -> dict[int, int]:
+    """Exact encoded byte length per codec, from chunk statistics alone.
+
+    This is the reference's "early size computation" idea (``count_runs`` before
+    encode, v:467-481; ``encode_space_usage`` cost model, v:2744-2762) made
+    exact for our wire format: ``codec_sizes(...)[c] == len(encode_with(c, a))``
+    for every codec — a tested invariant, not an estimate.
+    """
+    if n == 0:
+        return {c: 0 for c in INT_CODECS}
+    sizes: dict[int, int] = {}
+    width = 8 if (max_val > 2**31 - 1 or min_val < -(2**31)) else 4
+    sizes[PLAIN] = 1 + uvarint_len(n) + 1 + width * n
+    cbits = _storage_bits(max_count - 1)
+    vbits = _storage_bits(max_val - min_val)
+    sizes[RLE] = (
+        1 + uvarint_len(n_runs) + uvarint_len(zigzag(min_val)) + 2
+        + packed_nbytes(n_runs, cbits) + packed_nbytes(n_runs, vbits)
+    )
+    if min_val >= 0:
+        sizes[BITPACK] = (
+            1 + uvarint_len(n) + 1 + packed_nbytes(n, _storage_bits(max_val))
+        )
+    sizes[FOR] = (
+        1 + uvarint_len(n) + uvarint_len(zigzag(min_val)) + 1
+        + packed_nbytes(n, vbits)
+    )
+    sizes[DICT] = (
+        1 + uvarint_len(n) + uvarint_len(ndv) + uvarint_len(zigzag(min_val)) + 1
+        + packed_nbytes(ndv, vbits) + 1 + packed_nbytes(n, _storage_bits(ndv - 1))
+    )
+    return sizes

@@ -1,0 +1,135 @@
+"""Bit-packing primitives + varints — the width machinery for all codecs.
+
+``bits_required`` restates the reference's ceil-log2 width selector
+(rl_encoding.v:3038-3039, correctness v:3163-3181); the u8/u16/u32 width gates
+(v:5284-5372) generalize here to arbitrary bit widths.  Packing is fully
+vectorized (numpy ``packbits``/``unpackbits``, little-endian bit order) — it runs
+inside Arrow batches on executors, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bits_required(n: int) -> int:
+    """``bits_required`` (v:3038-3039): 1 if n == 0 else 1 + floor(log2 n).
+
+    Equals ``int(n).bit_length()`` for n > 0 (proof anchor v:3163-3181).
+    """
+    n = int(n)
+    if n < 0:
+        raise ValueError("bits_required needs a nonnegative input")
+    return 1 if n == 0 else n.bit_length()
+
+
+def pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """Pack nonnegative ints into ``bits`` bits each, LSB-first, little-endian.
+
+    ``bits == 0`` encodes a constant-zero array in zero bytes.
+    """
+    if bits < 0 or bits > 64:
+        raise ValueError(f"bits out of range: {bits}")
+    arr = np.asarray(values)
+    if arr.size == 0:
+        return b""
+    if arr.dtype != np.uint64:
+        if arr.min() < 0:
+            raise ValueError("pack_bits requires nonnegative values")
+        arr = arr.astype(np.uint64)
+    u = arr
+    if bits < 64 and int(u.max()) >> bits:
+        raise ValueError("value does not fit in the declared bit width")
+    if bits == 0:
+        return b""
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, bits: int, dtype=np.int64) -> np.ndarray:
+    """Inverse of :func:`pack_bits` for ``n`` values of ``bits`` bits each.
+
+    With ``dtype=np.uint64`` the raw packed words come back unconverted —
+    callers doing frame-of-reference math add the minimum with uint64
+    wraparound and reinterpret (see :func:`deltas_u64` / :func:`add_min_i64`).
+    """
+    if n == 0 or bits == 0:
+        return np.zeros(n, dtype=dtype)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    flat = np.unpackbits(raw, count=n * bits, bitorder="little")
+    bitmat = flat.reshape(n, bits).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+    vals = (bitmat * weights).sum(axis=1, dtype=np.uint64)
+    if np.dtype(dtype) == np.uint64:
+        return vals
+    if np.dtype(dtype) == np.int64:
+        return vals.view(np.int64)
+    return vals.astype(dtype)
+
+
+_U64_MASK = (1 << 64) - 1
+
+
+def deltas_u64(a: np.ndarray, min_val: int) -> np.ndarray:
+    """``a - min_val`` in uint64 wraparound arithmetic: exact for any int64
+    inputs even when the range spans more than 2^63 (delta always < 2^64)."""
+    a = np.asarray(a)
+    with np.errstate(over="ignore"):
+        return a.astype(np.uint64) - np.uint64(min_val & _U64_MASK)
+
+
+def add_min_i64(deltas: np.ndarray, min_val: int) -> np.ndarray:
+    """Inverse of :func:`deltas_u64`: uint64 wraparound add, reinterpret int64."""
+    with np.errstate(over="ignore"):
+        out = np.asarray(deltas, dtype=np.uint64) + np.uint64(min_val & _U64_MASK)
+    return out.view(np.int64)
+
+
+def packed_nbytes(n: int, bits: int) -> int:
+    """Exact byte length :func:`pack_bits` produces."""
+    return 0 if n == 0 or bits == 0 else (n * bits + 7) // 8
+
+
+# --- varints (LEB128) for block headers: scalar, per-block, driver-cheap -----
+
+
+def write_uvarint(out: bytearray, n: int) -> None:
+    n = int(n)
+    if n < 0:
+        raise ValueError("uvarint requires nonnegative input")
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def zigzag(n: int) -> int:
+    n = int(n)
+    return 2 * n if n >= 0 else -2 * n - 1
+
+
+def unzigzag(z: int) -> int:
+    z = int(z)
+    return z // 2 if z % 2 == 0 else -(z + 1) // 2
+
+
+def uvarint_len(n: int) -> int:
+    n = int(n)
+    return 1 if n == 0 else (n.bit_length() + 6) // 7

@@ -1,0 +1,171 @@
+"""Block format + codec selector properties (SURVEY.md §7.1 steps 2-3).
+
+Key invariants:
+* every codec round-trips bit-identically (the per-row invariant);
+* ``codec_sizes`` is EXACT (== len of the produced block) for every codec;
+* the auto-selected block is minimal over candidates and never exceeds the
+  reference naive-RLE budget 2*count_runs*8 B (rl_encoding.v:2744-2762);
+* blocks are deterministic (byte-identical on re-encode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from rlv import blocks, selector
+from rlv.kernels import bitpack, rle
+from rlv.stats import chunk_stats
+
+token_arrays = st.one_of(
+    # run-heavy: small vocab
+    st.lists(st.integers(0, 5), max_size=500),
+    # GPT-2-vocab-ish tokens
+    st.lists(st.integers(0, 50256), max_size=300),
+    # edges incl. negatives (engine is int32-generic even if tokens are >= 0)
+    st.lists(
+        st.sampled_from([-(2**31), -1, 0, 1, 255, 256, 65535, 2**31 - 1]),
+        max_size=50,
+    ),
+    # int64 territory (PLAIN width-8 path)
+    st.lists(st.integers(-(2**62), 2**62), max_size=40),
+)
+
+
+def arr(xs):
+    return np.asarray(xs, dtype=np.int64)
+
+
+@given(token_arrays)
+def test_every_codec_roundtrips_exactly(xs):
+    a = arr(xs)
+    for codec in blocks.INT_CODECS:
+        if codec == blocks.BITPACK and a.size and a.min() < 0:
+            continue
+        block = blocks.encode_with(codec, a)
+        out = blocks.decode_block(block, dtype=np.int64)
+        np.testing.assert_array_equal(out, a)
+
+
+@given(token_arrays)
+def test_codec_sizes_are_exact(xs):
+    """codec_sizes is a cost model with zero error — the 'early size
+    computation' idea (v:4013-4014, 467-481) made exact."""
+    a = arr(xs)
+    s = chunk_stats(a)
+    sizes = blocks.codec_sizes(s.n, s.min_val, s.max_val, s.n_runs, s.max_count, s.ndv)
+    for codec, predicted in sizes.items():
+        assert predicted == len(blocks.encode_with(codec, a)), blocks.CODEC_NAMES[codec]
+
+
+@given(token_arrays)
+def test_auto_selection_minimal_and_within_budget(xs):
+    """Chosen block is argmin over candidates; <= naive-RLE budget
+    (north rule / encode_space_usage v:2744-2762)."""
+    a = arr(xs)
+    codec, block = selector.encode_auto(a)
+    s = chunk_stats(a)
+    sizes = blocks.codec_sizes(s.n, s.min_val, s.max_val, s.n_runs, s.max_count, s.ndv)
+    if a.size == 0:
+        assert block == b""
+        return
+    assert len(block) == min(sizes.values())
+    assert len(block) <= blocks.naive_rle_bytes(s.n_runs)
+    np.testing.assert_array_equal(blocks.decode_block(block, np.int64), a)
+
+
+@given(token_arrays)
+def test_blocks_deterministic(xs):
+    """Uniqueness law (v:1524-1538) lifted to blocks: re-encode == byte-identical
+    (idempotent retries / dedup safety)."""
+    a = arr(xs)
+    c1, b1 = selector.encode_auto(a)
+    c2, b2 = selector.encode_auto(a.copy())
+    assert c1 == c2 and b1 == b2
+
+
+def test_selector_picks_sensible_codecs():
+    """FIXTURES.md families drive the expected selector outcomes."""
+    # constant column: FOR with 0-bit deltas (5 B) legitimately beats RLE (7 B)
+    uniform = np.full(1000, 42, dtype=np.int64)
+    codec, block = selector.encode_auto(uniform)
+    assert codec == blocks.FOR and len(block) == 5
+    # but a long two-value run structure is RLE's home turf
+    runs = np.repeat(np.array([3, 9, 3, 9], dtype=np.int64), 1000)
+    assert selector.encode_auto(runs)[0] == blocks.RLE
+
+    ramp = np.arange(50257, dtype=np.int64)  # strictly increasing: RLE expands
+    codec, block = selector.encode_auto(ramp)
+    assert codec in (blocks.BITPACK, blocks.FOR)
+    assert len(block) < len(blocks.encode_with(blocks.RLE, ramp))
+
+    shifted = np.arange(10**6, 10**6 + 4096, dtype=np.int64)  # FOR beats bitpack
+    assert selector.encode_auto(shifted)[0] == blocks.FOR
+
+    rng = np.random.default_rng(42)
+    low_ndv = rng.choice(np.array([17, 999, 123456, 7]), size=4096).astype(np.int64)
+    assert selector.encode_auto(low_ndv)[0] == blocks.DICT
+
+    high_entropy = rng.integers(0, 50257, size=4096).astype(np.int64)
+    codec, block = selector.encode_auto(high_entropy)
+    assert codec != blocks.RLE  # RLE must NOT win on noise...
+    np.testing.assert_array_equal(  # ...but must still round-trip (FIXTURES §2)
+        blocks.decode_block(blocks.encode_with(blocks.RLE, high_entropy), np.int64),
+        high_entropy,
+    )
+
+
+def test_rle_block_beats_naive_budget_with_headroom():
+    """Uniform 1000 (v:5479): naive budget is 16 B; our RLE block is smaller."""
+    a = np.full(1000, 42, dtype=np.int64)
+    _, block = selector.encode_auto(a)
+    assert len(block) <= 16
+    # alternating worst case (v:5482-5483): counts all 1 -> count plane is empty
+    alt = (np.arange(1000) % 2).astype(np.int64)
+    rle_block = blocks.encode_with(blocks.RLE, alt)
+    assert len(rle_block) <= blocks.naive_rle_bytes(1000)
+
+
+# --- bitpack primitives -----------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), max_size=200), st.integers(0, 64))
+def test_pack_unpack_roundtrip(xs, bits):
+    a = arr(xs)
+    if a.size and bits < 64 and (a.max() >> bits if bits else a.max()):
+        with pytest.raises(ValueError):
+            bitpack.pack_bits(a, bits)
+        return
+    buf = bitpack.pack_bits(a, bits)
+    assert len(buf) == bitpack.packed_nbytes(a.size, bits)
+    np.testing.assert_array_equal(bitpack.unpack_bits(buf, a.size, bits), a)
+
+
+@given(st.integers(0, 2**63 - 1))
+def test_uvarint_roundtrip(n):
+    out = bytearray()
+    bitpack.write_uvarint(out, n)
+    assert len(out) == bitpack.uvarint_len(n)
+    val, pos = bitpack.read_uvarint(bytes(out), 0)
+    assert val == n and pos == len(out)
+
+
+@given(st.integers(-(2**62), 2**62))
+def test_zigzag_roundtrip(n):
+    assert bitpack.unzigzag(bitpack.zigzag(n)) == n
+    assert bitpack.zigzag(n) >= 0
+
+
+@given(st.integers(0, 2**40))
+def test_bits_required_matches_reference(n):
+    """bits_required (v:3038-3039): 1 if 0 else 1+floor(log2 n) == bit_length."""
+    expect = 1 if n == 0 else n.bit_length()
+    assert bitpack.bits_required(n) == expect
+
+
+def test_bits_required_table():
+    assert [bitpack.bits_required(n) for n in [0, 1, 2, 3, 4, 7, 8, 255, 256]] == [
+        1, 1, 2, 2, 3, 3, 4, 8, 9,
+    ]
