@@ -1,0 +1,439 @@
+"""Spark passes: plan -> encode -> write(+manifest) -> verify, all Arrow-vectorized.
+
+Dataflow (SURVEY.md §7.1 step 4, north rule):
+
+1. **group assignment** (JVM): ``group_id = pmod(xxhash64(doc_id), n_groups)`` —
+   the unit of work, lineage, and resume.
+2. **stats/plan pass**: per-group token mass via partial-aggregated ``groupBy``
+   (n_groups rows reach the driver, never the data), then LPT bin-packing of
+   groups onto ``num_partitions`` buckets — explicit skew handling: a Zipf-heavy
+   group lands alone in a bucket instead of capsizing a hash partition.  The
+   mapping joins back as a broadcast.
+3. **encode pass**: ``mapInArrow`` — zero-copy ListArray access, one vectorized
+   stats sweep per batch (run boundaries / min / max / ndv over *runs*), codec
+   selection per doc from exact sizes, per-doc block serialization.  The
+   per-partition independence of RLE encode is licensed by the composition laws
+   (rl_encoding.v:994-1021, 1125-1129): arrays are per-row, so no seam state is
+   needed between partitions at all.
+4. **write**: blocks parquet partitioned by ``group_id`` with dynamic partition
+   overwrite (idempotent retries — blocks are byte-deterministic per the
+   uniqueness law v:1524-1538), then a manifest append per group
+   (:mod:`rlv.manifest`).
+5. **verify pass**: decode every block (``mapInArrow``) and compare
+   token-array equality JVM-side — the per-row invariant from input_hint.
+
+No row-at-a-time Python anywhere: Python touches data only through numpy views
+of Arrow buffers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlv import blocks as B
+from rlv import manifest as M
+
+ENCODED_SCHEMA = (
+    "doc_id string, source string, group_id int, n_tok int, n_runs bigint, "
+    "codec_id int, block binary, enc_bytes bigint, naive_bytes bigint, "
+    "encode_ns bigint"
+)
+
+DECODED_SCHEMA = "doc_id string, decoded array<int>"
+
+RUNS_SCHEMA = "doc_id string, run_idx int, run_count bigint, run_value int"
+
+_HUGE = np.int64(2**62)
+
+
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Exact bit_length for 0 <= x < 2**53 (frexp exponent is exact there)."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+def _uvarint_len(x: np.ndarray) -> np.ndarray:
+    return np.maximum(1, (_bitlen(x) + 6) // 7)
+
+
+def _packed_nbytes(n: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    return np.where((n == 0) | (bits == 0), 0, (n * bits + 7) // 8)
+
+
+def _codec_size_matrix(n, minv, maxv, n_runs, max_count, ndv) -> np.ndarray:
+    """Vectorized :func:`rlv.blocks.codec_sizes` over per-doc stat arrays.
+
+    Column order == codec id order (PLAIN, RLE, BITPACK, FOR, DICT), so
+    ``argmin`` ties break toward the lower codec id — the same deterministic
+    rule as the scalar selector.
+    """
+    zz_min = np.where(minv >= 0, 2 * minv, -2 * minv - 1)
+    vrange = maxv - minv
+    vbits = _bitlen(vrange)
+    cbits = _bitlen(np.maximum(max_count - 1, 0))
+    width = np.where((maxv > 2**31 - 1) | (minv < -(2**31)), 8, 4)
+    sizes = np.empty((n.size, 5), dtype=np.int64)
+    sizes[:, 0] = 1 + _uvarint_len(n) + 1 + width * n
+    sizes[:, 1] = (
+        1 + _uvarint_len(n_runs) + _uvarint_len(zz_min) + 2
+        + _packed_nbytes(n_runs, cbits) + _packed_nbytes(n_runs, vbits)
+    )
+    sizes[:, 2] = np.where(
+        minv >= 0,
+        1 + _uvarint_len(n) + 1 + _packed_nbytes(n, _bitlen(np.maximum(maxv, 0))),
+        _HUGE,
+    )
+    sizes[:, 3] = (
+        1 + _uvarint_len(n) + _uvarint_len(zz_min) + 1 + _packed_nbytes(n, vbits)
+    )
+    sizes[:, 4] = (
+        1 + _uvarint_len(n) + _uvarint_len(ndv) + _uvarint_len(zz_min) + 1
+        + _packed_nbytes(ndv, vbits) + 1
+        + _packed_nbytes(n, _bitlen(np.maximum(ndv - 1, 0)))
+    )
+    return sizes
+
+
+def _list_offsets_values(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, flat values) from an Arrow list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("tokens column must not contain nulls")
+    offs = col.offsets.to_numpy().astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return offs, vals
+
+
+def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
+    """One vectorized sweep: run structure + per-doc stats for a whole batch.
+
+    ``a`` is the batch-flat token array, ``o`` the n_docs+1 offsets into it.
+    Returns (run_len, run_val, doc_run_off, per-doc stats...).  Run boundaries
+    are forced at doc starts, so runs never straddle documents.
+    """
+    n_docs = o.size - 1
+    if a.size == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return (
+            np.empty(0, np.int64), np.empty(0, a.dtype),
+            np.zeros(n_docs + 1, np.int64),
+            z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
+        )
+    run_start = np.empty(a.size, dtype=bool)
+    run_start[0] = True
+    np.not_equal(a[1:], a[:-1], out=run_start[1:])
+    doc_starts = o[1:-1]
+    doc_starts = doc_starts[doc_starts < a.size]
+    run_start[doc_starts] = True
+    run_starts = np.flatnonzero(run_start)
+    run_len = np.diff(run_starts, append=a.size)
+    run_val = a[run_starts]
+    doc_run_off = np.searchsorted(run_starts, o).astype(np.int64)
+    runs_per_doc = np.diff(doc_run_off)
+    n_per_doc = np.diff(o)
+    # per-doc reductions over runs (== over tokens), empty docs fixed after
+    idx = np.minimum(doc_run_off[:-1], run_val.size - 1)
+    minv = np.minimum.reduceat(run_val, idx).astype(np.int64)
+    maxv = np.maximum.reduceat(run_val, idx).astype(np.int64)
+    maxc = np.maximum.reduceat(run_len, idx).astype(np.int64)
+    # exact ndv per doc via one lexsort over runs (not tokens)
+    doc_of_run = np.repeat(np.arange(n_docs, dtype=np.int64), runs_per_doc)
+    order = np.lexsort((run_val, doc_of_run))
+    sv = run_val[order]
+    sd = doc_of_run[order]
+    new = np.empty(sv.size, dtype=bool)
+    if sv.size:
+        new[0] = True
+        np.logical_or(sv[1:] != sv[:-1], sd[1:] != sd[:-1], out=new[1:])
+    ndv = np.bincount(sd[new], minlength=n_docs).astype(np.int64)
+    empty = runs_per_doc == 0
+    minv[empty] = 0
+    maxv[empty] = 0
+    maxc[empty] = 0
+    return run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc, maxc, ndv
+
+
+def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        t0 = time.perf_counter_ns()
+        tb = pa.table(batch)
+        offs, vals = _list_offsets_values(tb.column("tokens"))
+        a = vals[offs[0]:offs[-1]]
+        o = offs - offs[0]
+        (run_len, run_val, doc_run_off, n_per_doc, minv, maxv,
+         runs_per_doc, maxc, ndv) = _batch_doc_stats(a, o)
+        n_docs = o.size - 1
+        sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc, ndv)
+        chosen = sizes.argmin(axis=1) + 1  # column order == codec ids 1..5
+        out_blocks: list[bytes] = []
+        for i in range(n_docs):
+            if n_per_doc[i] == 0:
+                out_blocks.append(b"")
+                continue
+            codec = int(chosen[i])
+            if codec == B.RLE:
+                blk = B.encode_rle_runs(
+                    run_len[doc_run_off[i]:doc_run_off[i + 1]],
+                    run_val[doc_run_off[i]:doc_run_off[i + 1]],
+                )
+            else:
+                blk = B.encode_with(codec, a[o[i]:o[i + 1]])
+            out_blocks.append(blk)
+        enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
+        elapsed = time.perf_counter_ns() - t0
+        total = max(int(n_per_doc.sum()), 1)
+        encode_ns = (n_per_doc * elapsed) // total
+        yield pa.record_batch(
+            [
+                tb.column("doc_id").combine_chunks(),
+                tb.column("source").combine_chunks(),
+                tb.column("group_id").combine_chunks(),
+                pa.array(n_per_doc.astype(np.int32), type=pa.int32()),
+                pa.array(runs_per_doc, type=pa.int64()),
+                pa.array(np.where(n_per_doc == 0, 0, chosen).astype(np.int32),
+                         type=pa.int32()),
+                pa.array(out_blocks, type=pa.binary()),
+                pa.array(enc_bytes, type=pa.int64()),
+                pa.array(16 * runs_per_doc, type=pa.int64()),
+                pa.array(encode_ns.astype(np.int64), type=pa.int64()),
+            ],
+            names=[
+                "doc_id", "source", "group_id", "n_tok", "n_runs", "codec_id",
+                "block", "enc_bytes", "naive_bytes", "encode_ns",
+            ],
+        )
+
+
+def _make_runs_batches(cap: int | None):
+    """Run decomposition as rows — ``decompose_runs`` (rl_encoding.v:877-890),
+    optionally cap-split (``rle_encode_maxrun``, v:4137-4154) — exposed
+    relationally so the DuckDB oracle can check the kernel against an
+    independent SQL-window implementation."""
+    from rlv.kernels import rle
+
+    def _runs_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            tb = pa.table(batch)
+            offs, vals = _list_offsets_values(tb.column("tokens"))
+            a = vals[offs[0]:offs[-1]]
+            o = offs - offs[0]
+            run_len, run_val, doc_run_off, *_ = _batch_doc_stats(a, o)
+            runs_per_doc = np.diff(doc_run_off)
+            if cap is not None and run_len.size:
+                pieces = -(-run_len // cap)
+                runs_per_doc = np.zeros(runs_per_doc.size, dtype=np.int64)
+                np.add.reduceat(
+                    pieces,
+                    np.minimum(doc_run_off[:-1], max(pieces.size - 1, 0)),
+                    out=runs_per_doc,
+                )
+                runs_per_doc[np.diff(doc_run_off) == 0] = 0
+                run_len, run_val = rle.maxrun_split(run_len, run_val, cap)
+                doc_run_off = np.concatenate(
+                    ([0], np.cumsum(runs_per_doc))
+                ).astype(np.int64)
+            n_runs = run_len.size
+            doc_idx = np.repeat(np.arange(o.size - 1, dtype=np.int64), runs_per_doc)
+            run_idx = np.arange(n_runs, dtype=np.int64) - np.repeat(
+                doc_run_off[:-1], runs_per_doc
+            )
+            doc_ids = tb.column("doc_id").combine_chunks().take(pa.array(doc_idx))
+            yield pa.record_batch(
+                [
+                    doc_ids,
+                    pa.array(run_idx.astype(np.int32), type=pa.int32()),
+                    pa.array(run_len.astype(np.int64), type=pa.int64()),
+                    pa.array(run_val.astype(np.int32), type=pa.int32()),
+                ],
+                names=["doc_id", "run_idx", "run_count", "run_value"],
+            )
+
+    return _runs_arrow_batches
+
+
+def runs_pass(df: DataFrame, cap: int | None = None) -> DataFrame:
+    """Token table -> one row per maximal run (doc_id, run_idx, count, value);
+    with ``cap``, runs are split at the max-run-length bound first."""
+    return df.select("doc_id", "tokens").mapInArrow(
+        _make_runs_batches(cap), RUNS_SCHEMA
+    )
+
+
+def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        tb = pa.table(batch)
+        blocks_col = tb.column("block").combine_chunks()
+        parts = [B.decode_block(blocks_col[i].as_py(), np.int32)
+                 for i in range(len(blocks_col))]
+        offsets = np.zeros(len(parts) + 1, dtype=np.int32)
+        np.cumsum([p.size for p in parts], out=offsets[1:])
+        flat = np.concatenate(parts) if parts else np.empty(0, np.int32)
+        decoded = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+        )
+        yield pa.record_batch(
+            [tb.column("doc_id").combine_chunks(), decoded],
+            names=["doc_id", "decoded"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Public passes
+# ---------------------------------------------------------------------------
+
+
+def with_group_id(df: DataFrame, n_groups: int) -> DataFrame:
+    """Stable work/lineage unit: hash-mod of doc_id (JVM xxhash64)."""
+    return df.withColumn(
+        "group_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)).cast("int")
+    )
+
+
+def plan_balanced(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Skew-aware placement: LPT bin-packing of per-group token mass.
+
+    The aggregate is partial+final (Catalyst), so only n_groups rows reach the
+    driver; the greedy longest-processing-time assignment bounds bucket load at
+    (4/3)·OPT, then a broadcast join attaches the bucket and a repartition on it
+    co-locates each group.  This is the engine's explicit answer to Zipf-skewed
+    ``n_tok`` (north rule): one monster group fills a bucket alone instead of
+    hiding inside a hash partition with ordinary groups.
+    """
+    loads = (
+        df.groupBy("group_id")
+        .agg(F.sum("n_tok").alias("load"))
+        .collect()
+    )
+    return _apply_plan(df, loads, num_partitions)
+
+
+def _partition_tokens(spark: SparkSession, num_partitions: int) -> list[int]:
+    """For each physical partition id p, an int token t with
+    ``pmod(murmur3_hash(t), num_partitions) == p``.
+
+    ``repartition(n, col)`` hash-partitions the column, so naively using the
+    LPT bucket index would let buckets collide into one physical partition and
+    undo the balancing.  One tiny JVM query inverts the hash by search.
+    """
+    token_for: dict[int, int] = {}
+    lo = 0
+    while len(token_for) < num_partitions:
+        hi = lo + 32 * num_partitions
+        rows = (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").cast("int").alias("t"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_partitions)).alias("p"),
+            )
+            .collect()
+        )
+        for r in rows:
+            token_for.setdefault(int(r["p"]), int(r["t"]))
+        lo = hi
+    return [token_for[p] for p in range(num_partitions)]
+
+
+def _apply_plan(df: DataFrame, loads, num_partitions: int) -> DataFrame:
+    spark = df.sparkSession
+    part_token = _partition_tokens(spark, num_partitions)
+    order = sorted(loads, key=lambda r: (-int(r["load"] or 0), r["group_id"]))
+    bucket_load = [0] * num_partitions
+    assign: list[tuple[int, int]] = []
+    for row in order:
+        b = min(range(num_partitions), key=lambda i: bucket_load[i])
+        bucket_load[b] += int(row["load"] or 0)
+        assign.append((int(row["group_id"]), part_token[b]))
+    mapping = spark.createDataFrame(assign, schema="group_id int, bucket int")
+    return (
+        df.join(F.broadcast(mapping), "group_id", "left")
+        .repartition(num_partitions, "bucket")
+        .drop("bucket")
+    )
+
+
+def encode_pass(df: DataFrame) -> DataFrame:
+    """Token table (+group_id) -> encoded blocks + per-doc metrics."""
+    cols = ["doc_id", "tokens", "n_tok", "source", "group_id"]
+    return df.select(*cols).mapInArrow(_encode_arrow_batches, ENCODED_SCHEMA)
+
+
+def decode_pass(encoded: DataFrame) -> DataFrame:
+    """Encoded blocks -> decoded token arrays (the read path)."""
+    return encoded.select("doc_id", "block").mapInArrow(
+        _decode_arrow_batches, DECODED_SCHEMA
+    )
+
+
+def verify_roundtrip(token_df: DataFrame, encoded: DataFrame) -> dict:
+    """The per-row invariant: every decoded array bit-identical to its source.
+
+    Join + JVM-side array equality; returns counts (0 mismatches required).
+    """
+    decoded = decode_pass(encoded)
+    joined = token_df.select("doc_id", "tokens").join(decoded, "doc_id", "full")
+    agg = joined.select(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("tokens").isNull()
+                | F.col("decoded").isNull()
+                | (F.col("tokens") != F.col("decoded")),
+                1,
+            ).otherwise(0)
+        ).alias("mismatches"),
+    ).collect()[0]
+    return {"rows": int(agg["n"]), "mismatches": int(agg["mismatches"] or 0)}
+
+
+def encode_dataset(
+    spark: SparkSession,
+    token_df: DataFrame,
+    out_dir: str,
+    n_groups: int = 64,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Full resumable encode job: plan -> encode -> write blocks -> manifest.
+
+    Returns a summary dict (groups encoded / skipped, bytes, throughput).
+    Restart-safe: groups already 'done' in the manifest are anti-joined away;
+    re-encoding a group overwrites exactly its partition directory (dynamic
+    partition overwrite) with byte-identical blocks.
+    """
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    blocks_path = f"{out_dir}/blocks"
+    df = with_group_id(token_df, n_groups)
+    done: set[int] = set()
+    if resume:
+        done = M.done_groups(spark, out_dir)
+        if done:
+            done_df = spark.createDataFrame(
+                [(g,) for g in sorted(done)], schema="group_id int"
+            )
+            df = df.join(F.broadcast(done_df), "group_id", "left_anti")
+    loads = df.groupBy("group_id").agg(F.sum("n_tok").alias("load")).collect()
+    if not loads:
+        return {"groups_encoded": 0, "groups_skipped": len(done), "tokens": 0}
+    planned = _apply_plan(df, loads, num_partitions)
+    encoded = encode_pass(planned)
+    t0 = time.perf_counter()
+    (
+        encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("group_id")
+        .parquet(blocks_path)
+    )
+    wall = time.perf_counter() - t0
+    new_groups = [int(r["group_id"]) for r in loads]
+    summary = M.update_manifest(
+        spark, out_dir, new_groups, wall_sec=wall, skipped=len(done)
+    )
+    return summary
