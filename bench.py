@@ -1,0 +1,158 @@
+"""Benchmark harness: headline encode/decode throughput + N-vs-4N scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extra metrics...}
+
+Input: a deterministic synthetic token table (FIXTURES.md families, seed 42)
+sized from the documents table of ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) — cached as parquet under /tmp so repeated runs measure
+the engine, not the generator.
+
+The headline job is the python-native-scan encode (rlv.engine_files): plan
+splits from parquet footers -> Spark-scheduled tasks -> pyarrow read -> numpy
+encode -> direct parquet write + manifest.  Timings are best-of-N after one
+untimed warmup pass per session (steady state: Python workers booted, JIT and
+page cache warm) — matching how a long-running 100 TB job actually behaves.
+
+Scaling evidence for the north rule (>=0.8 efficiency from N to 4N executors):
+the same job at local[CPUS/4] and local[CPUS] on the same input; efficiency =
+(throughput_4N / throughput_N) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+ROWS_PER_DOC = 24  # bench table rows = 24 x documents-table rows
+REPEATS = 3
+
+
+def _sf_label(sf_dir: str) -> str:
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    return tail.replace("sf", "") if tail.startswith("sf") else tail
+
+
+def _ensure_bench_table(spark, n_rows: int) -> str:
+    path = f"/tmp/rlv_bench/tokens_r{n_rows}_s{SEED}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from rlv import tokens
+
+        pdf = tokens.synth_token_pdf(n_rows, seed=SEED)
+        spark.createDataFrame(pdf, schema=tokens.TOKEN_SCHEMA).repartition(
+            max(CPUS, 8)
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _timed_file_encode(spark, tok_path: str, cpus: int) -> dict:
+    """Best-of-REPEATS full encode job (plan + read + encode + write + manifest)."""
+    from rlv import engine_files
+
+    best = None
+    for i in range(REPEATS + 1):  # +1: first run is the untimed warmup
+        out = f"/tmp/rlv_bench/out_{cpus}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        summary = engine_files.encode_files_dataset(
+            spark, tok_path, out, num_tasks=4 * cpus, resume=False
+        )
+        wall = time.perf_counter() - t0
+        if i == 0:
+            continue
+        if best is None or wall < best["wall_sec"]:
+            summary["wall_sec"] = wall
+            summary["tokens_per_sec"] = summary["tokens"] / wall
+            best = summary
+    return best
+
+
+def main() -> None:
+    from rlv import engine, session
+
+    sf = _sf_label(SF_DIR)
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    import pyarrow.parquet as pq
+
+    spark = session.make_session(CPUS, app="rlv-bench")
+    try:
+        n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+        n_rows = max(2000, ROWS_PER_DOC * n_docs)
+        tok_path = _ensure_bench_table(spark, n_rows)
+
+        s_big = _timed_file_encode(spark, tok_path, CPUS)
+        queries["encode"] = round(s_big["wall_sec"], 3)
+        extra["tokens"] = s_big["tokens"]
+        extra["tokens_per_sec"] = round(s_big["tokens_per_sec"])
+        extra["bytes_per_token"] = round(s_big["bytes_out"] / s_big["tokens"], 4)
+        extra["compressed_bytes"] = s_big["bytes_out"]
+        extra["naive_rle_bytes"] = s_big["naive_rle_bytes"]
+        extra["budget_ok"] = bool(s_big["bytes_out"] <= s_big["naive_rle_bytes"])
+
+        # decode+verify pass over the written blocks (best-of after warm)
+        tok = spark.read.parquet(tok_path)
+        encoded = spark.read.parquet(f"/tmp/rlv_bench/out_{CPUS}/blocks")
+        t_best = None
+        for i in range(2):
+            t0 = time.perf_counter()
+            res = engine.verify_roundtrip(tok, encoded)
+            t = time.perf_counter() - t0
+            t_best = t if t_best is None else min(t_best, t)
+        queries["decode_verify"] = round(t_best, 3)
+        extra["verify_mismatches"] = res["mismatches"]
+
+        # run-statistics facet (count_runs over every doc)
+        t_best = None
+        for i in range(2):
+            t0 = time.perf_counter()
+            engine.runs_pass(tok).groupBy().agg(F.count("*")).collect()
+            t = time.perf_counter() - t0
+            t_best = t if t_best is None else min(t_best, t)
+        queries["count_runs"] = round(t_best, 3)
+    finally:
+        spark.stop()
+
+    # scaling: same job at CPUS/4 cores on the same input
+    small_cpus = max(1, CPUS // 4)
+    spark_s = session.make_session(small_cpus, app="rlv-bench-small")
+    try:
+        s_small = _timed_file_encode(spark_s, tok_path, small_cpus)
+        queries[f"encode_{small_cpus}cpu"] = round(s_small["wall_sec"], 3)
+    finally:
+        spark_s.stop()
+
+    eff = (s_big["tokens_per_sec"] / s_small["tokens_per_sec"]) / (CPUS / small_cpus)
+    extra["scaling"] = {
+        "cpus_small": small_cpus,
+        "cpus_big": CPUS,
+        "tokens_per_sec_small": round(s_small["tokens_per_sec"]),
+        "tokens_per_sec_big": round(s_big["tokens_per_sec"]),
+        "efficiency": round(eff, 3),
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "token_encode_wall_sec",
+                "value": queries["encode"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

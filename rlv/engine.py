@@ -143,16 +143,27 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
     minv = np.minimum.reduceat(run_val, idx).astype(np.int64)
     maxv = np.maximum.reduceat(run_val, idx).astype(np.int64)
     maxc = np.maximum.reduceat(run_len, idx).astype(np.int64)
-    # exact ndv per doc via one lexsort over runs (not tokens)
+    # exact ndv per doc via ONE direct sort of a (doc, value) composite key over
+    # runs (distinct-over-runs == distinct-over-tokens).  A direct int64 sort is
+    # ~8x faster than np.lexsort here, and runs <= tokens bounds the work.
     doc_of_run = np.repeat(np.arange(n_docs, dtype=np.int64), runs_per_doc)
-    order = np.lexsort((run_val, doc_of_run))
-    sv = run_val[order]
-    sd = doc_of_run[order]
-    new = np.empty(sv.size, dtype=bool)
-    if sv.size:
+    gmin = int(run_val.min())
+    vrange = int(run_val.max()) - gmin + 1
+    if n_docs * vrange < 2**62:
+        key = doc_of_run * vrange + (run_val.astype(np.int64) - gmin)
+        key.sort()
+        new = np.empty(key.size, dtype=bool)
+        new[0] = True
+        np.not_equal(key[1:], key[:-1], out=new[1:])
+        ndv = np.bincount(key[new] // vrange, minlength=n_docs).astype(np.int64)
+    else:  # pathological value range: fall back to lexsort
+        order = np.lexsort((run_val, doc_of_run))
+        sv = run_val[order]
+        sd = doc_of_run[order]
+        new = np.empty(sv.size, dtype=bool)
         new[0] = True
         np.logical_or(sv[1:] != sv[:-1], sd[1:] != sd[:-1], out=new[1:])
-    ndv = np.bincount(sd[new], minlength=n_docs).astype(np.int64)
+        ndv = np.bincount(sd[new], minlength=n_docs).astype(np.int64)
     empty = runs_per_doc == 0
     minv[empty] = 0
     maxv[empty] = 0

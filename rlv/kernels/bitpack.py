@@ -42,6 +42,16 @@ def pack_bits(values: np.ndarray, bits: int) -> bytes:
         raise ValueError("value does not fit in the declared bit width")
     if bits == 0:
         return b""
+    # byte-multiple widths: straight downcast, no bit matrix (8-16x less
+    # memory traffic than the generic path — the hot case for token vocabs)
+    if bits == 8:
+        return u.astype(np.uint8).tobytes()
+    if bits == 16:
+        return u.astype("<u2").tobytes()
+    if bits == 32:
+        return u.astype("<u4").tobytes()
+    if bits == 64:
+        return u.astype("<u8").tobytes()
     shifts = np.arange(bits, dtype=np.uint64)
     bitmat = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
@@ -56,6 +66,13 @@ def unpack_bits(buf: bytes, n: int, bits: int, dtype=np.int64) -> np.ndarray:
     """
     if n == 0 or bits == 0:
         return np.zeros(n, dtype=dtype)
+    if bits in (8, 16, 32, 64):
+        src = np.frombuffer(buf, dtype=f"<u{bits // 8}", count=n)
+        if np.dtype(dtype) == np.uint64:
+            return src.astype(np.uint64)
+        if np.dtype(dtype) == np.int64:
+            return src.astype(np.uint64).view(np.int64)
+        return src.astype(dtype)
     raw = np.frombuffer(buf, dtype=np.uint8)
     flat = np.unpackbits(raw, count=n * bits, bitorder="little")
     bitmat = flat.reshape(n, bits).astype(np.uint64)
@@ -73,16 +90,15 @@ _U64_MASK = (1 << 64) - 1
 
 def deltas_u64(a: np.ndarray, min_val: int) -> np.ndarray:
     """``a - min_val`` in uint64 wraparound arithmetic: exact for any int64
-    inputs even when the range spans more than 2^63 (delta always < 2^64)."""
+    inputs even when the range spans more than 2^63 (delta always < 2^64).
+    numpy integer ops wrap silently, so no errstate guard is needed."""
     a = np.asarray(a)
-    with np.errstate(over="ignore"):
-        return a.astype(np.uint64) - np.uint64(min_val & _U64_MASK)
+    return a.astype(np.uint64) - np.uint64(min_val & _U64_MASK)
 
 
 def add_min_i64(deltas: np.ndarray, min_val: int) -> np.ndarray:
     """Inverse of :func:`deltas_u64`: uint64 wraparound add, reinterpret int64."""
-    with np.errstate(over="ignore"):
-        out = np.asarray(deltas, dtype=np.uint64) + np.uint64(min_val & _U64_MASK)
+    out = np.asarray(deltas, dtype=np.uint64) + np.uint64(min_val & _U64_MASK)
     return out.view(np.int64)
 
 

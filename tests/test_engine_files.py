@@ -1,0 +1,76 @@
+"""File-mode (python-native scan) engine tests: same invariants as the JVM
+path — bit-identical roundtrip, budget, resume — plus split planning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rlv import engine, engine_files, tokens
+
+
+@pytest.fixture(scope="module")
+def tok_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tok") / "tokens")
+    df = tokens.synth_tokens(spark, n_rows=400, seed=42)
+    df.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_encode_files_roundtrip_and_budget(spark, tok_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    summary = engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    tok = spark.read.parquet(tok_dir)
+    assert summary["tokens"] == tok.agg(F.sum("n_tok")).collect()[0][0]
+    assert summary["bytes_out"] <= summary["naive_rle_bytes"]
+    encoded = spark.read.parquet(f"{out}/blocks")
+    assert encoded.count() == tok.count()
+    res = engine.verify_roundtrip(tok, encoded)
+    assert res["mismatches"] == 0 and res["rows"] == tok.count()
+
+
+def test_encode_files_resume(spark, tok_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    first = engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    assert first["splits_encoded"] > 0
+    second = engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    assert second["splits_encoded"] == 0
+    assert second["splits_skipped"] == first["splits_encoded"]
+
+
+def test_file_blocks_match_jvm_blocks(spark, tok_dir, tmp_path):
+    """Both data planes produce byte-identical blocks per doc (determinism)."""
+    out_f = str(tmp_path / "f")
+    engine_files.encode_files_dataset(spark, tok_dir, out_f, num_tasks=4)
+    tok = spark.read.parquet(tok_dir)
+    out_j = str(tmp_path / "j")
+    engine.encode_dataset(spark, tok, out_j, n_groups=8, num_partitions=4)
+    fb = {
+        r["doc_id"]: bytes(r["block"])
+        for r in spark.read.parquet(f"{out_f}/blocks").select("doc_id", "block").collect()
+    }
+    jb = {
+        r["doc_id"]: bytes(r["block"])
+        for r in spark.read.parquet(f"{out_j}/blocks").select("doc_id", "block").collect()
+    }
+    assert fb == jb
+
+
+def test_plan_splits_covers_all_row_groups(tok_dir):
+    import pyarrow.parquet as pq
+    import os
+
+    splits = engine_files.plan_splits(tok_dir, 6)
+    seen = [p for s in splits for p in map(tuple, s["pieces"])]
+    assert len(seen) == len(set(seen))
+    expect = []
+    for name in sorted(os.listdir(tok_dir)):
+        if name.endswith(".parquet"):
+            path = os.path.join(tok_dir, name)
+            for rg in range(pq.ParquetFile(path).metadata.num_row_groups):
+                expect.append((path, rg))
+    assert sorted(seen) == sorted(expect)
+    # deterministic split ids
+    again = engine_files.plan_splits(tok_dir, 6)
+    assert [s["split_id"] for s in splits] == [s["split_id"] for s in again]
