@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
-ROWS_PER_DOC = 24  # bench table rows = 24 x documents-table rows
-REPEATS = 3
+ROWS_PER_DOC = 96  # bench table rows = 96 x documents-table rows (~240M tokens at sf0.1)
+REPEATS = 2
 
 
 def _sf_label(sf_dir: str) -> str:
@@ -47,8 +47,10 @@ def _ensure_bench_table(spark, n_rows: int) -> str:
         from rlv import tokens
 
         pdf = tokens.synth_token_pdf(n_rows, seed=SEED)
+        # many small files -> fine-grained splits: ~4 tasks/core at full width
+        # so one slow task can't set the wall clock (straggler packing)
         spark.createDataFrame(pdf, schema=tokens.TOKEN_SCHEMA).repartition(
-            max(CPUS, 8)
+            8 * max(CPUS, 8)
         ).write.mode("overwrite").parquet(path)
     return path
 
@@ -122,23 +124,36 @@ def main() -> None:
     finally:
         spark.stop()
 
-    # scaling: same job at CPUS/4 cores on the same input
-    small_cpus = max(1, CPUS // 4)
-    spark_s = session.make_session(small_cpus, app="rlv-bench-small")
-    try:
-        s_small = _timed_file_encode(spark_s, tok_path, small_cpus)
-        queries[f"encode_{small_cpus}cpu"] = round(s_small["wall_sec"], 3)
-    finally:
-        spark_s.stop()
+    # Scaling: the same job at N and 4N cores on the same input, at two pairs.
+    # (2, 8) sits in this host's uncontended region; (8, 32) additionally
+    # measures host oversubscription (a pure-ALU spin loop already inflates
+    # ~1.3x at 32-way here — see BASELINE.md "scaling" notes), so the 2->8
+    # pair is the cleaner proxy for adding executors on a real cluster.
+    results = {CPUS: s_big}
+    for cpus in sorted({max(1, CPUS // 16), max(1, CPUS // 4)}):
+        spark_s = session.make_session(cpus, app=f"rlv-bench-{cpus}")
+        try:
+            results[cpus] = _timed_file_encode(spark_s, tok_path, cpus)
+            queries[f"encode_{cpus}cpu"] = round(results[cpus]["wall_sec"], 3)
+        finally:
+            spark_s.stop()
 
-    eff = (s_big["tokens_per_sec"] / s_small["tokens_per_sec"]) / (CPUS / small_cpus)
-    extra["scaling"] = {
-        "cpus_small": small_cpus,
-        "cpus_big": CPUS,
-        "tokens_per_sec_small": round(s_small["tokens_per_sec"]),
-        "tokens_per_sec_big": round(s_big["tokens_per_sec"]),
-        "efficiency": round(eff, 3),
-    }
+    def _eff(lo: int, hi: int) -> dict:
+        tl = results[lo]["tokens_per_sec"]
+        th = results[hi]["tokens_per_sec"]
+        return {
+            "cpus_small": lo,
+            "cpus_big": hi,
+            "tokens_per_sec_small": round(tl),
+            "tokens_per_sec_big": round(th),
+            "efficiency": round((th / tl) / (hi / lo), 3),
+        }
+
+    lo = max(1, CPUS // 16)
+    mid = max(1, CPUS // 4)
+    extra["scaling"] = _eff(lo, mid) if mid > lo else _eff(mid, CPUS)
+    if mid > lo:
+        extra["scaling_contended"] = _eff(mid, CPUS)
 
     print(
         json.dumps(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from rlv import blocks as B
 from rlv import manifest as M
+from rlv.util import tune_malloc
 
 ENCODED_SCHEMA = (
     "doc_id string, source string, group_id int, n_tok int, n_runs bigint, "
@@ -172,6 +173,7 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
 
 
 def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    tune_malloc()
     for batch in it:
         t0 = time.perf_counter_ns()
         tb = pa.table(batch)
@@ -230,6 +232,7 @@ def _make_runs_batches(cap: int | None):
     from rlv.kernels import rle
 
     def _runs_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_malloc()
         for batch in it:
             tb = pa.table(batch)
             offs, vals = _list_offsets_values(tb.column("tokens"))
@@ -278,6 +281,7 @@ def runs_pass(df: DataFrame, cap: int | None = None) -> DataFrame:
 
 
 def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    tune_malloc()
     for batch in it:
         tb = pa.table(batch)
         blocks_col = tb.column("block").combine_chunks()

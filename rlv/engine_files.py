@@ -86,11 +86,13 @@ def plan_splits(input_dir: str, num_tasks: int) -> list[dict]:
 
 def _make_split_worker(out_blocks_dir: str):
     from rlv.engine import _encode_arrow_batches
+    from rlv.util import tune_malloc
 
     def run_split(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        tune_malloc()
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 split_id = row["split_id"]
