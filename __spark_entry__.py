@@ -147,6 +147,22 @@ def _q_roundtrip_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.groupBy("source").agg(F.count("*").alias("n_verified"))
 
 
+def _q_string_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRDICT (dict + FSST) string-column codec: count of docs whose text
+    survives encode->decode byte-identically, per source.  Equals count(*)
+    iff the string codec is exact — that is the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source"), F.col("text")
+    )
+    res = engine.strings_pass(docs, value_col="text", key_col="source")
+    return (
+        res.filter(F.col("ok") == 1)
+        .groupBy(F.col("key").alias("source"))
+        .agg(F.count("*").alias("n_verified"))
+        .select("source", "n_verified")
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents (training-data pipeline op): hash-groupBy,
     keep the lexicographically-smallest doc_id."""
@@ -159,6 +175,88 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding for near-dup detection (training-data pipeline op):
+    8 minhashes over 5-char shingles, 4 bands of 2 -> (doc_id, band_idx,
+    band_hash).  Docs sharing a band_hash are near-dup candidates; the
+    bucket-join over band_hash is the scale path (no O(n^2) compare)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length("text") >= 5)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+        ).alias("s"),
+    )
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(k)), F.col("s")))).alias(f"h{k}")
+            for k in range(8)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), "
+            "2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band_idx, band_hash)"
+        ),
+    )
+    return bands.select("doc_id", F.col("band_idx").cast("int"), "band_hash")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (similarity-search
+    baseline).  Embeddings are quantized to int (round(x*1000)) first so dot
+    products and norms are exact integers on both engines and the float64
+    cosine (IEEE-exact div/sqrt of exact ints) orders identically — no
+    float-noise mismatches.  The broadcast of the small query side is the plan
+    Catalyst must pick; at scale the query set is always the broadcast side."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    with_norm = emb.select(
+        "vec_id",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        ).alias("n2"),
+    )
+    queries_df = with_norm.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    joined = with_norm.crossJoin(F.broadcast(queries_df)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.expr(
+                "aggregate(zip_with(q, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+            )
+            / F.sqrt((F.col("n2") * F.col("qn2")).cast("double"))
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", F.col("rk").cast("int").alias("rk"), "neighbor_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count_runs": _q_count_runs,
@@ -167,7 +265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": _q_compression_summary,
         "codec_selection": _q_codec_selection,
         "roundtrip_verify": _q_roundtrip_verify,
+        "string_codec_verify": _q_string_codec_verify,
         "dedup_exact": _q_dedup_exact,
+        "minhash_bands": _q_minhash_bands,
+        "ann_topk": _q_ann_topk,
     }
 
 
@@ -279,10 +380,65 @@ FROM sz
 SELECT source, CAST(count(*) AS BIGINT) AS n_verified
 FROM documents GROUP BY source
 """,
+        "string_codec_verify": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_verified
+FROM documents GROUP BY source
+""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(CAST(doc_id AS VARCHAR)) AS keeper
 FROM documents GROUP BY md5(text)
+""",
+        "minhash_bands": """
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         substr(text, CAST(i AS INT), 5) AS s
+  FROM documents, unnest(generate_series(1, length(text) - 4)) t(i)
+  WHERE length(text) >= 5
+),
+mins AS (
+  SELECT doc_id,
+         min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, CAST(band_idx AS INT) AS band_idx, band_hash FROM (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mins
+)
+""",
+        "ann_topk": """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         list_aggregate(list_transform(list_zip(qv, qv),
+                        p -> p[1] * p[2]), 'sum') AS n2
+  FROM q
+),
+pairs AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         list_aggregate(list_transform(list_zip(a.qv, b.qv),
+                        p -> p[1] * p[2]), 'sum')
+           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+  FROM n a, n b
+  WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+FROM ranked WHERE rk <= 5
 """,
     }

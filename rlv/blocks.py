@@ -56,10 +56,11 @@ RLE = 2
 BITPACK = 3
 FOR = 4
 DICT = 5
-FSST = 6
+FSST = 6      # raw FSST blob (one byte payload)
+STRDICT = 7   # string column: dict indices + FSST-compressed dictionary
 
 CODEC_NAMES = {0: "empty", PLAIN: "plain", RLE: "rle", BITPACK: "bitpack",
-               FOR: "for", DICT: "dict", FSST: "fsst"}
+               FOR: "for", DICT: "dict", FSST: "fsst", STRDICT: "strdict"}
 
 # Integer codecs the auto-selector considers for a token array, in
 # deterministic tie-break order (lower id wins ties -> identical blocks on
@@ -260,6 +261,73 @@ def decode_block(block: bytes, dtype=np.int32) -> np.ndarray:
         idx = unpack_bits(block[pos:], n, ibits)
         return uniq[idx].astype(dtype)
     raise ValueError(f"unknown codec id {codec}")
+
+
+# ---------------------------------------------------------------------------
+# String columns: dictionary indices + FSST-compressed dictionary payload.
+# The classic composition (dict first, FSST only over the ndv unique strings)
+# keeps the per-byte symbol matching off the hot path — it touches the
+# dictionary, never the n rows.
+# ---------------------------------------------------------------------------
+
+
+def encode_strings(values) -> bytes:
+    """Encode a string/bytes column chunk: STRDICT block.
+
+    Layout: STRDICT | uvarint n | uvarint ndv | ibits u8 | pack(indices)
+            | lbits u8 | pack(dict string lengths) | uvarint blob_len
+            | FSST blob of the concatenated dictionary payload.
+    """
+    from rlv.kernels import fsst
+
+    vals = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    if not vals:
+        return b""
+    arr = np.array(vals, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    ibits = _storage_bits(uniq.size - 1)
+    lengths = np.array([len(u) for u in uniq], dtype=np.int64)
+    lbits = _storage_bits(int(lengths.max()) if lengths.size else 0)
+    payload = b"".join(uniq.tolist())
+    blob = fsst.compress(payload)
+    out = bytearray([STRDICT])
+    write_uvarint(out, len(vals))
+    write_uvarint(out, uniq.size)
+    out.append(ibits)
+    out += pack_bits(inv, ibits)
+    out.append(lbits)
+    out += pack_bits(lengths, lbits)
+    write_uvarint(out, len(blob))
+    out += blob
+    return bytes(out)
+
+
+def decode_strings(block: bytes) -> list[bytes]:
+    from rlv.kernels import fsst
+
+    if len(block) == 0:
+        return []
+    if block[0] != STRDICT:
+        raise ValueError(f"not a STRDICT block (codec {block[0]})")
+    pos = 1
+    n, pos = read_uvarint(block, pos)
+    ndv, pos = read_uvarint(block, pos)
+    ibits = block[pos]
+    pos += 1
+    nb = packed_nbytes(n, ibits)
+    idx = unpack_bits(block[pos:pos + nb], n, ibits)
+    pos += nb
+    lbits = block[pos]
+    pos += 1
+    nb = packed_nbytes(ndv, lbits)
+    lengths = unpack_bits(block[pos:pos + nb], ndv, lbits)
+    pos += nb
+    blob_len, pos = read_uvarint(block, pos)
+    payload = fsst.decompress(block[pos:pos + blob_len])
+    offs = np.zeros(ndv + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    uniq = [payload[offs[i]:offs[i + 1]] for i in range(ndv)]
+    return [uniq[i] for i in idx]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""FSST + string-column codec: exactness on arbitrary bytes (SURVEY.md §7.2 —
+FSST has no reference semantics, so byte-exact roundtrip is the contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rlv import blocks
+from rlv.kernels import fsst
+
+
+@given(st.binary(max_size=2000))
+def test_fsst_roundtrip_arbitrary_bytes(data):
+    assert fsst.decompress(fsst.compress(data)) == data
+
+
+@given(st.text(max_size=500))
+def test_fsst_roundtrip_text(s):
+    data = s.encode("utf-8")
+    assert fsst.decompress(fsst.compress(data)) == data
+
+
+def test_fsst_compresses_repetitive_text():
+    data = ("the quick brown fox jumps over the lazy dog " * 200).encode()
+    blob = fsst.compress(data)
+    assert fsst.decompress(blob) == data
+    assert len(blob) < len(data) // 2
+
+
+def test_fsst_incompressible_falls_back_to_raw():
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 256, 500, dtype=np.uint8).tobytes()
+    blob = fsst.compress(data)
+    assert fsst.decompress(blob) == data
+    assert len(blob) <= len(data) + 1  # raw marker adds exactly 1 byte
+
+
+def test_fsst_deterministic():
+    data = ("spark column batch " * 100).encode()
+    assert fsst.compress(data) == fsst.compress(data)
+
+
+def test_fsst_escape_byte_values():
+    data = bytes([fsst.ESCAPE] * 10 + [0, 1, 2, fsst.ESCAPE])
+    assert fsst.decompress(fsst.compress(data)) == data
+
+
+strings_strategy = st.lists(
+    st.one_of(
+        st.sampled_from(["cc", "wiki", "code", "books", ""]),
+        st.text(max_size=50),
+    ),
+    max_size=200,
+)
+
+
+@given(strings_strategy)
+@settings(max_examples=50, deadline=None)
+def test_strdict_roundtrip(vals):
+    block = blocks.encode_strings(vals)
+    out = blocks.decode_strings(block)
+    assert out == [v.encode("utf-8") for v in vals]
+
+
+def test_strdict_on_real_source_column():
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["source"])
+    vals = tbl.column("source").to_pylist()
+    block = blocks.encode_strings(vals)
+    assert blocks.decode_strings(block) == [v.encode() for v in vals]
+    raw = sum(len(v) for v in vals)
+    assert len(block) < raw / 2  # low-cardinality column must compress well
+
+
+def test_strdict_on_real_text_column():
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    vals = tbl.column("text").to_pylist()[:200]
+    block = blocks.encode_strings(vals)
+    assert blocks.decode_strings(block) == [v.encode() for v in vals]
+    raw = sum(len(v) for v in vals)
+    assert len(block) < raw  # FSST on the dictionary beats raw concatenation
