@@ -1,0 +1,86 @@
+"""spark-submit entry point for the resumable encode job.
+
+Cluster:
+    spark-submit --py-files rlv.zip jobs/encode_job.py \
+        --input s3://bucket/tokens --output s3://bucket/encoded \
+        [--mode files|jvm] [--tasks N] [--no-resume] [--verify]
+
+Sandbox (local[N] stands in for N executors):
+    python jobs/encode_job.py --input /tmp/rlv_bench/tokens_r480000_s42 \
+        --output /tmp/enc --cpus 32 --verify
+
+Build the zip for --py-files with:  python -m zipfile -c rlv.zip rlv
+Two data planes (same blocks byte-for-byte):
+  * ``files``  — python-native scan (rlv.engine_files): no shuffle, pyarrow IO;
+  * ``jvm``    — DataFrame pipeline (rlv.engine): group hashing, LPT
+                 repartition for skew, dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# running as a plain script: make the repo root importable on the driver AND
+# in the executors' python workers, which unpickle closures that reference the
+# rlv module by name (spark-submit users get both via --py-files instead)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="token table parquet dir")
+    ap.add_argument("--output", required=True, help="output dir (blocks + manifest)")
+    ap.add_argument("--mode", choices=["files", "jvm"], default="files")
+    ap.add_argument("--tasks", type=int, default=None, help="splits (files) / groups (jvm)")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[N] when no cluster master is configured")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--verify", action="store_true",
+                    help="decode every block and check bit-identity")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    if args.cpus:
+        from rlv.session import make_session
+
+        spark = make_session(args.cpus, app="rlv-encode")
+    else:  # under spark-submit: master/config come from the submit command
+        spark = SparkSession.builder.appName("rlv-encode").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+
+    from rlv import engine, engine_files
+
+    resume = not args.no_resume
+    if args.mode == "files":
+        summary = engine_files.encode_files_dataset(
+            spark, args.input, args.output, num_tasks=args.tasks, resume=resume
+        )
+    else:
+        tok = spark.read.parquet(args.input)
+        summary = engine.encode_dataset(
+            spark, tok, args.output,
+            n_groups=args.tasks or 64, resume=resume,
+        )
+
+    if args.verify:
+        tok = spark.read.parquet(args.input)
+        encoded = spark.read.parquet(f"{args.output}/blocks")
+        res = engine.verify_roundtrip(tok, encoded)
+        summary["verify_rows"] = res["rows"]
+        summary["verify_mismatches"] = res["mismatches"]
+
+    print(json.dumps(summary))
+    spark.stop()
+    return 1 if summary.get("verify_mismatches") else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,6 +86,55 @@ def rle_shannon_entropy(counts: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
+def compression_ratio(n: int, n_runs: int) -> tuple[int, int] | None:
+    """``compression_ratio_num/_den`` (v:533-537): (len original, len encoded).
+    Uniform n:1 at v:540-548; no-benefit 1:1 at v:582-590."""
+    if n == 0:
+        return None
+    return n, n_runs
+
+
+def space_overhead(n: int, n_runs: int) -> int:
+    """``space_overhead`` (v:2832-2833): encoded words (2/run) minus input length,
+    floored at 0 (nat subtraction)."""
+    return max(0, 2 * n_runs - n)
+
+
+def encoding_expands(n: int, n_runs: int) -> bool:
+    """``encoding_expands`` (v:2931-2932): RLE output takes more words than the
+    input (example ``[1;2;3;4;5]`` expands, v:2962-2968) — the selector's
+    raison d'etre (SURVEY §2.8 #41)."""
+    return 2 * n_runs > n
+
+
+def rle_encode_steps(n: int) -> int:
+    """``rle_encode_steps`` (v:2536-2550): exactly n + 1 operations
+    (``rle_encode_linear_time``, v:2564-2570)."""
+    return n + 1
+
+
+def rle_decode_steps(out_len: int) -> int:
+    """``rle_decode_steps`` (v:2600-2604): output length + 1 (v:2616-2623)."""
+    return out_len + 1
+
+
+def auxiliary_space_encode(n: int) -> int:
+    """``auxiliary_space_encode`` (v:2970-2993): encode working set = n words."""
+    return n
+
+
+def auxiliary_space_decode(sum_counts: int) -> int:
+    """``auxiliary_space_decode`` (v:2996-3003): decode working set = Σ counts."""
+    return sum_counts
+
+
+def count_distinct_runs(a: np.ndarray) -> int:
+    """``count_distinct_runs`` / ``run_structure_complexity`` (v:3029-3030,
+    3111-3112): aliases of count_runs (Kolmogorov-measure framing,
+    v:1869-1897)."""
+    return rle.count_runs(a)
+
+
 def run_length_histogram(counts: np.ndarray, n_bins: int = 16) -> list[int]:
     """Run-length histogram (log2 bins) — the ``run_frequency`` statistic
     (v:3032-3033) aggregated for the manifest."""
