@@ -33,7 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
 ROWS_PER_DOC = 96  # bench table rows = 96 x documents-table rows (~240M tokens at sf0.1)
-REPEATS = 2
+REPEATS = 3
 
 
 def _sf_label(sf_dir: str) -> str:

@@ -172,6 +172,63 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
     return run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc, maxc, ndv
 
 
+def _grouped_encode(a, o, n_per_doc, minv, maxv, chosen,
+                    run_len, run_val, doc_run_off) -> list[bytes]:
+    """Serialize every doc's block, vectorizing across docs where possible.
+
+    Docs chosen as FOR/BITPACK with a byte-multiple width (the dominant mass
+    for realistic token vocabs: 16-bit deltas) are packed as ONE numpy cast of
+    the concatenated group, then sliced per doc — the per-doc Python cost drops
+    to header assembly.  Other codecs fall back to the per-doc kernels.
+    Byte-identical to the scalar path (tested against selector.encode_auto).
+    """
+    from rlv.kernels.bitpack import write_uvarint, zigzag
+
+    n_docs = n_per_doc.size
+    out: list[bytes | None] = [None] * n_docs
+    vbits = _bitlen(maxv - minv)
+    pbits = _bitlen(np.maximum(maxv, 0))
+    for codec, bits_arr in ((B.BITPACK, pbits), (B.FOR, vbits)):
+        base = np.flatnonzero((chosen == codec) & (n_per_doc > 0))
+        for bits in (8, 16, 32):
+            docs = base[bits_arr[base] == bits]
+            if docs.size == 0:
+                continue
+            lens = n_per_doc[docs]
+            out_off = np.zeros(docs.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=out_off[1:])
+            idx = np.arange(out_off[-1], dtype=np.int64) + np.repeat(
+                o[docs] - out_off[:-1], lens
+            )
+            sel = a[idx].astype(np.int64, copy=False)
+            if codec == B.FOR:
+                sel = sel - np.repeat(minv[docs], lens)
+            buf = sel.astype(f"<u{bits // 8}").tobytes()
+            byte_off = out_off * (bits // 8)
+            for j, d in enumerate(docs):
+                hdr = bytearray([codec])
+                write_uvarint(hdr, int(lens[j]))
+                if codec == B.FOR:
+                    write_uvarint(hdr, zigzag(int(minv[d])))
+                hdr.append(bits)
+                out[d] = bytes(hdr) + buf[byte_off[j]:byte_off[j + 1]]
+    for i in range(n_docs):
+        if out[i] is not None:
+            continue
+        if n_per_doc[i] == 0:
+            out[i] = b""
+            continue
+        codec = int(chosen[i])
+        if codec == B.RLE:
+            out[i] = B.encode_rle_runs(
+                run_len[doc_run_off[i]:doc_run_off[i + 1]],
+                run_val[doc_run_off[i]:doc_run_off[i + 1]],
+            )
+        else:
+            out[i] = B.encode_with(codec, a[o[i]:o[i + 1]])
+    return out
+
+
 def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     tune_malloc()
     for batch in it:
@@ -185,20 +242,9 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         n_docs = o.size - 1
         sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc, ndv)
         chosen = sizes.argmin(axis=1) + 1  # column order == codec ids 1..5
-        out_blocks: list[bytes] = []
-        for i in range(n_docs):
-            if n_per_doc[i] == 0:
-                out_blocks.append(b"")
-                continue
-            codec = int(chosen[i])
-            if codec == B.RLE:
-                blk = B.encode_rle_runs(
-                    run_len[doc_run_off[i]:doc_run_off[i + 1]],
-                    run_val[doc_run_off[i]:doc_run_off[i + 1]],
-                )
-            else:
-                blk = B.encode_with(codec, a[o[i]:o[i + 1]])
-            out_blocks.append(blk)
+        out_blocks = _grouped_encode(
+            a, o, n_per_doc, minv, maxv, chosen, run_len, run_val, doc_run_off
+        )
         enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
         elapsed = time.perf_counter_ns() - t0
         total = max(int(n_per_doc.sum()), 1)
