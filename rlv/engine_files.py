@@ -144,6 +144,112 @@ def _make_split_worker(out_blocks_dir: str):
     return run_split
 
 
+SAMPLE_SCHEMA = (
+    "split_id string, source string, n_docs bigint, n_tokens bigint, "
+    "n_runs bigint, min_val bigint, max_val bigint, ndv_est bigint, "
+    "run_hist string, sample_text binary"
+)
+
+
+def _sample_worker(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-split codec statistics (north rule's sampling pass): run-length
+    histogram, value ranges, distinct-value estimate, and a byte sample of the
+    string column for FSST symbol training."""
+    import pyarrow.parquet as pq
+
+    from rlv.engine import _batch_doc_stats, _list_offsets_values
+    from rlv.stats import run_length_histogram
+    from rlv.util import tune_malloc
+
+    tune_malloc()
+    for pdf in pdf_iter:
+        for _, row in pdf.iterrows():
+            pieces = json.loads(row["pieces"])
+            by_file: dict[str, list[int]] = {}
+            for path, rg in pieces:
+                by_file.setdefault(path, []).append(rg)
+            rows = []
+            for path, rgs in by_file.items():
+                tbl = pq.ParquetFile(path).read_row_groups(
+                    rgs, columns=["doc_id", "tokens", "n_tok", "source"],
+                    use_threads=False,
+                ).combine_chunks()
+                offs, vals = _list_offsets_values(tbl.column("tokens").chunk(0)
+                                                  if tbl.column("tokens").num_chunks
+                                                  else tbl.column("tokens"))
+                a = vals[offs[0]:offs[-1]]
+                o = offs - offs[0]
+                run_len, run_val, _, n_per_doc, minv, maxv, rpd, _, ndv = (
+                    _batch_doc_stats(a, o)
+                )
+                src = np.asarray(tbl.column("source").to_pylist())
+                text_sample = b"|".join(
+                    s.encode("utf-8") for s in src[:64].tolist()
+                )[:65536]
+                for source in np.unique(src):
+                    m = src == source
+                    rows.append(
+                        {
+                            "split_id": str(row["split_id"]),
+                            "source": str(source),
+                            "n_docs": int(m.sum()),
+                            "n_tokens": int(n_per_doc[m].sum()),
+                            "n_runs": int(rpd[m].sum()),
+                            "min_val": int(minv[m].min()) if m.any() else 0,
+                            "max_val": int(maxv[m].max()) if m.any() else 0,
+                            "ndv_est": int(ndv[m].max()) if m.any() else 0,
+                            "run_hist": json.dumps(
+                                run_length_histogram(run_len)
+                            ),
+                            "sample_text": text_sample,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+
+def sample_pass(
+    spark: SparkSession, input_dir: str, every_kth: int = 8, num_tasks: int = 64
+) -> dict:
+    """Distributed sampling pass: stats from every k-th split + a trained FSST
+    symbol table from the sampled string bytes.  At 10^12-sequence scale this
+    is the cheap pre-flight that sizes the selector and the skew plan without
+    touching most of the data."""
+    from rlv.kernels import fsst
+
+    splits = plan_splits(input_dir, num_tasks)
+    sampled = splits[::every_kth] or splits[:1]
+    tasks_pdf = pd.DataFrame(
+        {
+            "split_id": [s["split_id"] for s in sampled],
+            "pieces": [json.dumps(s["pieces"]) for s in sampled],
+        }
+    )
+    tasks_df = spark.createDataFrame(tasks_pdf).repartition(len(sampled))
+    rows = tasks_df.mapInPandas(_sample_worker, SAMPLE_SCHEMA).collect()
+    per_source: dict[str, dict] = {}
+    text_sample = bytearray()
+    for r in rows:
+        s = per_source.setdefault(
+            r["source"],
+            {"n_docs": 0, "n_tokens": 0, "n_runs": 0,
+             "min_val": 2**63 - 1, "max_val": -(2**63), "ndv_est": 0},
+        )
+        s["n_docs"] += int(r["n_docs"])
+        s["n_tokens"] += int(r["n_tokens"])
+        s["n_runs"] += int(r["n_runs"])
+        s["min_val"] = min(s["min_val"], int(r["min_val"]))
+        s["max_val"] = max(s["max_val"], int(r["max_val"]))
+        s["ndv_est"] = max(s["ndv_est"], int(r["ndv_est"]))
+        if len(text_sample) < 65536:
+            text_sample += bytes(r["sample_text"])
+    symbols = fsst.train_symbols(bytes(text_sample))
+    return {
+        "splits_sampled": len(sampled),
+        "per_source": per_source,
+        "fsst_symbols": [s.hex() for s in symbols],
+    }
+
+
 def _split_manifest_path(out_dir: str) -> str:
     return f"{out_dir}/manifest"
 

@@ -74,3 +74,18 @@ def test_plan_splits_covers_all_row_groups(tok_dir):
     # deterministic split ids
     again = engine_files.plan_splits(tok_dir, 6)
     assert [s["split_id"] for s in splits] == [s["split_id"] for s in again]
+
+
+def test_sample_pass(spark, tok_dir):
+    from rlv.kernels import fsst
+
+    stats = engine_files.sample_pass(spark, tok_dir, every_kth=2, num_tasks=8)
+    assert stats["splits_sampled"] >= 1
+    assert stats["per_source"]
+    for src, s in stats["per_source"].items():
+        assert s["n_docs"] > 0
+        assert s["min_val"] <= s["max_val"]
+    # trained symbol table is usable by the string codec
+    syms = [bytes.fromhex(h) for h in stats["fsst_symbols"]]
+    st = fsst.SymbolTable(syms)
+    assert st.decode(st.encode(b"mixed_runs|low_ndv")) == b"mixed_runs|low_ndv"
