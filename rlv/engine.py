@@ -364,6 +364,46 @@ def strings_pass(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
     )
 
 
+CHUNKED_SCHEMA = (
+    "doc_id string, n_tok bigint, n_runs bigint, block binary, enc_bytes bigint"
+)
+
+
+def encode_chunked_sequences(df: DataFrame, cap: int = 2**30) -> DataFrame:
+    """Encode logical sequences that arrive as ordered chunks
+    (``doc_id, chunk_idx, tokens``) — the distributed form of the reference's
+    streaming encoder API (SURVEY §2.6).
+
+    Chunks of one sequence are co-located by the grouped-map shuffle; inside
+    the group the O(1)-state chunk fold ``stream_complete_encode``
+    (rl_encoding.v:4544-4549) stitches seams, and ``stream_eq_batch``
+    (v:4695-4715) guarantees the result equals encoding the concatenation —
+    restated as the pytest property chunked == batch.  The capped run list is
+    then serialized with the RLE block format.
+    """
+    from rlv.kernels import rle
+
+    def per_doc(pdf) -> "pd.DataFrame":  # noqa: F821 (pandas via Arrow)
+        import pandas as pd
+
+        tune_malloc()
+        pdf = pdf.sort_values("chunk_idx")
+        chunks = [np.asarray(c, dtype=np.int64) for c in pdf["tokens"]]
+        counts, values = rle.stream_complete_encode(cap, chunks)
+        block = B.encode_rle_runs(counts, values) if counts.size else b""
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "n_tok": [int(sum(c.size for c in chunks))],
+                "n_runs": [int(counts.size)],
+                "block": [block],
+                "enc_bytes": [len(block)],
+            }
+        )
+
+    return df.groupBy("doc_id").applyInPandas(per_doc, CHUNKED_SCHEMA)
+
+
 def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     tune_malloc()
     for batch in it:

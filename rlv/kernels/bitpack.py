@@ -42,8 +42,8 @@ def pack_bits(values: np.ndarray, bits: int) -> bytes:
         raise ValueError("value does not fit in the declared bit width")
     if bits == 0:
         return b""
-    # byte-multiple widths: straight downcast, no bit matrix (8-16x less
-    # memory traffic than the generic path — the hot case for token vocabs)
+    # byte-multiple widths: straight downcast, no bit manipulation (the hot
+    # case for byte tokens and 16-bit GPT-vocab deltas)
     if bits == 8:
         return u.astype(np.uint8).tobytes()
     if bits == 16:
@@ -52,9 +52,26 @@ def pack_bits(values: np.ndarray, bits: int) -> bytes:
         return u.astype("<u4").tobytes()
     if bits == 64:
         return u.astype("<u8").tobytes()
-    shifts = np.arange(bits, dtype=np.uint64)
-    bitmat = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
+    # general widths (e.g. 17-bit deltas for 100k+ vocabs): stride-grouped
+    # word packing.  Value i occupies bits [i*bits, i*bits+bits) of an
+    # LSB-first little-endian stream; each value ORs into at most two u64
+    # words, and within a stride class (i ≡ c mod S, S*bits >= 128) the word
+    # pairs are disjoint, so plain fancy-index |= is collision-free.  ~10x
+    # less memory traffic than a per-bit matrix.
+    n = u.size
+    nwords = (n * bits + 63) // 64
+    out = np.zeros(nwords + 1, dtype=np.uint64)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(bits)
+    w = (bitpos >> np.uint64(6)).astype(np.int64)
+    off = bitpos & np.uint64(63)
+    lo = u << off
+    hi = np.where(off == 0, np.uint64(0), u >> (np.uint64(64) - off))
+    stride = (128 + bits - 1) // bits
+    for c in range(stride):
+        sl = slice(c, None, stride)
+        out[w[sl]] |= lo[sl]
+        out[w[sl] + 1] |= hi[sl]
+    return out.astype("<u8", copy=False).tobytes()[: packed_nbytes(n, bits)]
 
 
 def unpack_bits(buf: bytes, n: int, bits: int, dtype=np.int64) -> np.ndarray:
@@ -73,11 +90,19 @@ def unpack_bits(buf: bytes, n: int, bits: int, dtype=np.int64) -> np.ndarray:
         if np.dtype(dtype) == np.int64:
             return src.astype(np.uint64).view(np.int64)
         return src.astype(dtype)
-    raw = np.frombuffer(buf, dtype=np.uint8)
-    flat = np.unpackbits(raw, count=n * bits, bitorder="little")
-    bitmat = flat.reshape(n, bits).astype(np.uint64)
-    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
-    vals = (bitmat * weights).sum(axis=1, dtype=np.uint64)
+    # general widths: gather from u64 words (no stride loop needed on read)
+    nwords = (n * bits + 63) // 64
+    padded = bytes(buf[: packed_nbytes(n, bits)]) + b"\x00" * (nwords * 8 + 8 - packed_nbytes(n, bits))
+    words = np.frombuffer(padded, dtype="<u8", count=nwords + 1).astype(np.uint64)
+    bitpos = np.arange(n, dtype=np.uint64) * np.uint64(bits)
+    w = (bitpos >> np.uint64(6)).astype(np.int64)
+    off = bitpos & np.uint64(63)
+    lo = words[w] >> off
+    hi = np.where(
+        off == 0, np.uint64(0), words[w + 1] << ((np.uint64(64) - off) & np.uint64(63))
+    )
+    mask = np.uint64((1 << bits) - 1)
+    vals = (lo | hi) & mask
     if np.dtype(dtype) == np.uint64:
         return vals
     if np.dtype(dtype) == np.int64:

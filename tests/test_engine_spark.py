@@ -136,3 +136,38 @@ def test_plan_balanced_spreads_skew(spark):
     per_group = df.groupBy("group_id").agg(F.sum("n_tok").alias("l")).collect()
     biggest_group = max(int(r["l"]) for r in per_group)
     assert max(loads) <= max(int(0.6 * total), biggest_group)
+
+
+def test_encode_chunked_sequences_equals_batch(spark):
+    """stream_eq_batch (rl_encoding.v:4695-4715) distributed: sequences split
+    into arbitrary row-chunks encode to the same blocks as whole arrays,
+    including seams where equal values straddle chunk boundaries."""
+    import numpy as np
+    from rlv import blocks as B
+    from rlv.kernels import rle
+
+    rng = np.random.default_rng(7)
+    docs = {}
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 400))
+        a = np.repeat(rng.integers(0, 5, size=max(n // 7, 1)),
+                      rng.integers(1, 9, size=max(n // 7, 1)))[:n].astype(np.int64)
+        docs[f"d{i}"] = a
+        cuts = sorted(rng.integers(0, max(a.size, 1), size=int(rng.integers(0, 4))))
+        for j, chunk in enumerate(np.split(a, cuts)):
+            rows.append((f"d{i}", j, [int(x) for x in chunk]))
+    df = spark.createDataFrame(rows, schema="doc_id string, chunk_idx int, tokens array<long>")
+    out = {r["doc_id"]: r for r in engine.encode_chunked_sequences(df).collect()}
+    assert set(out) == set(docs)
+    for did, a in docs.items():
+        r = out[did]
+        assert r["n_tok"] == a.size
+        if a.size:
+            c, v = rle.rle_encode(a)
+            assert bytes(r["block"]) == B.encode_rle_runs(c, v)
+            np.testing.assert_array_equal(
+                B.decode_block(bytes(r["block"]), np.int64), a
+            )
+        else:
+            assert bytes(r["block"]) == b""
