@@ -257,6 +257,80 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_projections(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
+    """Deterministic ±1 random-projection planes (md5-seeded), baked as
+    literals into BOTH the Spark plan and the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0] in "01234567" else -1
+            for d in range(dims)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): sign of 8 integer random projections
+    over quantized embeddings -> 8-bit bucket id.  At 10^12 scale the
+    bucket-equi-join replaces the O(n^2) compare; here the checkable output is
+    the bucket assignment itself (exact integer math on both engines)."""
+    proj = _lsh_projections()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias("q"),
+    )
+    bucket = None
+    for j, plane in enumerate(proj):
+        lits = ", ".join(str(c) + "L" for c in plane)
+        dot = F.expr(
+            f"aggregate(zip_with(q, array({lits}), (a, b) -> a * b), 0L, "
+            "(acc, x) -> acc + x)"
+        )
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def _ann_lsh_oracle() -> str:
+    proj = _lsh_projections()
+    terms = []
+    for j, plane in enumerate(proj):
+        lits = ", ".join(str(c) for c in plane)
+        terms.append(
+            f"(CASE WHEN list_aggregate(list_transform(list_zip(q, [{lits}]::BIGINT[]), "
+            f"p -> p[1] * p[2]), 'sum') >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT vec_id, CAST({expr} AS INT) AS bucket FROM q
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality / token-counting stats per doc (training-data pipeline
+    op): chars, whitespace words, sentence marks, and a BPE-ish token count
+    (letter-runs | digits | other-symbol regex) — all exact integers so the
+    oracle matches bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpe_pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit(""))))
+        .cast("bigint")
+        .alias("n_periods"),
+        F.regexp_count(F.col("text"), F.lit(bpe_pat)).cast("bigint").alias("n_bpe_ish"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count_runs": _q_count_runs,
@@ -269,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_bands,
         "ann_topk": _q_ann_topk,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "text_quality": _q_text_quality,
     }
 
 
@@ -440,5 +516,15 @@ ranked AS (
 )
 SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
 FROM ranked WHERE rk <= 5
+""",
+        "ann_lsh_buckets": _ann_lsh_oracle(),
+        "text_quality": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_bpe_ish
+FROM documents
 """,
     }
