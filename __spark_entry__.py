@@ -14,12 +14,45 @@ oracles need only ``string_split``/``ascii`` + ANSI window functions.
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rlv import engine, tokens
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from rlv import engine, tokens  # noqa: E402
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the rlv package to the executors' python workers.
+
+    The driver may create its SparkSession from any cwd without PYTHONPATH;
+    mapInArrow/mapInPandas closures reference ``rlv`` by module name, so the
+    workers must be able to import it.  ``addPyFile`` of a zip is the
+    spark-submit ``--py-files`` equivalent, applied lazily and idempotently.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    zpath = os.path.join(tempfile.gettempdir(), "rlv_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        pkg = os.path.join(_REPO_ROOT, "rlv")
+        for dirpath, _, files in os.walk(pkg):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 # Shared CTE: explode documents into (doc_id, pos, tok) and derive per-doc runs
 # with window functions — the oracle-side equivalent of rlv.kernels.rle.
@@ -54,6 +87,7 @@ runs AS (
 
 
 def _token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return tokens.tokens_from_documents(spark, sf_dir)
 
 
@@ -151,6 +185,7 @@ def _q_string_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRDICT (dict + FSST) string-column codec: count of docs whose text
     survives encode->decode byte-identically, per source.  Equals count(*)
     iff the string codec is exact — that is the oracle."""
+    _ensure_shipped(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("source"), F.col("text")
     )
