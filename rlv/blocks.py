@@ -178,11 +178,17 @@ def encode_dict(a: np.ndarray) -> bytes:
     if a.size == 0:
         return b""
     uniq, inv = np.unique(a, return_inverse=True)
+    return encode_dict_from_unique(a.size, uniq, inv)
+
+
+def encode_dict_from_unique(n: int, uniq: np.ndarray, inv: np.ndarray) -> bytes:
+    """DICT block from a precomputed sorted-unique dictionary + indices
+    (the engine's batch stats sweep already produces these as a byproduct)."""
     dict_min = int(uniq.min())
     dbits = _storage_bits(int(uniq.max()) - dict_min)
     ibits = _storage_bits(uniq.size - 1)
     out = bytearray([DICT])
-    write_uvarint(out, a.size)
+    write_uvarint(out, n)
     write_uvarint(out, uniq.size)
     _svarint(out, dict_min)
     out.append(dbits)

@@ -126,6 +126,7 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
             np.empty(0, np.int64), np.empty(0, a.dtype),
             np.zeros(n_docs + 1, np.int64),
             z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
+            np.empty(0, np.int64), np.zeros(n_docs + 1, np.int64),
         )
     run_start = np.empty(a.size, dtype=bool)
     run_start[0] = True
@@ -156,7 +157,9 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
         new = np.empty(key.size, dtype=bool)
         new[0] = True
         np.not_equal(key[1:], key[:-1], out=new[1:])
-        ndv = np.bincount(key[new] // vrange, minlength=n_docs).astype(np.int64)
+        distinct_keys = key[new]
+        ndv = np.bincount(distinct_keys // vrange, minlength=n_docs).astype(np.int64)
+        distinct_vals = distinct_keys % vrange + gmin
     else:  # pathological value range: fall back to lexsort
         order = np.lexsort((run_val, doc_of_run))
         sv = run_val[order]
@@ -165,15 +168,20 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
         new[0] = True
         np.logical_or(sv[1:] != sv[:-1], sd[1:] != sd[:-1], out=new[1:])
         ndv = np.bincount(sd[new], minlength=n_docs).astype(np.int64)
+        distinct_vals = sv[new].astype(np.int64)
+    ndv_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(ndv, out=ndv_off[1:])
     empty = runs_per_doc == 0
     minv[empty] = 0
     maxv[empty] = 0
     maxc[empty] = 0
-    return run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc, maxc, ndv
+    return (run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc,
+            maxc, ndv, distinct_vals, ndv_off)
 
 
 def _grouped_encode(a, o, n_per_doc, minv, maxv, chosen,
-                    run_len, run_val, doc_run_off) -> list[bytes]:
+                    run_len, run_val, doc_run_off,
+                    distinct_vals, ndv_off) -> list[bytes]:
     """Serialize every doc's block, vectorizing across docs where possible.
 
     Docs chosen as FOR/BITPACK with a byte-multiple width (the dominant mass
@@ -224,6 +232,12 @@ def _grouped_encode(a, o, n_per_doc, minv, maxv, chosen,
                 run_len[doc_run_off[i]:doc_run_off[i + 1]],
                 run_val[doc_run_off[i]:doc_run_off[i + 1]],
             )
+        elif codec == B.DICT:
+            # the stats sweep's sorted distinct values ARE this doc's
+            # dictionary; searchsorted replaces a per-doc np.unique sort
+            uniq = distinct_vals[ndv_off[i]:ndv_off[i + 1]]
+            inv = np.searchsorted(uniq, a[o[i]:o[i + 1]])
+            out[i] = B.encode_dict_from_unique(int(n_per_doc[i]), uniq, inv)
         else:
             out[i] = B.encode_with(codec, a[o[i]:o[i + 1]])
     return out
@@ -238,12 +252,13 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         a = vals[offs[0]:offs[-1]]
         o = offs - offs[0]
         (run_len, run_val, doc_run_off, n_per_doc, minv, maxv,
-         runs_per_doc, maxc, ndv) = _batch_doc_stats(a, o)
+         runs_per_doc, maxc, ndv, distinct_vals, ndv_off) = _batch_doc_stats(a, o)
         n_docs = o.size - 1
         sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc, ndv)
         chosen = sizes.argmin(axis=1) + 1  # column order == codec ids 1..5
         out_blocks = _grouped_encode(
-            a, o, n_per_doc, minv, maxv, chosen, run_len, run_val, doc_run_off
+            a, o, n_per_doc, minv, maxv, chosen, run_len, run_val, doc_run_off,
+            distinct_vals, ndv_off,
         )
         enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
         elapsed = time.perf_counter_ns() - t0

@@ -52,12 +52,19 @@ def pack_bits(values: np.ndarray, bits: int) -> bytes:
         return u.astype("<u4").tobytes()
     if bits == 64:
         return u.astype("<u8").tobytes()
-    # general widths (e.g. 17-bit deltas for 100k+ vocabs): stride-grouped
-    # word packing.  Value i occupies bits [i*bits, i*bits+bits) of an
-    # LSB-first little-endian stream; each value ORs into at most two u64
+    if bits < 9:
+        # narrow widths: the bit-matrix costs only `bits` bytes/value and one
+        # packbits call; the stride packer below would need ceil(128/bits)
+        # python passes (64 at 2 bits) — wrong trade here
+        shifts = np.arange(bits, dtype=np.uint64)
+        bitmat = ((u[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
+    # wide non-byte-multiple widths (e.g. 17-bit deltas for 100k+ vocabs):
+    # stride-grouped word packing.  Value i occupies bits [i*bits, i*bits+bits)
+    # of an LSB-first little-endian stream; each value ORs into at most two u64
     # words, and within a stride class (i ≡ c mod S, S*bits >= 128) the word
     # pairs are disjoint, so plain fancy-index |= is collision-free.  ~10x
-    # less memory traffic than a per-bit matrix.
+    # less memory traffic than a per-bit matrix, <= 14 passes.
     n = u.size
     nwords = (n * bits + 63) // 64
     out = np.zeros(nwords + 1, dtype=np.uint64)
