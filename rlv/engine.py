@@ -424,8 +424,22 @@ def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
     for batch in it:
         tb = pa.table(batch)
         blocks_col = tb.column("block").combine_chunks()
+        expected = (
+            tb.column("n_tok").combine_chunks().to_numpy()
+            if "n_tok" in tb.column_names else None
+        )
         parts = [B.decode_block(blocks_col[i].as_py(), np.int32)
                  for i in range(len(blocks_col))]
+        if expected is not None:
+            # the decode-size guard (compute_decode_size_early /
+            # safe_decode_with_limit, rl_encoding.v:4013-4014, 5034-5069):
+            # a corrupt block must fail loudly, never return a wrong answer
+            for i, p in enumerate(parts):
+                if p.size != int(expected[i]):
+                    raise ValueError(
+                        f"corrupt block: declared n_tok {int(expected[i])} but "
+                        f"decoded {p.size} values"
+                    )
         offsets = np.zeros(len(parts) + 1, dtype=np.int32)
         np.cumsum([p.size for p in parts], out=offsets[1:])
         flat = np.concatenate(parts) if parts else np.empty(0, np.int32)
@@ -518,11 +532,17 @@ def encode_pass(df: DataFrame) -> DataFrame:
     return df.select(*cols).mapInArrow(_encode_arrow_batches, ENCODED_SCHEMA)
 
 
-def decode_pass(encoded: DataFrame) -> DataFrame:
-    """Encoded blocks -> decoded token arrays (the read path)."""
-    return encoded.select("doc_id", "block").mapInArrow(
-        _decode_arrow_batches, DECODED_SCHEMA
+def decode_pass(encoded: DataFrame, check_sizes: bool = True) -> DataFrame:
+    """Encoded blocks -> decoded token arrays (the read path).
+
+    With ``check_sizes`` the per-row ``n_tok`` acts as the decode-size budget
+    (``safe_decode_with_limit`` semantics, v:5034-5069): size disagreement
+    raises instead of surfacing silently-wrong data.
+    """
+    cols = ["doc_id", "block"] + (
+        ["n_tok"] if check_sizes and "n_tok" in encoded.columns else []
     )
+    return encoded.select(*cols).mapInArrow(_decode_arrow_batches, DECODED_SCHEMA)
 
 
 def verify_roundtrip(token_df: DataFrame, encoded: DataFrame) -> dict:

@@ -171,3 +171,18 @@ def test_encode_chunked_sequences_equals_batch(spark):
             )
         else:
             assert bytes(r["block"]) == b""
+
+
+def test_decode_size_guard_catches_corruption(spark, token_df, tmp_path):
+    """safe_decode_with_limit semantics (rl_encoding.v:5034-5069) in the read
+    path: a block whose decoded size disagrees with n_tok fails loudly."""
+    out = str(tmp_path / "enc")
+    engine.encode_dataset(spark, token_df, out, n_groups=4)
+    encoded = spark.read.parquet(f"{out}/blocks")
+    corrupted = encoded.withColumn(
+        "n_tok", F.when(F.col("n_tok") > 0, F.col("n_tok") + 1).otherwise(0)
+    )
+    with pytest.raises(Exception, match="corrupt block|declared n_tok"):
+        engine.decode_pass(corrupted).collect()
+    # and the honest table still decodes
+    assert engine.decode_pass(encoded).count() == encoded.count()
