@@ -477,6 +477,163 @@ def stream_decode(counts, values, budget: int | None = None) -> np.ndarray | Non
 
 
 # ---------------------------------------------------------------------------
+# Per-element streaming decoder reference models (v:4952-4992, 5234-5241).
+# The engine never runs these per element — ``streaming_decoder_equivalent``
+# (v:5214-5222) licenses the vectorized ``stream_decode`` — they exist so the
+# equivalence is testable against the exact reference semantics.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DecodeStreamState:
+    """``decode_stream_state`` (v:4952-4955): (remaining_count, current_val)."""
+
+    remaining_count: int = 0
+    current_decode_val: int = 0
+
+
+def init_decode_state() -> DecodeStreamState:
+    """``init_decode_state`` (v:4957-4958)."""
+    return DecodeStreamState(0, 0)
+
+
+def stream_pull(state: DecodeStreamState, runs: list[tuple[int, int]]):
+    """``stream_pull`` (v:4960-4976): emit <= 1 value per pull; skip
+    zero-count runs.  Returns (vals, new_state, remaining_runs)."""
+    if state.remaining_count == 0:
+        if not runs:
+            return [], state, []
+        (count, val), rest = runs[0], runs[1:]
+        if count == 0:
+            return [], state, rest
+        return [val], DecodeStreamState(count - 1, val), rest
+    return (
+        [state.current_decode_val],
+        DecodeStreamState(state.remaining_count - 1, state.current_decode_val),
+        runs,
+    )
+
+
+def stream_decode_list(fuel: int, state: DecodeStreamState, runs) -> list[int]:
+    """``stream_decode_list`` (v:4978-4992): fuel-bounded pull loop.  Fuel of
+    Σcounts + #runs suffices (``stream_decode_complete``, v:5200-5211)."""
+    runs = list(runs)
+    out: list[int] = []
+    while fuel > 0:
+        fuel -= 1
+        vals, state, runs = stream_pull(state, runs)
+        if not vals and not runs:
+            break
+        out.extend(vals)
+    return out
+
+
+def stream_pull_safe(state: DecodeStreamState, runs, budget: int):
+    """``stream_pull_safe`` (v:5234-5241): pull under a decrementing budget."""
+    vals, new_state, new_runs = stream_pull(state, list(runs))
+    cost = len(vals)
+    if cost <= budget:
+        return vals, new_state, new_runs, budget - cost
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Predicates and analysis helpers named by the inventory (SURVEY §2.2/2.3/2.8)
+# ---------------------------------------------------------------------------
+
+
+def bounded_list(bound: int, a) -> bool:
+    """``bounded_list`` (v:3818-3819): every element < bound."""
+    arr = _as_1d(a)
+    return arr.size == 0 or bool((arr < bound).all() and (arr >= 0).all())
+
+
+def runs_fit_width(max_count: int, counts) -> bool:
+    """``runs_fit_width`` (v:5300-5301): every run count <= max_count."""
+    counts = _as_1d(counts)
+    return counts.size == 0 or int(counts.max()) <= max_count
+
+
+def is_strictly_wf_capped(counts, values, cap: int) -> bool:
+    """``strictly_well_formed_capped`` (v:4272-4276): capped-WF and every
+    at-cap run is followed by a different value (or is last) — together with
+    capped-WF this forbids any adjacent equal values."""
+    counts = _as_1d(counts)
+    values = _as_1d(values)
+    if not is_wf_capped(counts, values, cap):
+        return False
+    if counts.size < 2:
+        return True
+    at_cap = counts[:-1] == cap
+    eq_next = values[1:] == values[:-1]
+    return bool((~(at_cap & eq_next)).all())
+
+
+def run_frequency(count: int, val: int, counts, values) -> int:
+    """``run_frequency`` (v:3032-3033): occurrences of the run (count, val)."""
+    counts = _as_1d(counts)
+    values = _as_1d(values)
+    return int(((counts == count) & (values == val)).sum())
+
+
+# ---------------------------------------------------------------------------
+# Toy unary serialization (v:5246-5279) — kept for inventory parity; the real
+# engine wire format is rlv/blocks.py.
+# ---------------------------------------------------------------------------
+
+
+def serialize_nat(n: int) -> list[bool]:
+    """``serialize_nat`` (v:5249-5253): unary, n times True."""
+    return [True] * int(n)
+
+
+def deserialize_nat(bits) -> int:
+    """``deserialize_nat`` (v:5256-5261): count leading Trues."""
+    out = 0
+    for b in bits:
+        if not b:
+            break
+        out += 1
+    return out
+
+
+def serialize_run(count: int, val: int) -> list[bool]:
+    """``serialize_run`` (v:5270-5272): unary count, False, unary val, False."""
+    return serialize_nat(count) + [False] + serialize_nat(val) + [False]
+
+
+def serialize_runs(counts, values) -> list[bool]:
+    """``serialize_runs`` (v:5275-5279): concatenation of serialized runs."""
+    counts = _as_1d(counts)
+    values = _as_1d(values)
+    out: list[bool] = []
+    for c, v in zip(counts.tolist(), values.tolist()):
+        out.extend(serialize_run(c, v))
+    return out
+
+
+def deserialize_runs(bits) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``serialize_runs`` — our extension (the reference defines
+    only the encode direction, SURVEY §1.1); needed to test the roundtrip."""
+    counts: list[int] = []
+    values: list[int] = []
+    cur = 0
+    fields: list[int] = []
+    for b in bits:
+        if b:
+            cur += 1
+        else:
+            fields.append(cur)
+            cur = 0
+    if len(fields) % 2:
+        raise ValueError("truncated unary run stream")
+    for i in range(0, len(fields), 2):
+        counts.append(fields[i])
+        values.append(fields[i + 1])
+    return np.asarray(counts, dtype=np.int64), np.asarray(values, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
 # Run decomposition (v:866-951)
 # ---------------------------------------------------------------------------
 
