@@ -1,6 +1,12 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import settings
+
+# This host has multi-second latency episodes (see BASELINE.md "Scaling notes");
+# hypothesis' default 200 ms deadline turns them into spurious flakes.
+settings.register_profile("rlv", deadline=None)
+settings.load_profile("rlv")
 
 
 @pytest.fixture(scope="session")
