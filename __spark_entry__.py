@@ -27,7 +27,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from rlv import engine, tokens  # noqa: E402
+from rlv import engine, textops, tokens  # noqa: E402
 
 _SHIPPED: set[int] = set()
 
@@ -366,6 +366,88 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (training-data pipeline op)."""
+    return textops.doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over word hashes (near-dup fingerprinting)."""
+    return textops.simhash(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs via the shingle self-join."""
+    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic + quality ratio (exact ints)."""
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold (exact-int dot)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.embedding_neardup_pairs(emb)
+
+
+def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell assignment (the bucketed-ANN scale path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.ivf_cells(emb)
+
+
+_DUCK_WORDHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 4294967296)"
+)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    wh = _DUCK_WORDHASH.format(col="w")
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {wh} AS h FROM w WHERE w != ''
+),
+s AS (
+  SELECT doc_id, {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM s
+"""
+
+
+_DUCK_QUANT_CTE = """
+q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, q,
+         list_aggregate(list_transform(list_zip(q, q), p -> p[1] * p[2]), 'sum') AS n2
+  FROM q
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "count_runs": _q_count_runs,
@@ -380,6 +462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "text_quality": _q_text_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lang_id": _q_lang_id,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_ivf_cells": _q_ann_ivf_cells,
     }
 
 
@@ -553,6 +641,85 @@ SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
 FROM ranked WHERE rk <= 5
 """,
         "ann_lsh_buckets": _ann_lsh_oracle(),
+        "doc_fingerprint": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       {_DUCK_WORDHASH.format(col="text")} AS fp
+FROM documents
+""",
+        "simhash": _simhash_oracle(),
+        "ngram_jaccard": """
+WITH ws AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+tg AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+  FROM ws, unnest(generate_series(1, len(ws) - 2)) t(i)
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM tg GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.ng AS na, sb.ng AS nb
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_id_a
+  JOIN sz sb ON sb.doc_id = i.doc_id_b
+)
+SELECT doc_id_a, doc_id_b, inter,
+       CAST(na + nb - inter AS BIGINT) AS n_union,
+       CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jaccard_e6
+FROM joined
+WHERE inter * 1000000 // (na + nb - inter) >= 100000
+""",
+        "lang_id": f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN w IN ({", ".join(repr(w) for w in textops.EN_STOPWORDS)})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS en_hits
+  FROM w WHERE w != '' GROUP BY doc_id
+)
+SELECT doc_id, n_words, en_hits,
+       CAST(en_hits * 1000000 // n_words AS BIGINT) AS en_ratio_e6,
+       CAST(CASE WHEN en_hits * 1000000 // n_words >= 30000 THEN 1 ELSE 0 END AS INT)
+         AS is_english
+FROM a
+""",
+        "embedding_neardup": f"""
+WITH {_DUCK_QUANT_CTE}
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(floor(list_aggregate(list_transform(list_zip(a.q, b.q),
+                                 p -> p[1] * p[2]), 'sum')
+                  / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_e6
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND floor(list_aggregate(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]), 'sum')
+            / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) * 1000000) >= 400000
+""",
+        "ann_ivf_cells": f"""
+WITH {_DUCK_QUANT_CTE},
+c AS (
+  SELECT vec_id AS cell, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8
+),
+s AS (
+  SELECT n.vec_id, c.cell,
+         list_aggregate(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2]), 'sum')
+           / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) AS cos
+  FROM n, c
+),
+r AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+  FROM s
+)
+SELECT vec_id, CAST(cell AS INT) AS cell FROM r WHERE rk = 1
+""",
         "text_quality": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

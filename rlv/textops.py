@@ -1,0 +1,253 @@
+"""Training-data pipeline text/embedding operators (SURVEY.md §2.10 additions).
+
+Every op here is a pure DataFrame composition over built-in expressions — no
+Python UDFs — so Catalyst keeps whole-stage codegen and partial aggregation,
+and every output is exact-integer (or IEEE-exact double derived from exact
+integers), which lets an independent DuckDB oracle reproduce it bit-for-bit.
+
+Scale notes (each op at 10^12 docs):
+* fingerprint/simhash/lang-id are map + one groupBy(doc) — map-side partial
+  aggregation, no cross-doc shuffle beyond the doc key.
+* the shingle self-join (n-gram Jaccard) is the classic near-dup join; the
+  ``df_cap`` parameter drops stop-shingles (document frequency above a cap)
+  before the join, which is what bounds the hot-key blowup at corpus scale.
+* embedding near-dup is all-pairs only as the small-scale baseline; the scale
+  path is to pre-bucket with :func:`ann` LSH buckets (see __spark_entry__'s
+  ``ann_lsh_buckets``) or IVF cells (:func:`ivf_cells`) and join per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+POLY_MOD = 4_294_967_296  # 2^32: poly-31 rolling hash stays exact in int64
+
+# Rolling polynomial hash over the characters of a string column:
+#   h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) mod 2^32)
+# Exact integer arithmetic — identical in Spark and ANSI SQL.
+def _rolling_hash(col: str) -> F.Column:
+    return F.expr(
+        f"aggregate(transform(split({col}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"0L, (acc, x) -> (acc * 31 + x) % {POLY_MOD})"
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Whole-document rolling-hash fingerprint: (doc_id, fp).
+
+    The content-address for exact dedup / resumability when md5 of the raw
+    bytes is unavailable (e.g. the column is already tokenized): the same
+    poly-31 chain extends to any sequence of ints.
+    """
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _rolling_hash("text").alias("fp"),
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprints over whitespace words: (doc_id, simhash).
+
+    Per word w: h(w) = rolling poly-31 hash; bit j of the fingerprint is set
+    iff sum over words of (+1 if bit j of h(w) else -1) >= 0.  Near-dup pairs
+    are then fingerprints at small Hamming distance; at scale, candidates come
+    from grouping on fingerprint bands (same LSH idea as MinHash banding).
+    One explode + one groupBy(doc_id) with 2*bits integer aggregates — all
+    map-side combinable.
+    """
+    words = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    hashed = words.select("doc_id", _rolling_hash("w").alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def word_trigrams(docs: DataFrame) -> DataFrame:
+    """Distinct word 3-gram shingles per doc: (doc_id, g)."""
+    ws = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split("text", " ").alias("ws"),
+    ).filter(F.size("ws") >= 3)
+    return ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2), i -> "
+                "concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', "
+                "element_at(ws, i + 2)))"
+            )
+        ).alias("g"),
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_jaccard_e6: int = 100_000, df_cap: int | None = None
+) -> DataFrame:
+    """Near-dup candidate pairs by exact word-trigram Jaccard.
+
+    Returns (doc_id_a, doc_id_b, inter, n_union, jaccard_e6) for pairs with
+    jaccard >= min_jaccard_e6/1e6.  jaccard_e6 = inter*1_000_000 div union is
+    pure integer arithmetic (oracle-exact).  ``df_cap`` drops shingles whose
+    document frequency exceeds the cap before the self-join — the standard
+    stop-shingle guard that keeps the hot-key groups bounded at corpus scale.
+    """
+    tg = word_trigrams(docs)
+    if df_cap is not None:
+        freq = tg.groupBy("g").agg(F.count("*").alias("df"))
+        tg = tg.join(freq.filter(F.col("df") <= df_cap).select("g"), "g")
+    sizes = tg.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    a = tg.select(F.col("doc_id").alias("doc_id_a"), "g")
+    b = tg.select(F.col("doc_id").alias("doc_id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_a")
+                   .withColumnRenamed("ng", "na"), "doc_id_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("ng", "nb"), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("n_union"),
+            F.expr("inter * 1000000L div (na + nb - inter)").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= min_jaccard_e6)
+    )
+
+
+# Deterministic English function-word set (public knowledge, not data-derived).
+EN_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for")
+
+
+def lang_id(docs: DataFrame, min_ratio_e6: int = 30_000) -> DataFrame:
+    """N-gram-heuristic language ID + quality ratios.
+
+    (doc_id, n_words, en_hits, en_ratio_e6, is_english): stopword-hit ratio
+    against a fixed English function-word list, scaled to exact integers
+    (ratio_e6 = hits*1e6 div words).  Real corpora swap in per-language
+    profiles; the pipeline shape (explode + conditional agg, map-side
+    combinable) is identical.
+    """
+    lits = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    words = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    agg = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.expr(f"CASE WHEN w IN ({lits}) THEN 1 ELSE 0 END")).alias("en_hits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "en_hits",
+        F.expr("en_hits * 1000000L div n_words").alias("en_ratio_e6"),
+        F.expr(
+            f"CAST(CASE WHEN en_hits * 1000000L div n_words >= {min_ratio_e6} "
+            "THEN 1 ELSE 0 END AS INT)"
+        ).alias("is_english"),
+    )
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q, n2): embeddings quantized to exact ints (round(x*1000))
+    with exact integer squared norms, so cosines are IEEE-exact doubles that
+    compare identically on any engine."""
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias("q"),
+    ).select(
+        "vec_id",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        ).alias("n2"),
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, min_cos_e6: int = 400_000) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (vec_id_a, vec_id_b, cos_e6) with
+    cosine >= min_cos_e6/1e6, vec_id_a < vec_id_b.
+
+    All-pairs is the correctness baseline; at scale, bucket first (LSH/IVF)
+    and run this join per bucket.  cos_e6 = floor(dot/sqrt(n2a*n2b) * 1e6) on
+    exact-int dot/norms is engine-portable.
+    """
+    q = _quantized(emb)
+    a = q.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    return (
+        pairs.select(
+            "vec_id_a",
+            "vec_id_b",
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                    "(acc, x) -> acc + x)"
+                )
+                / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
+                * 1_000_000
+            ).alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= min_cos_e6)
+    )
+
+
+def ivf_cells(emb: DataFrame, k: int = 8) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its max-cosine centroid.
+
+    Centroids = the k lowest vec_ids (a deterministic stand-in for k-means —
+    the assignment plumbing, the broadcast of the small centroid set, and the
+    per-cell search pattern are what carry to scale).  Returns (vec_id, cell);
+    ties break to the lowest centroid id.  ANN search then probes only the
+    query's cell(s): the bucket-equi-join replaces the O(n^2) compare.
+    """
+    from pyspark.sql import Window as W
+
+    q = _quantized(emb)
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        (
+            F.expr(
+                "aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
+            / F.sqrt((F.col("n2") * F.col("cn2")).cast("double"))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+    )
