@@ -402,6 +402,58 @@ def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ivf_cells(emb)
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the real mapInPandas plumbing
+    (rlv.multimodal): a media table derived deterministically from documents
+    (payload = text bytes, kind = doc_id mod 3), features from the stubbed
+    decode seam (sha256-derived).  The oracle recomputes byte counts AND the
+    first feature value from DuckDB's sha256 — the whole Arrow batch path is
+    independently checked."""
+    _ensure_shipped(spark)
+    from rlv import multimodal
+
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.expr(
+            "element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1)"
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_features_pass(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.floor(F.element_at("features", 1).cast("double") * 1_000_000_000)
+        .cast("bigint")
+        .alias("f0_e9"),
+    )
+
+
+def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate-pair join itself: docs sharing any band hash
+    become (doc_id_a, doc_id_b) near-dup candidates.  This bucket-equi-join is
+    the O(n^2)-avoiding scale path; at corpus scale the band_hash key is the
+    shuffle key and hot buckets are capped by band width."""
+    bands = _q_minhash_bands(spark, sf_dir)
+    a = bands.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def _hexbyte(h: str, i: int) -> str:
+    """DuckDB SQL: i-th byte (0-based) of hex digest string ``h``."""
+    p = "strpos('0123456789abcdef', {c}) - 1"
+    hi = p.format(c=f"{h}[{2 * i + 1}]")
+    lo = p.format(c=f"{h}[{2 * i + 2}]")
+    return f"(({hi}) * 16 + ({lo}))"
+
+
 _DUCK_WORDHASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
@@ -468,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "embedding_neardup": _q_embedding_neardup,
         "ann_ivf_cells": _q_ann_ivf_cells,
+        "multimodal_features": _q_multimodal_features,
+        "minhash_neardup_pairs": _q_minhash_neardup_pairs,
     }
 
 
@@ -719,6 +773,51 @@ r AS (
   FROM s
 )
 SELECT vec_id, CAST(cell AS INT) AS cell FROM r WHERE rk = 1
+""",
+        "multimodal_features": f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         sha256(text) AS h
+  FROM documents
+),
+u AS (
+  SELECT media_id, kind, n_bytes,
+         {_hexbyte("h", 0)} + {_hexbyte("h", 1)} * 256
+           + {_hexbyte("h", 2)} * 65536 + {_hexbyte("h", 3)} * 16777216 AS u32
+  FROM m
+)
+SELECT media_id, kind, n_bytes,
+       CAST(floor(CAST(CAST(u32 / 4294967296.0 AS REAL) AS DOUBLE)
+                  * 1000000000) AS BIGINT) AS f0_e9
+FROM u
+""",
+        "minhash_neardup_pairs": """
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         substr(text, CAST(i AS INT), 5) AS s
+  FROM documents, unnest(generate_series(1, length(text) - 4)) t(i)
+  WHERE length(text) >= 5
+),
+mins AS (
+  SELECT doc_id,
+         min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mins
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
 """,
         "text_quality": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
