@@ -1,0 +1,116 @@
+"""Library-level properties of rlv.textops (training-data pipeline ops).
+
+Parity with the DuckDB oracles is covered by tests/test_entry_contract.py;
+these tests cover what the contract can't: the df_cap stop-shingle guard,
+value-range invariants, and determinism across plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlv import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),      # shares trigrams 'a b c', 'b c d', 'c d e' with 1
+        (3, "x y z w v u"),
+        (4, "a b c q r s"),      # shares only 'a b c'
+        (5, "the of and the of"),
+        (6, ""),                  # empty text edge
+        (7, "solo"),              # < 3 words: no trigrams
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): (r.inter, r.n_union, r.jaccard_e6)
+        for r in textops.ngram_jaccard_pairs(docs, min_jaccard_e6=0).collect()
+    }
+    # docs 1,2: 4 trigrams each, 3 shared -> J = 3/5
+    assert pairs[("1", "2")] == (3, 5, 600000)
+    # docs 1,4: 1 shared -> J = 1/7
+    assert pairs[("1", "4")] == (1, 7, 142857)
+    # doc 3 shares nothing; docs 6,7 produce no trigrams at all
+    assert all("3" not in p and "6" not in p and "7" not in p for p in pairs)
+
+
+def test_jaccard_df_cap_drops_hot_shingles(docs):
+    # 'a b c' appears in 3 docs; with df_cap=2 it is dropped, so the only
+    # surviving overlap is 1-2's 'b c d'/'c d e'.
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.inter
+        for r in textops.ngram_jaccard_pairs(docs, min_jaccard_e6=0, df_cap=2).collect()
+    }
+    assert pairs == {("1", "2"): 2}
+
+
+def test_simhash_range_and_determinism(docs):
+    a = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
+    assert a == b
+    assert all(0 <= v < 2**32 for v in a.values())
+    # empty doc produces no words -> no row (groupBy over empty explode)
+    assert "6" not in a
+    # identical word multisets -> identical simhash
+    assert a["1"] != a["3"]  # different vocab, overwhelmingly different
+
+
+def test_lang_id_ratios(docs):
+    out = {r.doc_id: r for r in textops.lang_id(docs).collect()}
+    r5 = out["5"]  # "the of and the of": all 5 words are stopwords
+    assert (r5.n_words, r5.en_hits, r5.en_ratio_e6, r5.is_english) == (5, 5, 1000000, 1)
+    r3 = out["3"]
+    assert (r3.en_hits, r3.is_english) == (0, 0)
+
+
+def test_doc_fingerprint_matches_python(docs):
+    out = {r.doc_id: r.fp for r in textops.doc_fingerprints(docs).collect()}
+
+    def py_fp(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % textops.POLY_MOD
+        return h
+
+    for row in docs.collect():
+        assert out[str(row.doc_id)] == py_fp(row.text)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 6 vectors in 4-d: 0 and 3 are parallel (cos=1), 1 and 4 near-parallel,
+    # 2 and 5 orthogonal to everything else's direction.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [2.0, 0.0, 0.0, 0.0]),
+        (4, [0.01, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_neardup_finds_parallel_pairs(emb):
+    pairs = {
+        (r.vec_id_a, r.vec_id_b): r.cos_e6
+        for r in textops.embedding_neardup_pairs(emb, min_cos_e6=900_000).collect()
+    }
+    assert pairs[(0, 3)] == 1_000_000
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 999_000
+    assert all(2 not in p and 5 not in p for p in pairs)
+
+
+def test_ivf_cells_assign_to_max_cos_centroid(emb):
+    cells = {r.vec_id: r.cell for r in textops.ivf_cells(emb, k=3).collect()}
+    assert cells[3] == 0  # parallel to centroid 0
+    assert cells[4] == 1  # near-parallel to centroid 1
+    assert cells[0] == 0 and cells[1] == 1 and cells[2] == 2  # self-assignment
+    # vec 5 is orthogonal to all three centroids (cos=0 ties) -> lowest id wins
+    assert cells[5] == 0
