@@ -126,9 +126,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_count_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count_runs (v:467-481) per document, via the mapInArrow runs kernel."""
-    runs = engine.runs_pass(_token_df(spark, sf_dir))
-    return runs.groupBy("doc_id").agg(F.count("*").alias("n_runs"))
+    """count_runs (v:467-481) per document — the direct counting kernel
+    (no run materialization), checked against the SQL window oracle."""
+    return engine.count_runs_pass(_token_df(spark, sf_dir))
 
 
 def _q_run_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -110,23 +110,29 @@ def main() -> None:
         extra["naive_rle_bytes"] = s_big["naive_rle_bytes"]
         extra["budget_ok"] = bool(s_big["bytes_out"] <= s_big["naive_rle_bytes"])
 
-        # decode+verify pass over the written blocks (best-of after warm)
+        # decode+verify pass over the written blocks: lineage-driven per-split
+        # compare (zero-shuffle; engine.verify_roundtrip is the join-based
+        # JVM alternative, ~10x slower at this SF)
+        from rlv import engine_files
+
         tok = spark.read.parquet(tok_path)
-        encoded = spark.read.parquet(f"/tmp/rlv_bench/out_{CPUS}/blocks")
         t_best = None
         for i in range(2):
             t0 = time.perf_counter()
-            res = engine.verify_roundtrip(tok, encoded)
+            res = engine_files.verify_files_dataset(
+                spark, tok_path, f"/tmp/rlv_bench/out_{CPUS}", num_tasks=4 * CPUS
+            )
             t = time.perf_counter() - t0
             t_best = t if t_best is None else min(t_best, t)
         queries["decode_verify"] = round(t_best, 3)
         extra["verify_mismatches"] = res["mismatches"]
+        extra["verify_tokens_per_sec"] = round(res["tokens"] / t_best)
 
-        # run-statistics facet (count_runs over every doc)
+        # run-statistics facet (count_runs over every doc, no materialization)
         t_best = None
         for i in range(2):
             t0 = time.perf_counter()
-            engine.runs_pass(tok).groupBy().agg(F.count("*")).collect()
+            engine.count_runs_pass(tok).groupBy().agg(F.sum("n_runs")).collect()
             t = time.perf_counter() - t0
             t_best = t if t_best is None else min(t_best, t)
         queries["count_runs"] = round(t_best, 3)

@@ -71,10 +71,17 @@ def main(argv=None) -> int:
         )
 
     if args.verify:
-        tok = spark.read.parquet(args.input)
-        encoded = spark.read.parquet(f"{args.output}/blocks")
-        res = engine.verify_roundtrip(tok, encoded)
-        summary["verify_rows"] = res["rows"]
+        if args.mode == "files":
+            # zero-shuffle: replay each split's lineage and compare in-task
+            res = engine_files.verify_files_dataset(
+                spark, args.input, args.output, num_tasks=args.tasks
+            )
+            summary["verify_rows"] = res["docs"]
+        else:
+            tok = spark.read.parquet(args.input)
+            encoded = spark.read.parquet(f"{args.output}/blocks")
+            res = engine.verify_roundtrip(tok, encoded)
+            summary["verify_rows"] = res["rows"]
         summary["verify_mismatches"] = res["mismatches"]
 
     print(json.dumps(summary))

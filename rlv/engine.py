@@ -341,6 +341,47 @@ def runs_pass(df: DataFrame, cap: int | None = None) -> DataFrame:
     )
 
 
+def _count_runs_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    tune_malloc()
+    for batch in it:
+        tb = pa.table(batch)
+        offs, vals = _list_offsets_values(tb.column("tokens"))
+        a = vals[offs[0]:offs[-1]]
+        o = offs - offs[0]
+        if a.size == 0:
+            n_runs = np.zeros(o.size - 1, dtype=np.int64)
+        else:
+            run_start = np.empty(a.size, dtype=bool)
+            run_start[0] = True
+            np.not_equal(a[1:], a[:-1], out=run_start[1:])
+            doc_starts = o[1:-1]
+            run_start[doc_starts[doc_starts < a.size]] = True
+            # runs per doc = count of run starts in [o[i], o[i+1]) — a cumsum
+            # sampled at the doc offsets, no run materialization (the point of
+            # count_runs, rl_encoding.v:467-481: size without the encoding)
+            csum = np.zeros(a.size + 1, dtype=np.int64)
+            np.cumsum(run_start, out=csum[1:])
+            n_runs = csum[o[1:]] - csum[o[:-1]]
+        yield pa.record_batch(
+            [
+                tb.column("doc_id").combine_chunks(),
+                pa.array(n_runs, type=pa.int64()),
+            ],
+            names=["doc_id", "n_runs"],
+        )
+
+
+def count_runs_pass(df: DataFrame) -> DataFrame:
+    """count_runs (rl_encoding.v:467-481) per document — the run count
+    WITHOUT materializing the run decomposition: one boolean sweep + cumsum
+    per batch, emitting one row per doc (vs one per run in
+    :func:`runs_pass`).  At 10^12 sequences this is the cheap stats facet:
+    output cardinality = #docs, not #runs."""
+    return df.select("doc_id", "tokens").mapInArrow(
+        _count_runs_arrow_batches, "doc_id string, n_runs bigint"
+    )
+
+
 def _strings_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Per-batch string-column encode (STRDICT = dict + FSST) with an inline
     decode check; emits per-row verification + per-batch size metrics."""

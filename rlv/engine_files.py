@@ -39,7 +39,7 @@ SPLIT_MANIFEST_SCHEMA = (
     "split_id string, status string, n_docs bigint, n_tokens bigint, "
     "n_runs bigint, bytes_in bigint, bytes_out bigint, naive_rle_bytes bigint, "
     "codec_hist string, encode_cpu_ns bigint, tokens_per_cpu_sec double, "
-    "attempt int, finished_at double"
+    "attempt int, finished_at double, pieces string"
 )
 
 RESULT_SCHEMA = (
@@ -249,6 +249,165 @@ def sample_pass(
     }
 
 
+VERIFY_SCHEMA = "split_id string, n_docs bigint, n_tokens bigint, mismatches bigint"
+
+
+def _make_verify_worker(blocks_dir: str):
+    """Per-split verify: re-read the split's SOURCE row groups (its lineage)
+    and its blocks file, decode, and compare in-task.
+
+    No join, no shuffle: the blocks file was written by the encode task that
+    read exactly these row groups in exactly this order, so rows align by
+    position (guarded by a doc_id equality check, with a sort-merge fallback).
+    At 10^12 sequences verification stays embarrassingly parallel — the JVM
+    alternative (join 2x the corpus on doc_id) shuffles every token twice.
+    """
+    from rlv import blocks as B
+    from rlv.engine import _list_offsets_values
+    from rlv.util import tune_malloc
+
+    def run_verify(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                split_id = row["split_id"]
+                pieces = json.loads(row["pieces"])
+                by_file: dict[str, list[int]] = {}
+                for path, rg in pieces:
+                    by_file.setdefault(path, []).append(rg)
+                src = pa.concat_tables(
+                    pq.ParquetFile(p).read_row_groups(
+                        rgs, columns=["doc_id", "tokens"], use_threads=False
+                    )
+                    for p, rgs in by_file.items()
+                ).combine_chunks()
+                blk = pq.read_table(
+                    os.path.join(blocks_dir, f"{split_id}.parquet"),
+                    columns=["doc_id", "block"],
+                ).combine_chunks()
+                src_ids = src.column("doc_id").to_pandas()
+                blk_ids = blk.column("doc_id").to_pandas()
+                if len(blk) == len(src) and src_ids.equals(blk_ids):
+                    order = None
+                else:  # retries/compaction may reorder a rewritten file
+                    pos = pd.Series(
+                        np.arange(len(blk_ids)), index=blk_ids.to_numpy()
+                    )
+                    order = pos.reindex(src_ids.to_numpy()).to_numpy()
+                offs, vals = _list_offsets_values(src.column("tokens"))
+                a = vals[offs[0]:offs[-1]]
+                o = offs - offs[0]
+                n = len(src)
+                blocks_col = blk.column("block")
+                parts = []
+                for i in range(n):
+                    j = i if order is None else order[i]
+                    if order is not None and np.isnan(j):
+                        parts.append(np.empty(0, np.int32))  # missing doc
+                        continue
+                    try:
+                        parts.append(
+                            B.decode_block(blocks_col[int(j)].as_py(), np.int32)
+                        )
+                    except Exception:
+                        # corrupt blocks raise (the decode guards,
+                        # rl_encoding.v:4016-4023); verify must report the
+                        # split, not die — an empty decode can never match a
+                        # nonempty doc, so it counts as that doc's mismatch
+                        parts.append(np.empty(0, np.int32))
+                lens = np.fromiter((p.size for p in parts), np.int64, n)
+                n_per_doc = np.diff(o)
+                bad_len = np.flatnonzero(lens != n_per_doc)
+                dec = np.concatenate(parts) if parts else np.empty(0, np.int32)
+                if bad_len.size == 0 and dec.size == a.size:
+                    neq = np.flatnonzero(a != dec)
+                    bad_docs = np.unique(np.searchsorted(o, neq, side="right") - 1)
+                    mismatches = int(bad_docs.size)
+                else:
+                    # compare only the length-matching docs, count the rest bad
+                    mismatches = int(bad_len.size)
+                    dec_off = np.zeros(n + 1, dtype=np.int64)
+                    np.cumsum(lens, out=dec_off[1:])
+                    ok_docs = np.flatnonzero(lens == n_per_doc)
+                    for i in ok_docs:
+                        if not np.array_equal(
+                            a[o[i]:o[i + 1]], dec[dec_off[i]:dec_off[i + 1]]
+                        ):
+                            mismatches += 1
+                yield pd.DataFrame(
+                    {
+                        "split_id": [split_id],
+                        "n_docs": [n],
+                        "n_tokens": [int(a.size)],
+                        "mismatches": [mismatches],
+                    }
+                )
+
+    return run_verify
+
+
+def verify_files_dataset(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    num_tasks: int | None = None,
+) -> dict:
+    """Decode-and-compare every encoded split against its source via lineage
+    (zero-shuffle).  Splits that pass are promoted to status='verified' in the
+    manifest.  Returns {splits, docs, tokens, mismatches}.
+
+    Lineage comes from the manifest's ``pieces`` column (the exact row groups
+    each split encoded), so verification is independent of how a later run
+    would plan splits; manifests from before that column fall back to
+    re-planning with ``num_tasks`` (which must then match the encode run).
+    """
+    if num_tasks is None:
+        num_tasks = 4 * spark.sparkContext.defaultParallelism
+    done = done_splits(spark, out_dir)
+    todo: list[dict] = []
+    pdf = _read_manifest_pdf(out_dir)
+    if pdf is not None and "pieces" in pdf.columns:
+        for rec in pdf.to_dict("records"):
+            if str(rec["split_id"]) in done and rec.get("pieces"):
+                todo.append(
+                    {
+                        "split_id": str(rec["split_id"]),
+                        "pieces": json.loads(rec["pieces"]),
+                    }
+                )
+    if not todo:
+        splits = plan_splits(input_dir, num_tasks)
+        todo = [s for s in splits if s["split_id"] in done]
+    if not todo:
+        return {"splits": 0, "docs": 0, "tokens": 0, "mismatches": 0}
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "split_id": [s["split_id"] for s in todo],
+                "pieces": [json.dumps(s["pieces"]) for s in todo],
+            }
+        )
+    ).repartition(len(todo))
+    results = tasks_df.mapInPandas(
+        _make_verify_worker(f"{out_dir}/blocks"), VERIFY_SCHEMA
+    ).collect()
+    passed = {str(r["split_id"]) for r in results if int(r["mismatches"]) == 0}
+    pdf = _read_manifest_pdf(out_dir)
+    if pdf is not None and passed:
+        sel = pdf["split_id"].astype(str).isin(passed) & (pdf["status"] == "done")
+        pdf.loc[sel, "status"] = "verified"
+        _write_manifest_pdf(out_dir, pdf)
+    return {
+        "splits": len(results),
+        "docs": sum(int(r["n_docs"]) for r in results),
+        "tokens": sum(int(r["n_tokens"]) for r in results),
+        "mismatches": sum(int(r["mismatches"]) for r in results),
+    }
+
+
 def _split_manifest_path(out_dir: str) -> str:
     return f"{out_dir}/manifest"
 
@@ -256,7 +415,7 @@ def _split_manifest_path(out_dir: str) -> str:
 _MANIFEST_COLS = [
     "split_id", "status", "n_docs", "n_tokens", "n_runs", "bytes_in",
     "bytes_out", "naive_rle_bytes", "codec_hist", "encode_cpu_ns",
-    "tokens_per_cpu_sec", "attempt", "finished_at",
+    "tokens_per_cpu_sec", "attempt", "finished_at", "pieces",
 ]
 
 
@@ -279,6 +438,10 @@ def _write_manifest_pdf(out_dir: str, pdf) -> None:
     os.makedirs(_split_manifest_path(out_dir), exist_ok=True)
     final = f"{_split_manifest_path(out_dir)}/manifest.parquet"
     tmp = final + ".inprogress"
+    for col in _MANIFEST_COLS:  # manifests written before a column existed
+        if col not in pdf.columns:
+            pdf[col] = ""
+    pdf = pdf.fillna({"pieces": ""})
     pq.write_table(pa.Table.from_pandas(pdf[_MANIFEST_COLS], preserve_index=False), tmp)
     os.replace(tmp, final)
 
@@ -287,7 +450,8 @@ def done_splits(spark: SparkSession, out_dir: str) -> set[str]:
     pdf = _read_manifest_pdf(out_dir)
     if pdf is None:
         return set()
-    return set(pdf.loc[pdf["status"] == "done", "split_id"].astype(str))
+    ok = pdf["status"].isin(["done", "verified"])
+    return set(pdf.loc[ok, "split_id"].astype(str))
 
 
 def encode_files_dataset(
@@ -321,10 +485,13 @@ def encode_files_dataset(
         _make_split_worker(blocks_dir), RESULT_SCHEMA
     ).collect()
     wall = time.perf_counter() - t0
-    return _merge_split_manifest(spark, out_dir, results, wall, len(done))
+    pieces_of = {s["split_id"]: json.dumps(s["pieces"]) for s in todo}
+    return _merge_split_manifest(spark, out_dir, results, wall, len(done), pieces_of)
 
 
-def _merge_split_manifest(spark, out_dir, results, wall_sec, skipped) -> dict:
+def _merge_split_manifest(
+    spark, out_dir, results, wall_sec, skipped, pieces_of=None
+) -> dict:
     old_pdf = _read_manifest_pdf(out_dir)
     old: dict[str, dict] = {}
     if old_pdf is not None:
@@ -357,6 +524,9 @@ def _merge_split_manifest(spark, out_dir, results, wall_sec, skipped) -> dict:
             "tokens_per_cpu_sec": (int(r["n_tokens"]) / (cpu_ns / 1e9)) if cpu_ns else 0.0,
             "attempt": prev_attempt + 1,
             "finished_at": now,
+            # split lineage: the exact (file, row_group) list this split's
+            # blocks were encoded from — what the zero-shuffle verify replays
+            "pieces": (pieces_of or {}).get(sid, ""),
         }
         summary["tokens"] += int(r["n_tokens"])
         summary["bytes_out"] += int(r["bytes_out"])

@@ -89,3 +89,54 @@ def test_sample_pass(spark, tok_dir):
     syms = [bytes.fromhex(h) for h in stats["fsst_symbols"]]
     st = fsst.SymbolTable(syms)
     assert st.decode(st.encode(b"mixed_runs|low_ndv")) == b"mixed_runs|low_ndv"
+
+
+def test_verify_files_dataset(spark, tok_dir, tmp_path):
+    """Lineage-driven zero-shuffle verify: all splits pass, manifest promoted
+    to 'verified', and a corrupted block is detected."""
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    res = engine_files.verify_files_dataset(spark, tok_dir, out)
+    tok = spark.read.parquet(tok_dir)
+    assert res["mismatches"] == 0
+    assert res["docs"] == tok.count()
+    assert res["tokens"] == tok.agg(F.sum("n_tok")).collect()[0][0]
+    pdf = engine_files._read_manifest_pdf(out)
+    assert (pdf["status"] == "verified").all()
+    # verified splits still count as done for resume
+    again = engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    assert again["splits_encoded"] == 0
+
+    # corrupt one block file: flip a payload byte in one doc's block
+    import glob
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    victim = sorted(glob.glob(f"{out}/blocks/*.parquet"))[0]
+    tbl = pq.read_table(victim)
+    blocks_col = tbl.column("block").to_pylist()
+    idx = next(i for i, b in enumerate(blocks_col) if len(b) > 4)
+    b = bytearray(blocks_col[idx])
+    b[-1] ^= 0xFF
+    blocks_col[idx] = bytes(b)
+    tbl = tbl.set_column(
+        tbl.column_names.index("block"), "block", pa.array(blocks_col, pa.binary())
+    )
+    pq.write_table(tbl, victim, compression="zstd")
+    res2 = engine_files.verify_files_dataset(spark, tok_dir, out)
+    assert res2["mismatches"] >= 1
+
+
+def test_count_runs_pass_matches_runs_pass(spark, tok_dir):
+    tok = spark.read.parquet(tok_dir)
+    direct = {
+        r["doc_id"]: r["n_runs"] for r in engine.count_runs_pass(tok).collect()
+    }
+    via_rows = {
+        r["doc_id"]: r["cnt"]
+        for r in engine.runs_pass(tok)
+        .groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # runs_pass emits no rows for empty docs; count_runs_pass emits 0
+    assert {k: v for k, v in direct.items() if v > 0} == via_rows
+    assert set(direct) == {r["doc_id"] for r in tok.select("doc_id").collect()}
