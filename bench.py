@@ -27,8 +27,6 @@ import os
 import shutil
 import time
 
-from pyspark.sql import functions as F
-
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
@@ -87,7 +85,7 @@ def _timed_file_encode(spark, tok_path: str, cpus: int) -> dict:
 
 
 def main() -> None:
-    from rlv import engine, session
+    from rlv import session
 
     sf = _sf_label(SF_DIR)
     queries: dict[str, float] = {}
@@ -115,7 +113,6 @@ def main() -> None:
         # JVM alternative, ~10x slower at this SF)
         from rlv import engine_files
 
-        tok = spark.read.parquet(tok_path)
         t_best = None
         for i in range(2):
             t0 = time.perf_counter()
@@ -128,14 +125,16 @@ def main() -> None:
         extra["verify_mismatches"] = res["mismatches"]
         extra["verify_tokens_per_sec"] = round(res["tokens"] / t_best)
 
-        # run-statistics facet (count_runs over every doc, no materialization)
+        # run-statistics facet (count_runs over the corpus, files plane: the
+        # JVM list-column Arrow transfer alone costs ~25x this)
         t_best = None
         for i in range(2):
             t0 = time.perf_counter()
-            engine.count_runs_pass(tok).groupBy().agg(F.sum("n_runs")).collect()
+            cr = engine_files.count_runs_files(spark, tok_path, num_tasks=4 * CPUS)
             t = time.perf_counter() - t0
             t_best = t if t_best is None else min(t_best, t)
         queries["count_runs"] = round(t_best, 3)
+        extra["n_runs"] = cr["runs"]
     finally:
         spark.stop()
 

@@ -140,3 +140,14 @@ def test_count_runs_pass_matches_runs_pass(spark, tok_dir):
     # runs_pass emits no rows for empty docs; count_runs_pass emits 0
     assert {k: v for k, v in direct.items() if v > 0} == via_rows
     assert set(direct) == {r["doc_id"] for r in tok.select("doc_id").collect()}
+
+
+def test_count_runs_files_matches_pass(spark, tok_dir):
+    res = engine_files.count_runs_files(spark, tok_dir, num_tasks=6)
+    tok = spark.read.parquet(tok_dir)
+    agg = engine.count_runs_pass(tok).agg(
+        F.count("*").alias("d"), F.sum("n_runs").alias("r")
+    ).collect()[0]
+    assert res["docs"] == agg["d"]
+    assert res["runs"] == agg["r"]
+    assert res["tokens"] == tok.agg(F.sum("n_tok")).collect()[0][0]
