@@ -431,19 +431,32 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash-LSH candidate-pair join itself: docs sharing any band hash
-    become (doc_id_a, doc_id_b) near-dup candidates.  This bucket-equi-join is
-    the O(n^2)-avoiding scale path; at corpus scale the band_hash key is the
-    shuffle key and hot buckets are capped by band width."""
+    """The MinHash-LSH candidate pairs: docs sharing any band hash are
+    near-dup candidates — the O(n^2)-avoiding scale path.
+
+    Pairs are generated INSIDE each band bucket (groupBy band -> sorted doc
+    set -> pairwise expansion) rather than by self-joining the bands relation:
+    the shingle->minhash pipeline then runs once, not twice, and the pair
+    count is bounded by bucket sizes (at corpus scale, oversized buckets are
+    the degenerate-content signal and get capped/dropped before expansion)."""
     bands = _q_minhash_bands(spark, sf_dir)
-    a = bands.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_id_b"), "band_idx", "band_hash")
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
+    ).distinct()
 
 
 def _hexbyte(h: str, i: int) -> str:
