@@ -56,13 +56,21 @@ def plan_splits(input_dir: str, num_tasks: int) -> list[dict]:
     LPT-balanced by compressed byte size — the file-mode equivalent of the
     token-mass balancing in :func:`rlv.engine.plan_balanced`.
     """
+    files = [
+        os.path.join(input_dir, name)
+        for name in sorted(os.listdir(input_dir))
+        if name.endswith(".parquet")
+    ]
+    return plan_splits_for_files(files, num_tasks)
+
+
+def plan_splits_for_files(files: list[str], num_tasks: int) -> list[dict]:
+    """Split planning over an explicit file list (streaming micro-batches
+    hand us exactly the new files)."""
     import pyarrow.parquet as pq
 
     pieces: list[tuple[str, int, int]] = []  # (path, rg_index, nbytes)
-    for name in sorted(os.listdir(input_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        path = os.path.join(input_dir, name)
+    for path in sorted(files):
         meta = pq.ParquetFile(path).metadata
         for rg in range(meta.num_row_groups):
             pieces.append((path, rg, meta.row_group(rg).total_byte_size))
@@ -539,9 +547,17 @@ def encode_files_dataset(
     """Full resumable encode over a parquet directory, python-native data plane."""
     if num_tasks is None:
         num_tasks = 4 * spark.sparkContext.defaultParallelism
+    splits = plan_splits(input_dir, num_tasks)
+    return encode_splits(spark, splits, out_dir, resume=resume)
+
+
+def encode_splits(
+    spark: SparkSession, splits: list[dict], out_dir: str, resume: bool = True
+) -> dict:
+    """Encode an explicit split list (shared by the batch directory walk and
+    the streaming micro-batch path)."""
     blocks_dir = f"{out_dir}/blocks"
     os.makedirs(blocks_dir, exist_ok=True)
-    splits = plan_splits(input_dir, num_tasks)
     done = done_splits(spark, out_dir) if resume else set()
     todo = [s for s in splits if s["split_id"] not in done]
     if not todo:
