@@ -270,6 +270,226 @@ def decode_block(block: bytes, dtype=np.int32) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Batched decode: many blocks -> one flat array + offsets.  Same wire format,
+# vectorized across documents: per-doc work drops to header parsing; all bit
+# unpacking, min-adds, dict gathers and run expansion happen in whole-group
+# numpy ops.  Byte-identical to per-doc decode_block (tested).
+# ---------------------------------------------------------------------------
+
+_U64_63 = np.uint64(63)
+_U64_6 = np.uint64(6)
+
+
+def _unpack_multi(buf: bytes, byte_offs: np.ndarray, ns: np.ndarray, bits: int) -> np.ndarray:
+    """Unpack concatenated per-doc bit-packed planes of one bit width.
+
+    ``buf`` is the concatenation of each doc's (byte-padded) payload;
+    ``byte_offs[i]`` is doc i's payload start, ``ns[i]`` its value count.
+    Returns all values doc-major as uint64.
+    """
+    total = int(ns.sum())
+    if total == 0 or bits == 0:
+        return np.zeros(total, dtype=np.uint64)
+    if bits in (8, 16, 32, 64):
+        # byte widths pad to exactly n*bits/8, so the concat is gap-free
+        return np.frombuffer(buf, dtype=f"<u{bits // 8}", count=total).astype(np.uint64)
+    padded = buf + b"\x00" * 16
+    words = np.frombuffer(padded, dtype="<u8", count=len(padded) // 8)
+    local_off = np.cumsum(ns) - ns
+    within = (
+        np.arange(total, dtype=np.int64) - np.repeat(local_off, ns)
+    ).astype(np.uint64)
+    bitpos = (
+        np.repeat(byte_offs.astype(np.uint64) << np.uint64(3), ns)
+        + within * np.uint64(bits)
+    )
+    w = (bitpos >> _U64_6).astype(np.int64)
+    off = bitpos & _U64_63
+    lo = words[w] >> off
+    hi = np.where(
+        off == 0, np.uint64(0), words[w + 1] << ((np.uint64(64) - off) & _U64_63)
+    )
+    return (lo | hi) & np.uint64((1 << bits) - 1)
+
+
+def _plane_groups(items):
+    """Group (bits, payload, n, min) plane records by bit width and unpack
+    each group in one call; yields per-record uint64 arrays, doc-major."""
+    by_bits: dict[int, list[int]] = {}
+    for i, it in enumerate(items):
+        by_bits.setdefault(it[0], []).append(i)
+    out: list[np.ndarray | None] = [None] * len(items)
+    for bits, idxs in by_bits.items():
+        ns = np.array([items[i][2] for i in idxs], dtype=np.int64)
+        payloads = [items[i][1] for i in idxs]
+        sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+        byte_offs = np.cumsum(sizes) - sizes
+        vals = _unpack_multi(b"".join(payloads), byte_offs, ns, bits)
+        local = np.cumsum(ns) - ns
+        for k, i in enumerate(idxs):
+            out[i] = vals[local[k]:local[k] + ns[k]]
+    return out
+
+
+def _add_min_multi(vals_u64: np.ndarray, mins: list[int], ns: np.ndarray) -> np.ndarray:
+    m = np.array([int(v) & ((1 << 64) - 1) for v in mins], dtype=np.uint64)
+    return (vals_u64 + np.repeat(m, ns)).view(np.int64)
+
+
+def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a sequence of blocks into (flat_values, offsets).
+
+    ``offsets`` has len(blobs)+1 entries; doc i decodes to
+    ``flat[offsets[i]:offsets[i+1]]``.  Every blob's length is validated
+    against its header BEFORE any payload is touched, so a truncated block
+    raises instead of misaligning its neighbours in the batch.
+    """
+    n_docs = len(blobs)
+    # parse pass: (codec, n, fields...) per doc + per-doc payload slices
+    parsed: list[tuple] = []
+    n_per = np.zeros(n_docs, dtype=np.int64)
+    for i in range(n_docs):
+        b = blobs[i]
+        if b is None or len(b) == 0:
+            parsed.append((0,))
+            continue
+        codec = b[0]
+        pos = 1
+        if codec == PLAIN:
+            n, pos = read_uvarint(b, pos)
+            width = b[pos]
+            pos += 1
+            end = pos + width * n
+            if width not in (4, 8) or len(b) != end:
+                raise ValueError("corrupt PLAIN block")
+            parsed.append((PLAIN, n, width, b[pos:end]))
+        elif codec == RLE:
+            n_runs, pos = read_uvarint(b, pos)
+            min_val, pos = _read_svarint(b, pos)
+            cbits, vbits = b[pos], b[pos + 1]
+            pos += 2
+            cb = packed_nbytes(n_runs, cbits)
+            vb = packed_nbytes(n_runs, vbits)
+            if cbits > 64 or vbits > 64 or len(b) != pos + cb + vb:
+                raise ValueError("corrupt RLE block")
+            parsed.append(
+                (RLE, n_runs, min_val, cbits, vbits,
+                 b[pos:pos + cb], b[pos + cb:pos + cb + vb])
+            )
+            n = -1  # filled after counts are unpacked
+        elif codec == BITPACK:
+            n, pos = read_uvarint(b, pos)
+            bits = b[pos]
+            pos += 1
+            if bits > 64 or len(b) != pos + packed_nbytes(n, bits):
+                raise ValueError("corrupt BITPACK block")
+            parsed.append((BITPACK, n, bits, b[pos:]))
+        elif codec == FOR:
+            n, pos = read_uvarint(b, pos)
+            min_val, pos = _read_svarint(b, pos)
+            bits = b[pos]
+            pos += 1
+            if bits > 64 or len(b) != pos + packed_nbytes(n, bits):
+                raise ValueError("corrupt FOR block")
+            parsed.append((FOR, n, min_val, bits, b[pos:]))
+        elif codec == DICT:
+            n, pos = read_uvarint(b, pos)
+            ndv, pos = read_uvarint(b, pos)
+            dict_min, pos = _read_svarint(b, pos)
+            dbits = b[pos]
+            pos += 1
+            db = packed_nbytes(ndv, dbits)
+            ibits = b[pos + db]
+            ib = packed_nbytes(n, ibits)
+            if dbits > 64 or ibits > 64 or len(b) != pos + db + 1 + ib:
+                raise ValueError("corrupt DICT block")
+            parsed.append(
+                (DICT, n, ndv, dict_min, dbits, ibits,
+                 b[pos:pos + db], b[pos + db + 1:])
+            )
+        else:
+            raise ValueError(f"unknown codec id {codec}")
+        if codec != RLE:
+            n_per[i] = n
+    # RLE needs counts before n is known: unpack the count planes first
+    rle_docs = [i for i in range(n_docs) if parsed[i][0] == RLE]
+    rle_counts: dict[int, np.ndarray] = {}
+    if rle_docs:
+        planes = [(parsed[i][3], parsed[i][5], parsed[i][1], 0) for i in rle_docs]
+        for i, cvals in zip(rle_docs, _plane_groups(planes)):
+            counts = cvals.view(np.int64) + 1
+            rle_counts[i] = counts
+            n_per[i] = int(counts.sum())
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_per, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.int64)
+
+    def scatter(docs: list[int], flat: np.ndarray) -> None:
+        ns = n_per[docs]
+        local = np.cumsum(ns) - ns
+        tgt = (
+            np.arange(flat.size, dtype=np.int64)
+            - np.repeat(local, ns)
+            + np.repeat(offsets[docs], ns)
+        )
+        out[tgt] = flat
+
+    by_codec: dict[int, list[int]] = {}
+    for i in range(n_docs):
+        c = parsed[i][0]
+        if c and n_per[i]:
+            by_codec.setdefault(c, []).append(i)
+
+    for codec, docs in by_codec.items():
+        ns = n_per[docs]
+        if codec == PLAIN:
+            flats = []
+            for i in docs:
+                _, n, width, pay = parsed[i]
+                dt = np.dtype("<i8") if width == 8 else np.dtype("<i4")
+                flats.append(np.frombuffer(pay, dtype=dt, count=n).astype(np.int64))
+            scatter(docs, np.concatenate(flats))
+        elif codec == RLE:
+            vplanes = [(parsed[i][4], parsed[i][6], parsed[i][1], 0) for i in docs]
+            vals_u64 = np.concatenate(_plane_groups(vplanes))
+            runs_per = np.array([parsed[i][1] for i in docs], dtype=np.int64)
+            values = _add_min_multi(
+                vals_u64, [parsed[i][2] for i in docs], runs_per
+            )
+            counts = np.concatenate([rle_counts[i] for i in docs])
+            scatter(docs, np.repeat(values, counts))
+        elif codec == BITPACK:
+            planes = [(parsed[i][2], parsed[i][3], parsed[i][1], 0) for i in docs]
+            flat = np.concatenate(_plane_groups(planes)).view(np.int64)
+            scatter(docs, flat)
+        elif codec == FOR:
+            planes = [(parsed[i][3], parsed[i][4], parsed[i][1], 0) for i in docs]
+            flat_u64 = np.concatenate(_plane_groups(planes))
+            scatter(docs, _add_min_multi(flat_u64, [parsed[i][2] for i in docs], ns))
+        elif codec == DICT:
+            dplanes = [(parsed[i][4], parsed[i][6], parsed[i][2], 0) for i in docs]
+            ndvs = np.array([parsed[i][2] for i in docs], dtype=np.int64)
+            uniq = _add_min_multi(
+                np.concatenate(_plane_groups(dplanes)),
+                [parsed[i][3] for i in docs],
+                ndvs,
+            )
+            iplanes = [(parsed[i][5], parsed[i][7], parsed[i][1], 0) for i in docs]
+            idx = np.concatenate(_plane_groups(iplanes)).view(np.int64)
+            if idx.size and int(idx.max()) >= 0:
+                limit = np.repeat(ndvs, ns)
+                if (idx >= limit).any():
+                    raise ValueError("corrupt DICT block: index out of range")
+            dict_off = np.cumsum(ndvs) - ndvs
+            scatter(docs, uniq[idx + np.repeat(dict_off, ns)])
+        else:  # pragma: no cover
+            raise ValueError(f"unknown codec id {codec}")
+    if np.dtype(dtype) != np.int64:
+        out = out.astype(dtype)
+    return out, offsets
+
+
+# ---------------------------------------------------------------------------
 # String columns: dictionary indices + FSST-compressed dictionary payload.
 # The classic composition (dict first, FSST only over the ndv unique strings)
 # keeps the per-byte symbol matching off the hot path — it touches the

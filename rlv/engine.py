@@ -469,23 +469,17 @@ def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             tb.column("n_tok").combine_chunks().to_numpy()
             if "n_tok" in tb.column_names else None
         )
-        parts = [B.decode_block(blocks_col[i].as_py(), np.int32)
-                 for i in range(len(blocks_col))]
-        if expected is not None:
+        flat, offsets = B.decode_blocks_batch(blocks_col.to_pylist(), np.int32)
+        if expected is not None and not np.array_equal(
+            np.diff(offsets), expected.astype(np.int64)
+        ):
             # the decode-size guard (compute_decode_size_early /
             # safe_decode_with_limit, rl_encoding.v:4013-4014, 5034-5069):
             # a corrupt block must fail loudly, never return a wrong answer
-            for i, p in enumerate(parts):
-                if p.size != int(expected[i]):
-                    raise ValueError(
-                        f"corrupt block: declared n_tok {int(expected[i])} but "
-                        f"decoded {p.size} values"
-                    )
-        offsets = np.zeros(len(parts) + 1, dtype=np.int32)
-        np.cumsum([p.size for p in parts], out=offsets[1:])
-        flat = np.concatenate(parts) if parts else np.empty(0, np.int32)
+            raise ValueError("corrupt block: declared n_tok != decoded size")
         decoded = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            pa.array(flat, type=pa.int32()),
         )
         yield pa.record_batch(
             [tb.column("doc_id").combine_chunks(), decoded],

@@ -310,26 +310,36 @@ def _make_verify_worker(blocks_dir: str):
                 o = offs - offs[0]
                 n = len(src)
                 blocks_col = blk.column("block")
-                parts = []
+                blobs = []
                 for i in range(n):
                     j = i if order is None else order[i]
                     if order is not None and np.isnan(j):
-                        parts.append(np.empty(0, np.int32))  # missing doc
-                        continue
-                    try:
-                        parts.append(
-                            B.decode_block(blocks_col[int(j)].as_py(), np.int32)
-                        )
-                    except Exception:
-                        # corrupt blocks raise (the decode guards,
-                        # rl_encoding.v:4016-4023); verify must report the
-                        # split, not die — an empty decode can never match a
-                        # nonempty doc, so it counts as that doc's mismatch
-                        parts.append(np.empty(0, np.int32))
-                lens = np.fromiter((p.size for p in parts), np.int64, n)
+                        blobs.append(None)  # missing doc: decodes empty
+                    else:
+                        blobs.append(blocks_col[int(j)].as_py())
+                try:
+                    dec, dec_off0 = B.decode_blocks_batch(blobs, np.int32)
+                    lens = np.diff(dec_off0)
+                except Exception:
+                    # corrupt blocks raise (the decode guards,
+                    # rl_encoding.v:4016-4023); verify must report the split,
+                    # not die — retry per doc so one bad block only fails its
+                    # own doc (an empty decode never matches a nonempty one)
+                    parts = []
+                    for b in blobs:
+                        try:
+                            parts.append(
+                                B.decode_block(b, np.int32)
+                                if b is not None else np.empty(0, np.int32)
+                            )
+                        except Exception:
+                            parts.append(np.empty(0, np.int32))
+                    dec = (
+                        np.concatenate(parts) if parts else np.empty(0, np.int32)
+                    )
+                    lens = np.fromiter((p.size for p in parts), np.int64, n)
                 n_per_doc = np.diff(o)
                 bad_len = np.flatnonzero(lens != n_per_doc)
-                dec = np.concatenate(parts) if parts else np.empty(0, np.int32)
                 if bad_len.size == 0 and dec.size == a.size:
                     neq = np.flatnonzero(a != dec)
                     bad_docs = np.unique(np.searchsorted(o, neq, side="right") - 1)

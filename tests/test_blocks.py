@@ -169,3 +169,31 @@ def test_bits_required_table():
     assert [bitpack.bits_required(n) for n in [0, 1, 2, 3, 4, 7, 8, 255, 256]] == [
         1, 1, 2, 2, 3, 3, 4, 8, 9,
     ]
+
+
+@given(st.lists(token_arrays, max_size=8))
+def test_decode_blocks_batch_matches_per_doc(doc_lists):
+    """Batched multi-doc decode is byte-identical to per-doc decode_block,
+    across codecs, interleaved empties, and mixed widths."""
+    blobs, expect = [], []
+    for xs in doc_lists:
+        a = arr(xs)
+        for codec in blocks.INT_CODECS:
+            if codec == blocks.BITPACK and a.size and a.min() < 0:
+                continue
+            blobs.append(blocks.encode_with(codec, a))
+            expect.append(a)
+    flat, offs = blocks.decode_blocks_batch(blobs, np.int64)
+    assert offs[-1] == sum(e.size for e in expect)
+    for i, e in enumerate(expect):
+        np.testing.assert_array_equal(flat[offs[i]:offs[i + 1]], e)
+
+
+def test_decode_blocks_batch_rejects_truncation():
+    a = np.arange(500, dtype=np.int64)
+    good = blocks.encode_with(blocks.FOR, a)
+    with pytest.raises(ValueError):
+        blocks.decode_blocks_batch([good[:-3]])
+    # and a truncated neighbour cannot corrupt other docs' output
+    with pytest.raises(ValueError):
+        blocks.decode_blocks_batch([good, good[:-3], good])
