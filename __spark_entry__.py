@@ -402,6 +402,14 @@ def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ivf_cells(emb)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN search (probe nprobe=2 cells, rank within) — the
+    end-to-end bucketed-search scale path; `ann_topk` is its brute-force
+    recall baseline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.ivf_topk(emb)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction through the real mapInPandas plumbing
     (rlv.multimodal): a media table derived deterministically from documents
@@ -533,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "embedding_neardup": _q_embedding_neardup,
         "ann_ivf_cells": _q_ann_ivf_cells,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
     }
@@ -786,6 +795,46 @@ r AS (
   FROM s
 )
 SELECT vec_id, CAST(cell AS INT) AS cell FROM r WHERE rk = 1
+""",
+        "ann_ivf_topk": f"""
+WITH {_DUCK_QUANT_CTE},
+c AS (
+  SELECT vec_id AS cell, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8
+),
+s AS (
+  SELECT n.vec_id, c.cell,
+         list_aggregate(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2]), 'sum')
+           / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) AS cos,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_aggregate(list_transform(list_zip(n.q, c.cq),
+                                     p -> p[1] * p[2]), 'sum')
+                                     / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) DESC,
+                                     c.cell ASC) AS crk
+  FROM n, c
+),
+cells AS (SELECT vec_id, cell FROM s WHERE crk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM s WHERE crk <= 2 AND vec_id < 10),
+cand AS (
+  SELECT DISTINCT p.query_id, d.vec_id AS neighbor_id
+  FROM probes p JOIN cells d USING (cell)
+  WHERE d.vec_id != p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_aggregate(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]), 'sum')
+           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+  FROM cand cd
+  JOIN n a ON a.vec_id = cd.neighbor_id
+  JOIN n b ON b.vec_id = cd.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id
+FROM ranked WHERE rk <= 5
 """,
         "multimodal_features": f"""
 WITH m AS (

@@ -426,6 +426,89 @@ def verify_files_dataset(
     }
 
 
+DECODE_RESULT_SCHEMA = "file string, n_docs bigint, n_tokens bigint"
+
+
+def _make_decode_worker(out_dir: str):
+    """Per-file decode: blocks parquet -> token-table parquet (the read/export
+    direction, python-native like the encode).  Output rows carry
+    (doc_id, tokens, n_tok, source); file name mirrors the blocks file so the
+    export is idempotent and resumable by presence."""
+    from rlv import blocks as B
+    from rlv.util import tune_malloc
+
+    def run_decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                tbl = pq.read_table(
+                    path, columns=["doc_id", "source", "n_tok", "block"]
+                ).combine_chunks()
+                flat, offs = B.decode_blocks_batch(
+                    tbl.column("block").to_pylist(), np.int32
+                )
+                declared = tbl.column("n_tok").to_numpy().astype(np.int64)
+                if not np.array_equal(np.diff(offs), declared):
+                    raise ValueError(
+                        f"corrupt block file {path}: decoded sizes != n_tok"
+                    )
+                tokens_col = pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32), type=pa.int32()),
+                    pa.array(flat, type=pa.int32()),
+                )
+                out = pa.table(
+                    {
+                        "doc_id": tbl.column("doc_id"),
+                        "tokens": tokens_col,
+                        "n_tok": tbl.column("n_tok"),
+                        "source": tbl.column("source"),
+                    }
+                )
+                final = os.path.join(out_dir, os.path.basename(path))
+                tmp = final + ".inprogress"
+                pq.write_table(out, tmp, compression="zstd")
+                os.replace(tmp, final)
+                yield pd.DataFrame(
+                    {
+                        "file": [os.path.basename(path)],
+                        "n_docs": [len(out)],
+                        "n_tokens": [int(flat.size)],
+                    }
+                )
+
+    return run_decode
+
+
+def decode_files_dataset(spark: SparkSession, enc_dir: str, out_dir: str) -> dict:
+    """Decode every blocks file under ``enc_dir`` back into a token table at
+    ``out_dir`` (one task per blocks file, zero shuffle).  Returns
+    {files, docs, tokens}."""
+    blocks_dir = f"{enc_dir}/blocks"
+    files = sorted(
+        os.path.join(blocks_dir, f)
+        for f in os.listdir(blocks_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    if not files:
+        return {"files": 0, "docs": 0, "tokens": 0}
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    rows = tasks_df.mapInPandas(
+        _make_decode_worker(out_dir), DECODE_RESULT_SCHEMA
+    ).collect()
+    return {
+        "files": len(rows),
+        "docs": sum(int(r["n_docs"]) for r in rows),
+        "tokens": sum(int(r["n_tokens"]) for r in rows),
+    }
+
+
 COUNT_SCHEMA = "split_id string, n_docs bigint, n_tokens bigint, n_runs bigint"
 
 

@@ -218,6 +218,87 @@ def embedding_neardup_pairs(emb: DataFrame, min_cos_e6: int = 400_000) -> DataFr
     )
 
 
+def _cell_scores(emb: DataFrame, k: int) -> DataFrame:
+    """(vec_id, cell, cos) for every vector x centroid pair; centroids are
+    the k lowest vec_ids (deterministic k-means stand-in)."""
+    q = _quantized(emb)
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+    return q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        (
+            F.expr(
+                "aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
+            / F.sqrt((F.col("n2") * F.col("cn2")).cast("double"))
+        ).alias("cos"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """IVF-probed ANN search: (query_id, rk, neighbor_id).
+
+    Each query probes its ``nprobe`` max-cosine cells and ranks only the
+    vectors assigned there — the cell equi-join replaces the O(n^2) compare;
+    recall vs the brute-force baseline (`ann_topk`) is governed by nprobe.
+    All cosines are IEEE-exact doubles over quantized ints; ties break to the
+    lower neighbor/cell id, so the result is engine-portable.
+    """
+    from pyspark.sql import Window as W
+
+    scores = _cell_scores(emb, k_centroids)
+    w_cell = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    ranked = scores.withColumn("crk", F.row_number().over(w_cell))
+    cells = ranked.filter(F.col("crk") == 1).select("vec_id", "cell")
+    probes = (
+        ranked.filter((F.col("crk") <= nprobe) & (F.col("vec_id") < n_queries))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = _quantized(emb)
+    a = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    scored = cand.join(a, "neighbor_id").join(F.broadcast(b), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
+            / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", F.col("rk").cast("int").alias("rk"), "neighbor_id")
+    )
+
+
 def ivf_cells(emb: DataFrame, k: int = 8) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its max-cosine centroid.
 
@@ -229,25 +310,9 @@ def ivf_cells(emb: DataFrame, k: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    q = _quantized(emb)
-    cents = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"),
-        F.col("q").alias("cq"),
-        F.col("n2").alias("cn2"),
-    )
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        (
-            F.expr(
-                "aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-            )
-            / F.sqrt((F.col("n2") * F.col("cn2")).cast("double"))
-        ).alias("cos"),
-    )
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        _cell_scores(emb, k).withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("cell").cast("int").alias("cell"))
     )

@@ -151,3 +151,24 @@ def test_count_runs_files_matches_pass(spark, tok_dir):
     assert res["docs"] == agg["d"]
     assert res["runs"] == agg["r"]
     assert res["tokens"] == tok.agg(F.sum("n_tok")).collect()[0][0]
+
+
+def test_decode_files_dataset_roundtrip(spark, tok_dir, tmp_path):
+    """Export direction: decode_files_dataset reconstructs the token table
+    bit-identically (rle_correct, rl_encoding.v:133-144, end to end)."""
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    restored_dir = str(tmp_path / "restored")
+    res = engine_files.decode_files_dataset(spark, out, restored_dir)
+    src = spark.read.parquet(tok_dir)
+    assert res["docs"] == src.count()
+    restored = spark.read.parquet(restored_dir)
+    assert restored.count() == src.count()
+    joined = src.select("doc_id", "tokens", "source").alias("s").join(
+        restored.select("doc_id", "tokens", "source").alias("r"), "doc_id"
+    )
+    bad = joined.filter(
+        (F.col("s.tokens") != F.col("r.tokens"))
+        | (F.col("s.source") != F.col("r.source"))
+    ).count()
+    assert bad == 0
