@@ -135,6 +135,13 @@ def main() -> None:
             t_best = t if t_best is None else min(t_best, t)
         queries["count_runs"] = round(t_best, 3)
         extra["n_runs"] = cr["runs"]
+
+        # LPT balance evidence: per-split encode CPU from the manifest; at
+        # 1000 executors the max/mean ratio IS the straggler factor
+        mpdf = engine_files._read_manifest_pdf(f"/tmp/rlv_bench/out_{CPUS}")
+        cpu = mpdf["encode_cpu_ns"].to_numpy()
+        if cpu.size and cpu.mean() > 0:
+            extra["split_cpu_imbalance"] = round(float(cpu.max() / cpu.mean()), 3)
     finally:
         spark.stop()
 

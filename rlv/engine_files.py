@@ -384,12 +384,11 @@ def verify_files_dataset(
     """
     if num_tasks is None:
         num_tasks = 4 * spark.sparkContext.defaultParallelism
-    done = done_splits(spark, out_dir)
     todo: list[dict] = []
-    pdf = _read_manifest_pdf(out_dir)
-    if pdf is not None and "pieces" in pdf.columns:
-        for rec in pdf.to_dict("records"):
-            if str(rec["split_id"]) in done and rec.get("pieces"):
+    live = live_splits(out_dir)  # compacted rows have no file of their own
+    if live is not None and "pieces" in live.columns:
+        for rec in live.to_dict("records"):
+            if rec.get("pieces"):
                 todo.append(
                     {
                         "split_id": str(rec["split_id"]),
@@ -397,6 +396,7 @@ def verify_files_dataset(
                     }
                 )
     if not todo:
+        done = done_splits(spark, out_dir)
         splits = plan_splits(input_dir, num_tasks)
         todo = [s for s in splits if s["split_id"] in done]
     if not todo:
@@ -488,11 +488,20 @@ def decode_files_dataset(spark: SparkSession, enc_dir: str, out_dir: str) -> dic
     ``out_dir`` (one task per blocks file, zero shuffle).  Returns
     {files, docs, tokens}."""
     blocks_dir = f"{enc_dir}/blocks"
-    files = sorted(
-        os.path.join(blocks_dir, f)
-        for f in os.listdir(blocks_dir)
-        if f.endswith(".parquet")
-    )
+    live = live_splits(enc_dir)
+    if live is not None:
+        # manifest-driven file set (survives compaction crash windows)
+        files = sorted(
+            os.path.join(blocks_dir, f"{sid}.parquet")
+            for sid in live["split_id"].astype(str)
+            if os.path.exists(os.path.join(blocks_dir, f"{sid}.parquet"))
+        )
+    else:
+        files = sorted(
+            os.path.join(blocks_dir, f)
+            for f in os.listdir(blocks_dir)
+            if f.endswith(".parquet")
+        )
     os.makedirs(out_dir, exist_ok=True)
     if not files:
         return {"files": 0, "docs": 0, "tokens": 0}
@@ -623,11 +632,120 @@ def _write_manifest_pdf(out_dir: str, pdf) -> None:
 
 
 def done_splits(spark: SparkSession, out_dir: str) -> set[str]:
+    """Splits whose work is complete — including ones whose file was later
+    absorbed by compaction ('compacted'): resume must still skip them."""
     pdf = _read_manifest_pdf(out_dir)
     if pdf is None:
         return set()
-    ok = pdf["status"].isin(["done", "verified"])
+    ok = pdf["status"].isin(["done", "verified", "compacted"])
     return set(pdf.loc[ok, "split_id"].astype(str))
+
+
+def live_splits(out_dir: str):
+    """Manifest rows whose blocks file currently exists as data (excludes
+    rows absorbed by compaction) — the reader-facing file set."""
+    pdf = _read_manifest_pdf(out_dir)
+    if pdf is None:
+        return None
+    return pdf[pdf["status"].isin(["done", "verified"])]
+
+
+def compact_blocks(
+    spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Iceberg-style small-file compaction: bin-pack live blocks files up to
+    ``target_bytes`` and rewrite each bin as one file.
+
+    Metadata-first protocol (crash-safe): write the merged file under an
+    ``.inprogress`` name, flip the manifest (old rows -> status='compacted',
+    merged row added with the UNION of their lineage pieces), rename, then
+    delete the absorbed files; readers resolve the file set from the manifest,
+    so a crash mid-sequence leaves only ignorable orphans (cleaned here too).
+    Block bytes are untouched — compaction regroups files, and the lineage
+    union keeps the zero-shuffle verify replayable against the merged file.
+    """
+    import pyarrow.parquet as pq
+
+    blocks_dir = f"{out_dir}/blocks"
+    pdf = _read_manifest_pdf(out_dir)
+    if pdf is None:
+        return {"bins_written": 0, "files_absorbed": 0}
+    live = pdf[pdf["status"].isin(["done", "verified"])]
+    infos = []
+    for rec in live.to_dict("records"):
+        path = os.path.join(blocks_dir, f"{rec['split_id']}.parquet")
+        if os.path.exists(path):
+            infos.append((str(rec["split_id"]), path, os.path.getsize(path)))
+    # first-fit-decreasing by size; only bins with >= 2 files are worth it
+    infos.sort(key=lambda x: -x[2])
+    bins: list[list[tuple[str, str, int]]] = []
+    loads: list[int] = []
+    for info in infos:
+        placed = False
+        for i, ld in enumerate(loads):
+            if ld + info[2] <= target_bytes:
+                bins[i].append(info)
+                loads[i] += info[2]
+                placed = True
+                break
+        if not placed:
+            bins.append([info])
+            loads.append(info[2])
+    bins = [b for b in bins if len(b) >= 2]
+    by_id = {str(r["split_id"]): r for r in pdf.to_dict("records")}
+    written = 0
+    absorbed = 0
+    for bin_ in bins:
+        sids = [sid for sid, _, _ in bin_]
+        tables = [pq.read_table(path) for _, path, _ in bin_]
+        import pyarrow as pa
+
+        merged = pa.concat_tables(tables)
+        pieces: list = []
+        for sid in sids:
+            pieces.extend(json.loads(by_id[sid].get("pieces") or "[]"))
+        key = json.dumps(["compact", sorted(sids)], sort_keys=True).encode()
+        new_sid = hashlib.sha1(key).hexdigest()[:16]
+        final = os.path.join(blocks_dir, f"{new_sid}.parquet")
+        tmp = final + ".inprogress"
+        pq.write_table(merged, tmp, compression="zstd")
+        # manifest flip BEFORE the data rename: readers follow the manifest
+        rows = [by_id[sid] for sid in sids]
+        merged_row = {
+            "split_id": new_sid,
+            "status": "done",
+            "n_docs": sum(int(r["n_docs"]) for r in rows),
+            "n_tokens": sum(int(r["n_tokens"]) for r in rows),
+            "n_runs": sum(int(r["n_runs"]) for r in rows),
+            "bytes_in": sum(int(r["bytes_in"]) for r in rows),
+            "bytes_out": sum(int(r["bytes_out"]) for r in rows),
+            "naive_rle_bytes": sum(int(r["naive_rle_bytes"]) for r in rows),
+            "codec_hist": "",
+            "encode_cpu_ns": sum(int(r["encode_cpu_ns"]) for r in rows),
+            "tokens_per_cpu_sec": 0.0,
+            "attempt": 1,
+            "finished_at": time.time(),
+            "pieces": json.dumps(pieces),
+        }
+        for sid in sids:
+            by_id[sid] = {**by_id[sid], "status": "compacted"}
+        by_id[new_sid] = merged_row
+        _write_manifest_pdf(out_dir, pd.DataFrame(list(by_id.values())))
+        os.replace(tmp, final)
+        for _, path, _ in bin_:
+            os.remove(path)
+        written += 1
+        absorbed += len(bin_)
+    # orphan cleanup: data files the manifest doesn't know as live
+    live_names = {
+        f"{sid}.parquet"
+        for sid, r in by_id.items()
+        if r["status"] in ("done", "verified")
+    }
+    for name in os.listdir(blocks_dir):
+        if name.endswith(".parquet") and name not in live_names:
+            os.remove(os.path.join(blocks_dir, name))
+    return {"bins_written": written, "files_absorbed": absorbed}
 
 
 def encode_files_dataset(

@@ -172,3 +172,40 @@ def test_decode_files_dataset_roundtrip(spark, tok_dir, tmp_path):
         | (F.col("s.source") != F.col("r.source"))
     ).count()
     assert bad == 0
+
+
+def test_compact_blocks(spark, tok_dir, tmp_path):
+    """Compaction regroups files without touching block bytes; resume,
+    verify (via merged lineage), and decode all still work."""
+    import glob
+
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    before = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    assert len(before) >= 4
+    pre_blocks = {
+        r["doc_id"]: bytes(r["block"])
+        for r in spark.read.parquet(f"{out}/blocks").select("doc_id", "block").collect()
+    }
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    assert res["files_absorbed"] == len(before)
+    after = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    assert len(after) < len(before)
+    # block bytes untouched
+    post_blocks = {
+        r["doc_id"]: bytes(r["block"])
+        for r in spark.read.parquet(f"{out}/blocks").select("doc_id", "block").collect()
+    }
+    assert post_blocks == pre_blocks
+    # resume: absorbed splits still count as done
+    again = engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    assert again["splits_encoded"] == 0
+    # zero-shuffle verify replays the merged lineage
+    v = engine_files.verify_files_dataset(spark, tok_dir, out)
+    assert v["mismatches"] == 0
+    assert v["docs"] == spark.read.parquet(tok_dir).count()
+    # decode/export is manifest-driven and sees exactly the live files
+    restored = str(tmp_path / "restored")
+    d = engine_files.decode_files_dataset(spark, out, restored)
+    assert d["docs"] == len(pre_blocks)
