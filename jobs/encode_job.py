@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--verify", action="store_true",
                     help="decode every block and check bit-identity")
+    ap.add_argument("--compact-target", type=int, default=None, metavar="BYTES",
+                    help="after encoding, compact blocks files up to this size")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -68,6 +70,11 @@ def main(argv=None) -> int:
         summary = engine.encode_dataset(
             spark, tok, args.output,
             n_groups=args.tasks or 64, resume=resume,
+        )
+
+    if args.compact_target and args.mode == "files":
+        summary["compaction"] = engine_files.compact_blocks(
+            spark, args.output, target_bytes=args.compact_target
         )
 
     if args.verify:
