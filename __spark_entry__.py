@@ -402,6 +402,27 @@ def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ivf_cells(emb)
 
 
+def _q_chunked_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed streaming-encoder API (stream_complete_encode,
+    v:4544-4549): each doc's tokens arrive as 3 ordered chunks, the grouped
+    stitch-encode reassembles them, and the result must equal whole-array
+    encoding (stream_eq_batch, v:4695-4715) — the oracle recomputes n_runs
+    AND the exact RLE block byte size from SQL window stats."""
+    df = _token_df(spark, sf_dir)
+    chunks = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), i -> struct(i AS chunk_idx, "
+                "slice(tokens, CAST(i * ceil(size(tokens) / 3.0) AS INT) + 1, "
+                "CAST(ceil(size(tokens) / 3.0) AS INT)) AS tokens))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.tokens")
+    enc = engine.encode_chunked_sequences(chunks)
+    return enc.select("doc_id", "n_tok", "n_runs", "enc_bytes")
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN search (probe nprobe=2 cells, rank within) — the
     end-to-end bucketed-search scale path; `ann_topk` is its brute-force
@@ -528,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxrun_byte": _q_maxrun_byte,
         "compression_summary": _q_compression_summary,
         "codec_selection": _q_codec_selection,
+        "chunked_encode": _q_chunked_encode,
         "roundtrip_verify": _q_roundtrip_verify,
         "string_codec_verify": _q_string_codec_verify,
         "dedup_exact": _q_dedup_exact,
@@ -650,6 +672,33 @@ SELECT doc_id,
     ELSE 5 END AS INT) AS codec_id,
   CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
 FROM sz
+""",
+        "chunked_encode": f"""
+WITH {_TOKS_CTE},
+doc_runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs, max(cnt) AS max_count,
+         min(tok) AS minv, max(tok) AS maxv, CAST(sum(cnt) AS BIGINT) AS n_tok
+  FROM runs GROUP BY doc_id
+),
+bits AS (
+  SELECT *,
+    CASE WHEN maxv - minv = 0 THEN 0 ELSE length(printf('%b', maxv - minv)) END AS vbits,
+    CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
+    2 * minv AS zzmin
+  FROM doc_runs
+),
+lens AS (
+  SELECT *,
+    (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
+    CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz
+  FROM bits
+)
+SELECT doc_id, n_tok, n_runs,
+  CAST(1 + ul_r + ul_zz + 2
+       + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
+       + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END
+    AS BIGINT) AS enc_bytes
+FROM lens
 """,
         "roundtrip_verify": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_verified
