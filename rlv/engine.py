@@ -179,67 +179,144 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
             maxc, ndv, distinct_vals, ndv_off)
 
 
-def _grouped_encode(a, o, n_per_doc, minv, maxv, chosen,
+def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
                     run_len, run_val, doc_run_off,
                     distinct_vals, ndv_off) -> list[bytes]:
-    """Serialize every doc's block, vectorizing across docs where possible.
+    """Serialize every doc's block, vectorized across docs for ALL codecs.
 
-    Docs chosen as FOR/BITPACK with a byte-multiple width (the dominant mass
-    for realistic token vocabs: 16-bit deltas) are packed as ONE numpy cast of
-    the concatenated group, then sliced per doc — the per-doc Python cost drops
-    to header assembly.  Other codecs fall back to the per-doc kernels.
-    Byte-identical to the scalar path (tested against selector.encode_auto).
+    Every packed plane is produced by ``pack_bits_multi`` over the whole
+    same-bit-width group (one numpy pass per (plane, width)); per-doc Python
+    reduces to header assembly and payload slicing.  Byte-identical to the
+    scalar encoders (tested against selector.encode_auto).
     """
-    from rlv.kernels.bitpack import write_uvarint, zigzag
+    from rlv.kernels.bitpack import pack_bits_multi, write_uvarint, zigzag
 
     n_docs = n_per_doc.size
-    out: list[bytes | None] = [None] * n_docs
+    out: list[bytes] = [b""] * n_docs  # empty docs encode to b""
     vbits = _bitlen(maxv - minv)
     pbits = _bitlen(np.maximum(maxv, 0))
-    for codec, bits_arr in ((B.BITPACK, pbits), (B.FOR, vbits)):
-        base = np.flatnonzero((chosen == codec) & (n_per_doc > 0))
-        for bits in (8, 16, 32):
+    cbits = _bitlen(np.maximum(maxc - 1, 0))
+    runs_per_doc = np.diff(doc_run_off)
+    ndv = np.diff(ndv_off)
+    minv_u64 = minv.astype(np.uint64)
+
+    def gather(src, src_off, docs, lens):
+        """Concatenate per-doc slices of ``src`` (doc-major)."""
+        local = np.cumsum(lens) - lens
+        idx = np.arange(int(lens.sum()), dtype=np.int64) + np.repeat(
+            src_off[docs] - local, lens
+        )
+        return src[idx]
+
+    def plane_groups(base, bits_arr, lens_all, values_of):
+        """Yield (docs, bits, payload, byte_offs) per same-width subgroup."""
+        for bits in np.unique(bits_arr[base]):
             docs = base[bits_arr[base] == bits]
+            lens = lens_all[docs]
+            payload, offs = pack_bits_multi(values_of(docs, lens), lens, int(bits))
+            yield docs, int(bits), payload, offs
+
+    # ---- BITPACK / FOR ----
+    for codec, bits_arr, sub_min in (
+        (B.BITPACK, pbits, False), (B.FOR, vbits, True),
+    ):
+        base = np.flatnonzero((chosen == codec) & (n_per_doc > 0))
+        if base.size == 0:
+            continue
+
+        def tok_values(docs, lens, _sub=sub_min):
+            sel = gather(a, o, docs, lens).astype(np.uint64)
+            if _sub:
+                sel -= np.repeat(minv_u64[docs], lens)
+            return sel
+
+        for docs, bits, payload, offs in plane_groups(
+            base, bits_arr, n_per_doc, tok_values
+        ):
+            for j, d in enumerate(docs):
+                hdr = bytearray([codec])
+                write_uvarint(hdr, int(n_per_doc[d]))
+                if sub_min:
+                    write_uvarint(hdr, zigzag(int(minv[d])))
+                hdr.append(bits)
+                out[d] = bytes(hdr) + payload[offs[j]:offs[j + 1]]
+
+    # ---- RLE: two planes (counts-1 by cbits, value deltas by vbits) ----
+    base = np.flatnonzero((chosen == B.RLE) & (n_per_doc > 0))
+    if base.size:
+        cpay: dict[int, bytes] = {}
+        for docs, bits, payload, offs in plane_groups(
+            base, cbits, runs_per_doc,
+            lambda docs, lens: gather(run_len, doc_run_off, docs, lens).astype(
+                np.uint64
+            ) - np.uint64(1),
+        ):
+            for j, d in enumerate(docs):
+                cpay[d] = payload[offs[j]:offs[j + 1]]
+        for docs, bits, payload, offs in plane_groups(
+            base, vbits, runs_per_doc,
+            lambda docs, lens: gather(run_val, doc_run_off, docs, lens).astype(
+                np.uint64
+            ) - np.repeat(minv_u64[docs], lens),
+        ):
+            for j, d in enumerate(docs):
+                hdr = bytearray([B.RLE])
+                write_uvarint(hdr, int(runs_per_doc[d]))
+                write_uvarint(hdr, zigzag(int(minv[d])))
+                hdr.append(int(cbits[d]))
+                hdr.append(int(vbits[d]))
+                out[d] = bytes(hdr) + cpay[d] + payload[offs[j]:offs[j + 1]]
+
+    # ---- DICT: dictionary plane (== vbits) + index plane (by ibits) ----
+    base = np.flatnonzero((chosen == B.DICT) & (n_per_doc > 0))
+    if base.size:
+        ibits = _bitlen(np.maximum(ndv - 1, 0))
+        dpay: dict[int, bytes] = {}
+        for docs, bits, payload, offs in plane_groups(
+            base, vbits, ndv,
+            lambda docs, lens: gather(distinct_vals, ndv_off, docs, lens).astype(
+                np.uint64
+            ) - np.repeat(minv_u64[docs], lens),
+        ):
+            for j, d in enumerate(docs):
+                dpay[d] = payload[offs[j]:offs[j + 1]]
+        # indices: per-doc searchsorted into the stats sweep's sorted uniques
+        inv_parts = {
+            int(d): np.searchsorted(
+                distinct_vals[ndv_off[d]:ndv_off[d + 1]], a[o[d]:o[d + 1]]
+            ).astype(np.uint64)
+            for d in base
+        }
+        for docs, bits, payload, offs in plane_groups(
+            base, ibits, n_per_doc,
+            lambda docs, lens: np.concatenate([inv_parts[int(d)] for d in docs]),
+        ):
+            for j, d in enumerate(docs):
+                hdr = bytearray([B.DICT])
+                write_uvarint(hdr, int(n_per_doc[d]))
+                write_uvarint(hdr, int(ndv[d]))
+                write_uvarint(hdr, zigzag(int(minv[d])))
+                hdr.append(int(vbits[d]))
+                hdr += dpay[d]
+                hdr.append(int(ibits[d]))
+                out[d] = bytes(hdr) + payload[offs[j]:offs[j + 1]]
+
+    # ---- PLAIN: straight fixed-width casts, grouped by width ----
+    base = np.flatnonzero((chosen == B.PLAIN) & (n_per_doc > 0))
+    if base.size:
+        wide = (maxv[base] > 2**31 - 1) | (minv[base] < -(2**31))
+        for width, docs in ((4, base[~wide]), (8, base[wide])):
             if docs.size == 0:
                 continue
             lens = n_per_doc[docs]
-            out_off = np.zeros(docs.size + 1, dtype=np.int64)
-            np.cumsum(lens, out=out_off[1:])
-            idx = np.arange(out_off[-1], dtype=np.int64) + np.repeat(
-                o[docs] - out_off[:-1], lens
-            )
-            sel = a[idx].astype(np.int64, copy=False)
-            if codec == B.FOR:
-                sel = sel - np.repeat(minv[docs], lens)
-            buf = sel.astype(f"<u{bits // 8}").tobytes()
-            byte_off = out_off * (bits // 8)
+            buf = gather(a, o, docs, lens).astype(f"<i{width}").tobytes()
+            byte_off = (np.cumsum(lens) - lens) * width
             for j, d in enumerate(docs):
-                hdr = bytearray([codec])
+                hdr = bytearray([B.PLAIN])
                 write_uvarint(hdr, int(lens[j]))
-                if codec == B.FOR:
-                    write_uvarint(hdr, zigzag(int(minv[d])))
-                hdr.append(bits)
-                out[d] = bytes(hdr) + buf[byte_off[j]:byte_off[j + 1]]
-    for i in range(n_docs):
-        if out[i] is not None:
-            continue
-        if n_per_doc[i] == 0:
-            out[i] = b""
-            continue
-        codec = int(chosen[i])
-        if codec == B.RLE:
-            out[i] = B.encode_rle_runs(
-                run_len[doc_run_off[i]:doc_run_off[i + 1]],
-                run_val[doc_run_off[i]:doc_run_off[i + 1]],
-            )
-        elif codec == B.DICT:
-            # the stats sweep's sorted distinct values ARE this doc's
-            # dictionary; searchsorted replaces a per-doc np.unique sort
-            uniq = distinct_vals[ndv_off[i]:ndv_off[i + 1]]
-            inv = np.searchsorted(uniq, a[o[i]:o[i + 1]])
-            out[i] = B.encode_dict_from_unique(int(n_per_doc[i]), uniq, inv)
-        else:
-            out[i] = B.encode_with(codec, a[o[i]:o[i + 1]])
+                hdr.append(width)
+                end = byte_off[j] + int(lens[j]) * width
+                out[d] = bytes(hdr) + buf[byte_off[j]:end]
     return out
 
 
@@ -257,8 +334,8 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc, ndv)
         chosen = sizes.argmin(axis=1) + 1  # column order == codec ids 1..5
         out_blocks = _grouped_encode(
-            a, o, n_per_doc, minv, maxv, chosen, run_len, run_val, doc_run_off,
-            distinct_vals, ndv_off,
+            a, o, n_per_doc, minv, maxv, maxc, chosen,
+            run_len, run_val, doc_run_off, distinct_vals, ndv_off,
         )
         enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
         elapsed = time.perf_counter_ns() - t0

@@ -81,6 +81,62 @@ def pack_bits(values: np.ndarray, bits: int) -> bytes:
     return out.astype("<u8", copy=False).tobytes()[: packed_nbytes(n, bits)]
 
 
+def pack_bits_multi(
+    values: np.ndarray, ns: np.ndarray, bits: int
+) -> tuple[bytes, np.ndarray]:
+    """Pack many per-doc planes of one bit width in one vector op.
+
+    ``values`` holds all docs' nonnegative uint64 values doc-major; ``ns[i]``
+    is doc i's count.  Returns ``(payload, byte_offs)`` with doc i's payload at
+    ``payload[byte_offs[i]:byte_offs[i+1]]`` — byte-identical to
+    ``pack_bits(doc_values, bits)`` per doc.
+
+    Each doc's plane is byte-padded, so bit positions never collide across
+    docs, and consecutive global values advance >= ``bits`` bits — the stride
+    classes of :func:`pack_bits` stay write-disjoint over the whole batch.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    sizes = (
+        np.zeros(ns.size, dtype=np.int64) if bits == 0 else (ns * bits + 7) // 8
+    )
+    byte_offs = np.zeros(ns.size + 1, dtype=np.int64)
+    np.cumsum(sizes, out=byte_offs[1:])
+    total = int(ns.sum())
+    if total == 0 or bits == 0:
+        return b"", byte_offs
+    u = np.ascontiguousarray(values, dtype=np.uint64)
+    if bits < 64 and int(u.max()) >> bits:
+        raise ValueError("value does not fit in the declared bit width")
+    if bits == 8:
+        return u.astype(np.uint8).tobytes(), byte_offs
+    if bits == 16:
+        return u.astype("<u2").tobytes(), byte_offs
+    if bits == 32:
+        return u.astype("<u4").tobytes(), byte_offs
+    if bits == 64:
+        return u.astype("<u8").tobytes(), byte_offs
+    total_bytes = int(byte_offs[-1])
+    out = np.zeros(total_bytes // 8 + 2, dtype=np.uint64)
+    local = np.cumsum(ns) - ns
+    within = (np.arange(total, dtype=np.int64) - np.repeat(local, ns)).astype(
+        np.uint64
+    )
+    bitpos = (
+        np.repeat(byte_offs[:-1].astype(np.uint64) << np.uint64(3), ns)
+        + within * np.uint64(bits)
+    )
+    w = (bitpos >> np.uint64(6)).astype(np.int64)
+    off = bitpos & np.uint64(63)
+    lo = u << off
+    hi = np.where(off == 0, np.uint64(0), u >> (np.uint64(64) - off))
+    stride = (128 + bits - 1) // bits
+    for c in range(stride):
+        sl = slice(c, None, stride)
+        out[w[sl]] |= lo[sl]
+        out[w[sl] + 1] |= hi[sl]
+    return out.astype("<u8", copy=False).tobytes()[:total_bytes], byte_offs
+
+
 def unpack_bits(buf: bytes, n: int, bits: int, dtype=np.int64) -> np.ndarray:
     """Inverse of :func:`pack_bits` for ``n`` values of ``bits`` bits each.
 
