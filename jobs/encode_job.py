@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--compact-target", type=int, default=None, metavar="BYTES",
                     help="after encoding, compact blocks files up to this size")
     args = ap.parse_args(argv)
+    if args.compact_target and args.mode != "files":
+        ap.error("--compact-target requires --mode files")
 
     from pyspark.sql import SparkSession
 

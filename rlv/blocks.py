@@ -476,9 +476,12 @@ def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
             )
             iplanes = [(parsed[i][5], parsed[i][7], parsed[i][1], 0) for i in docs]
             idx = np.concatenate(_plane_groups(iplanes)).view(np.int64)
-            if idx.size and int(idx.max()) >= 0:
+            if idx.size:
                 limit = np.repeat(ndvs, ns)
-                if (idx >= limit).any():
+                # ibits=64 indices can view to NEGATIVE int64 — those are just
+                # as corrupt as too-large ones and must not wrap via Python
+                # negative indexing into the wrong dictionary entry
+                if ((idx < 0) | (idx >= limit)).any():
                     raise ValueError("corrupt DICT block: index out of range")
             dict_off = np.cumsum(ndvs) - ndvs
             scatter(docs, uniq[idx + np.repeat(dict_off, ns)])

@@ -298,13 +298,20 @@ def _make_verify_worker(blocks_dir: str):
                 ).combine_chunks()
                 src_ids = src.column("doc_id").to_pandas()
                 blk_ids = blk.column("doc_id").to_pandas()
+                extra_docs = 0
                 if len(blk) == len(src) and src_ids.equals(blk_ids):
                     order = None
                 else:  # retries/compaction may reorder a rewritten file
                     pos = pd.Series(
                         np.arange(len(blk_ids)), index=blk_ids.to_numpy()
                     )
-                    order = pos.reindex(src_ids.to_numpy()).to_numpy()
+                    if not pos.index.is_unique:
+                        pos = pos.groupby(level=0).first()
+                    aligned = pos.reindex(src_ids.to_numpy())
+                    order = aligned.to_numpy()
+                    # blocks rows no src doc claims (junk/duplicates) are NOT
+                    # bit-identical output and must count as mismatches
+                    extra_docs = len(blk_ids) - int(aligned.notna().sum())
                 offs, vals = _list_offsets_values(src.column("tokens"))
                 a = vals[offs[0]:offs[-1]]
                 o = offs - offs[0]
@@ -360,7 +367,7 @@ def _make_verify_worker(blocks_dir: str):
                         "split_id": [split_id],
                         "n_docs": [n],
                         "n_tokens": [int(a.size)],
-                        "mismatches": [mismatches],
+                        "mismatches": [mismatches + extra_docs],
                     }
                 )
 
@@ -385,8 +392,9 @@ def verify_files_dataset(
     if num_tasks is None:
         num_tasks = 4 * spark.sparkContext.defaultParallelism
     todo: list[dict] = []
+    no_pieces: list[str] = []
     live = live_splits(out_dir)  # compacted rows have no file of their own
-    if live is not None and "pieces" in live.columns:
+    if live is not None:
         for rec in live.to_dict("records"):
             if rec.get("pieces"):
                 todo.append(
@@ -395,10 +403,22 @@ def verify_files_dataset(
                         "pieces": json.loads(rec["pieces"]),
                     }
                 )
-    if not todo:
-        done = done_splits(spark, out_dir)
-        splits = plan_splits(input_dir, num_tasks)
-        todo = [s for s in splits if s["split_id"] in done]
+            else:
+                no_pieces.append(str(rec["split_id"]))
+    if no_pieces or not todo:
+        # rows from before the lineage column: recover their pieces by
+        # re-planning.  Splits we STILL can't source must fail the verify —
+        # returning mismatches=0 while silently skipping them would certify
+        # a dataset that was never checked.
+        wanted = set(no_pieces) if todo else done_splits(spark, out_dir)
+        planned = {s["split_id"]: s for s in plan_splits(input_dir, num_tasks)}
+        unsourced = sorted(wanted - set(planned))
+        if unsourced:
+            raise ValueError(
+                f"cannot verify splits with no recorded lineage and no match "
+                f"in the re-planned splits (num_tasks mismatch?): {unsourced[:5]}"
+            )
+        todo.extend(planned[sid] for sid in sorted(wanted))
     if not todo:
         return {"splits": 0, "docs": 0, "tokens": 0, "mismatches": 0}
     tasks_df = spark.createDataFrame(
@@ -490,12 +510,18 @@ def decode_files_dataset(spark: SparkSession, enc_dir: str, out_dir: str) -> dic
     blocks_dir = f"{enc_dir}/blocks"
     live = live_splits(enc_dir)
     if live is not None:
-        # manifest-driven file set (survives compaction crash windows)
+        # manifest-driven file set; a live row without its data file is an
+        # integrity violation — exporting around it would silently drop docs
         files = sorted(
             os.path.join(blocks_dir, f"{sid}.parquet")
             for sid in live["split_id"].astype(str)
-            if os.path.exists(os.path.join(blocks_dir, f"{sid}.parquet"))
         )
+        lost = [f for f in files if not os.path.exists(f)]
+        if lost:
+            raise FileNotFoundError(
+                f"manifest lists live splits whose blocks files are missing: "
+                f"{[os.path.basename(f) for f in lost[:5]]}"
+            )
     else:
         files = sorted(
             os.path.join(blocks_dir, f)
@@ -623,9 +649,14 @@ def _write_manifest_pdf(out_dir: str, pdf) -> None:
     os.makedirs(_split_manifest_path(out_dir), exist_ok=True)
     final = f"{_split_manifest_path(out_dir)}/manifest.parquet"
     tmp = final + ".inprogress"
+    pdf = pdf.copy()
+    _STR_COLS = {"split_id", "status", "codec_hist", "pieces"}
+    _FLOAT_COLS = {"tokens_per_cpu_sec", "finished_at"}
     for col in _MANIFEST_COLS:  # manifests written before a column existed
         if col not in pdf.columns:
-            pdf[col] = ""
+            pdf[col] = "" if col in _STR_COLS else (
+                0.0 if col in _FLOAT_COLS else 0
+            )
     pdf = pdf.fillna({"pieces": ""})
     pq.write_table(pa.Table.from_pandas(pdf[_MANIFEST_COLS], preserve_index=False), tmp)
     os.replace(tmp, final)
@@ -709,7 +740,10 @@ def compact_blocks(
         final = os.path.join(blocks_dir, f"{new_sid}.parquet")
         tmp = final + ".inprogress"
         pq.write_table(merged, tmp, compression="zstd")
-        # manifest flip BEFORE the data rename: readers follow the manifest
+        # data rename BEFORE the manifest flip: a crash in between leaves the
+        # merged file as an unreferenced orphan while the originals are still
+        # live — no window where the manifest points at data that isn't there
+        os.replace(tmp, final)
         rows = [by_id[sid] for sid in sids]
         merged_row = {
             "split_id": new_sid,
@@ -731,7 +765,6 @@ def compact_blocks(
             by_id[sid] = {**by_id[sid], "status": "compacted"}
         by_id[new_sid] = merged_row
         _write_manifest_pdf(out_dir, pd.DataFrame(list(by_id.values())))
-        os.replace(tmp, final)
         for _, path, _ in bin_:
             os.remove(path)
         written += 1

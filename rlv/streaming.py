@@ -34,7 +34,12 @@ from rlv import engine_files
 
 
 def _local_path(uri: str) -> str:
-    return uri[len("file:"):] if uri.startswith("file:") else uri
+    """file: URI (as produced by input_file_name(), percent-encoded) -> path."""
+    from urllib.parse import unquote, urlparse
+
+    if uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return unquote(uri) if "%" in uri else uri
 
 
 def encode_stream(
@@ -62,7 +67,14 @@ def encode_stream(
             _local_path(r[0])
             for r in batch_df.select(F.input_file_name()).distinct().collect()
         ]
-        files = [f for f in files if f and os.path.exists(f)]
+        files = [f for f in files if f]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            # the checkpoint is about to mark these consumed; skipping them
+            # silently would be permanent data loss, so fail the batch
+            raise FileNotFoundError(
+                f"streaming batch {batch_id}: source files missing: {missing[:3]}"
+            )
         if not files:
             return
         splits = engine_files.plan_splits_for_files(files, num_tasks)

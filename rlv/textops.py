@@ -275,7 +275,8 @@ def ivf_topk(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qa"),
         F.col("n2").alias("n2a"),
     )
-    b = q.select(
+    # only the query vectors broadcast — the full corpus relation must not
+    b = q.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qb"),
         F.col("n2").alias("n2b"),
     )

@@ -197,3 +197,20 @@ def test_decode_blocks_batch_rejects_truncation():
     # and a truncated neighbour cannot corrupt other docs' output
     with pytest.raises(ValueError):
         blocks.decode_blocks_batch([good, good[:-3], good])
+
+
+def test_decode_blocks_batch_rejects_wrapped_dict_index():
+    """ibits=64 indices that view to negative int64 are corrupt and must not
+    wrap into the wrong dictionary entry via Python negative indexing."""
+    from rlv.kernels.bitpack import pack_bits, write_uvarint
+
+    hdr = bytearray([blocks.DICT])
+    write_uvarint(hdr, 1)  # n
+    write_uvarint(hdr, 1)  # ndv
+    write_uvarint(hdr, 0)  # svarint dict_min
+    hdr.append(1)          # dbits
+    hdr += pack_bits(np.array([0], np.uint64), 1)
+    hdr.append(64)         # ibits
+    hdr += (2**64 - 1).to_bytes(8, "little")
+    with pytest.raises(ValueError):
+        blocks.decode_blocks_batch([bytes(hdr)])

@@ -66,6 +66,11 @@ def test_stream_encodes_arriving_files(spark, landing, tmp_path):
 
 def test_stream_restart_is_idempotent(spark, landing, tmp_path):
     d, files = landing
+    import os
+
+    for f in files:  # self-sufficient: don't depend on the prior test's copies
+        if not os.path.exists(os.path.join(d, os.path.basename(f))):
+            shutil.copy(f, d)
     out = str(tmp_path / "enc2")
     streaming.encode_stream(spark, d, out, num_tasks=4)
     m1 = engine_files._read_manifest_pdf(out).sort_values("split_id")
