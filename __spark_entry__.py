@@ -402,6 +402,25 @@ def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ivf_cells(emb)
 
 
+def _q_run_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_frequency / empirical run statistics (v:3032-3049): per source, a
+    log2-bucketed histogram of maximal-run lengths — the selector's RLE-vs-
+    bitpack signal, aggregated corpus-wide (map-side combinable)."""
+    runs = engine.runs_pass(_token_df(spark, sf_dir))
+    docs = _token_df(spark, sf_dir).select("doc_id", "source")
+    return (
+        runs.join(docs, "doc_id")
+        .select(
+            "source",
+            # floor(log2(c)) == bit_length(c) - 1, computed with exact
+            # integer/string ops (cross-engine float log2 is ulp-hazardous)
+            F.expr("CAST(length(bin(run_count)) - 1 AS INT)").alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count("*").alias("n_runs"))
+    )
+
+
 def _q_chunked_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed streaming-encoder API (stream_complete_encode,
     v:4544-4549): each doc's tokens arrive as 3 ordered chunks, the grouped
@@ -550,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": _q_compression_summary,
         "codec_selection": _q_codec_selection,
         "chunked_encode": _q_chunked_encode,
+        "run_length_histogram": _q_run_length_histogram,
         "roundtrip_verify": _q_roundtrip_verify,
         "string_codec_verify": _q_string_codec_verify,
         "dedup_exact": _q_dedup_exact,
@@ -672,6 +692,14 @@ SELECT doc_id,
     ELSE 5 END AS INT) AS codec_id,
   CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
 FROM sz
+""",
+        "run_length_histogram": f"""
+WITH {_TOKS_CTE}
+SELECT source,
+       CAST(length(printf('%b', cnt)) - 1 AS INT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs
+GROUP BY source, len_bucket
 """,
         "chunked_encode": f"""
 WITH {_TOKS_CTE},

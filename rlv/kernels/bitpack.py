@@ -116,7 +116,6 @@ def pack_bits_multi(
     if bits == 64:
         return u.astype("<u8").tobytes(), byte_offs
     total_bytes = int(byte_offs[-1])
-    out = np.zeros(total_bytes // 8 + 2, dtype=np.uint64)
     local = np.cumsum(ns) - ns
     within = (np.arange(total, dtype=np.int64) - np.repeat(local, ns)).astype(
         np.uint64
@@ -125,6 +124,16 @@ def pack_bits_multi(
         np.repeat(byte_offs[:-1].astype(np.uint64) << np.uint64(3), ns)
         + within * np.uint64(bits)
     )
+    if bits < 8:
+        # narrow widths: the u64 stride path needs ceil(128/bits) (up to 128)
+        # python passes; a flat bit matrix needs `bits` passes + one SIMD
+        # packbits, 2-50x faster here.  Per-doc byte padding = zero bits.
+        bitmat = np.zeros(total_bytes * 8, dtype=np.uint8)
+        pos = bitpos.astype(np.int64)
+        for b in range(bits):
+            bitmat[pos + b] = ((u >> np.uint64(b)) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bitmat, bitorder="little").tobytes(), byte_offs
+    out = np.zeros(total_bytes // 8 + 2, dtype=np.uint64)
     w = (bitpos >> np.uint64(6)).astype(np.int64)
     off = bitpos & np.uint64(63)
     lo = u << off
