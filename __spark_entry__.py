@@ -547,6 +547,42 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM s
 """
 
 
+def _lang_id_oracle() -> str:
+    langs = sorted(textops.LANG_PROFILES)
+    hits = ",\n         ".join(
+        "CAST(sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS BIGINT) AS {}_hits".format(
+            ", ".join(f"'{s}'" for s in textops.LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    picks = []
+    for lang in langs:
+        cond = " AND ".join(
+            f"{lang}_hits > {o}_hits" if o < lang else f"{lang}_hits >= {o}_hits"
+            for o in langs
+            if o != lang
+        )
+        picks.append(f"WHEN {cond} THEN '{lang}'")
+    total = " + ".join(f"{lang}_hits" for lang in langs)
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         {hits}
+  FROM w WHERE w != '' GROUP BY doc_id
+)
+SELECT doc_id, n_words, {", ".join(f"{lang}_hits" for lang in langs)},
+       CAST(en_hits * 1000000 // n_words AS BIGINT) AS en_ratio_e6,
+       CAST(CASE WHEN en_hits * 1000000 // n_words >= 30000 THEN 1 ELSE 0 END AS INT)
+         AS is_english,
+       CASE WHEN {total} = 0 THEN 'und' {" ".join(picks)} END AS lang
+FROM a
+"""
+
+
 _DUCK_QUANT_CTE = """
 q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -827,23 +863,7 @@ SELECT doc_id_a, doc_id_b, inter,
 FROM joined
 WHERE inter * 1000000 // (na + nb - inter) >= 100000
 """,
-        "lang_id": f"""
-WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS w
-  FROM documents
-),
-a AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         CAST(sum(CASE WHEN w IN ({", ".join(repr(w) for w in textops.EN_STOPWORDS)})
-                       THEN 1 ELSE 0 END) AS BIGINT) AS en_hits
-  FROM w WHERE w != '' GROUP BY doc_id
-)
-SELECT doc_id, n_words, en_hits,
-       CAST(en_hits * 1000000 // n_words AS BIGINT) AS en_ratio_e6,
-       CAST(CASE WHEN en_hits * 1000000 // n_words >= 30000 THEN 1 ELSE 0 END AS INT)
-         AS is_english
-FROM a
-""",
+        "lang_id": _lang_id_oracle(),
         "embedding_neardup": f"""
 WITH {_DUCK_QUANT_CTE}
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

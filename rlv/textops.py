@@ -133,37 +133,67 @@ def ngram_jaccard_pairs(
     )
 
 
-# Deterministic English function-word set (public knowledge, not data-derived).
-EN_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "for")
+# Deterministic per-language function-word profiles (public knowledge, not
+# data-derived).  Real deployments swap in bigger profiles; the pipeline
+# shape is identical.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "en": ("the", "a", "of", "and", "in", "to", "is", "for"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "de", "et", "est", "un"),
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
 
 
 def lang_id(docs: DataFrame, min_ratio_e6: int = 30_000) -> DataFrame:
-    """N-gram-heuristic language ID + quality ratios.
+    """Stopword-profile language ID + quality ratios.
 
-    (doc_id, n_words, en_hits, en_ratio_e6, is_english): stopword-hit ratio
-    against a fixed English function-word list, scaled to exact integers
-    (ratio_e6 = hits*1e6 div words).  Real corpora swap in per-language
-    profiles; the pipeline shape (explode + conditional agg, map-side
-    combinable) is identical.
+    (doc_id, n_words, de_hits, en_hits, es_hits, fr_hits, en_ratio_e6,
+    is_english, lang): per-language function-word hit counts, the English
+    quality ratio as an exact integer (hits*1e6 div words), and
+    lang = argmax hits with alphabetical tie-break ('und' when every profile
+    scores zero).  One explode + one conditional agg — map-side combinable.
     """
-    lits = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     words = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.explode(F.split("text", " ")).alias("w"),
     ).filter(F.col("w") != "")
-    agg = words.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.expr(f"CASE WHEN w IN ({lits}) THEN 1 ELSE 0 END")).alias("en_hits"),
-    )
+    hit_aggs = [
+        F.sum(
+            F.expr(
+                "CASE WHEN w IN ({}) THEN 1 ELSE 0 END".format(
+                    ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+                )
+            )
+        ).alias(f"{lang}_hits")
+        for lang in sorted(LANG_PROFILES)
+    ]
+    agg = words.groupBy("doc_id").agg(F.count("*").alias("n_words"), *hit_aggs)
+    best = None
+    for lang in sorted(LANG_PROFILES):  # alphabetical = deterministic tie-break
+        cond = " AND ".join(
+            # must strictly beat alphabetically-earlier languages (they win
+            # ties), only equal-or-beat later ones
+            f"{lang}_hits > {o}_hits" if o < lang else f"{lang}_hits >= {o}_hits"
+            for o in sorted(LANG_PROFILES)
+            if o != lang
+        )
+        pick = F.expr(f"CASE WHEN {cond} THEN '{lang}' END")
+        best = pick if best is None else F.coalesce(best, pick)
+    lang_col = F.when(
+        sum(F.col(f"{lang}_hits") for lang in LANG_PROFILES) == 0, F.lit("und")
+    ).otherwise(best)
     return agg.select(
         "doc_id",
         "n_words",
-        "en_hits",
+        *[f"{lang}_hits" for lang in sorted(LANG_PROFILES)],
         F.expr("en_hits * 1000000L div n_words").alias("en_ratio_e6"),
         F.expr(
             f"CAST(CASE WHEN en_hits * 1000000L div n_words >= {min_ratio_e6} "
             "THEN 1 ELSE 0 END AS INT)"
         ).alias("is_english"),
+        lang_col.alias("lang"),
     )
 
 

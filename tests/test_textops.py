@@ -18,7 +18,7 @@ def docs(spark):
     rows = [
         (1, "a b c d e f"),
         (2, "a b c d e g"),      # shares trigrams 'a b c', 'b c d', 'c d e' with 1
-        (3, "x y z w v u"),
+        (3, "xx yy zz ww vv uu"),  # no stopword of any language profile
         (4, "a b c q r s"),      # shares only 'a b c'
         (5, "the of and the of"),
         (6, ""),                  # empty text edge
@@ -63,10 +63,26 @@ def test_simhash_range_and_determinism(docs):
 
 def test_lang_id_ratios(docs):
     out = {r.doc_id: r for r in textops.lang_id(docs).collect()}
-    r5 = out["5"]  # "the of and the of": all 5 words are stopwords
+    r5 = out["5"]  # "the of and the of": all 5 words are EN stopwords
     assert (r5.n_words, r5.en_hits, r5.en_ratio_e6, r5.is_english) == (5, 5, 1000000, 1)
-    r3 = out["3"]
-    assert (r3.en_hits, r3.is_english) == (0, 0)
+    assert r5.lang == "en"
+    r3 = out["3"]  # no profile hits anywhere -> undetermined
+    assert (r3.en_hits, r3.is_english, r3.lang) == (0, 0, "und")
+
+
+def test_lang_id_argmax_and_tiebreak(spark):
+    rows = [
+        (1, "le la et le"),          # fr wins
+        (2, "der und die es la"),    # de 3, es 1, fr 1 -> de
+        (3, "de de"),                # 'de' word is in both es and fr sets: tie
+        (4, "la la"),                # la in es and fr: tie -> es (alphabetical)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lang for r in textops.lang_id(docs).collect()}
+    assert out["1"] == "fr"
+    assert out["2"] == "de"
+    assert out["3"] == "es"  # es before fr alphabetically
+    assert out["4"] == "es"
 
 
 def test_doc_fingerprint_matches_python(docs):
