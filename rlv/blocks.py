@@ -336,27 +336,46 @@ def _add_min_multi(vals_u64: np.ndarray, mins: list[int], ns: np.ndarray) -> np.
     return (vals_u64 + np.repeat(m, ns)).view(np.int64)
 
 
-def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
+def decode_blocks_batch(
+    blobs, dtype=np.int32, expected=None
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode a sequence of blocks into (flat_values, offsets).
 
     ``offsets`` has len(blobs)+1 entries; doc i decodes to
     ``flat[offsets[i]:offsets[i+1]]``.  Every blob's length is validated
     against its header BEFORE any payload is touched, so a truncated block
     raises instead of misaligning its neighbours in the batch.
+
+    ``expected`` (optional per-doc decoded sizes) is the decode-memory budget
+    of ``safe_decode_with_limit`` (rl_encoding.v:5034-5069): declared sizes
+    are checked against it BEFORE any output is allocated, so a forged header
+    claiming 10^15 values raises instead of attempting the allocation.
     """
     n_docs = len(blobs)
+    if expected is not None:
+        expected = np.asarray(expected, dtype=np.int64)
+        if expected.size != n_docs:
+            raise ValueError("expected sizes must match the number of blobs")
+
+    def check_n(i: int, n: int) -> None:
+        if expected is not None and n != int(expected[i]):
+            raise ValueError(
+                f"corrupt block: declared {n} values, expected {int(expected[i])}"
+            )
     # parse pass: (codec, n, fields...) per doc + per-doc payload slices
     parsed: list[tuple] = []
     n_per = np.zeros(n_docs, dtype=np.int64)
     for i in range(n_docs):
         b = blobs[i]
         if b is None or len(b) == 0:
+            check_n(i, 0)
             parsed.append((0,))
             continue
         codec = b[0]
         pos = 1
         if codec == PLAIN:
             n, pos = read_uvarint(b, pos)
+            check_n(i, n)
             width = b[pos]
             pos += 1
             end = pos + width * n
@@ -365,6 +384,12 @@ def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
             parsed.append((PLAIN, n, width, b[pos:end]))
         elif codec == RLE:
             n_runs, pos = read_uvarint(b, pos)
+            if expected is not None and n_runs > int(expected[i]):
+                # counts are >= 1 each, so more runs than the expected size
+                # is corrupt — and this bound is what caps the allocation
+                raise ValueError(
+                    f"corrupt RLE block: {n_runs} runs > expected size"
+                )
             min_val, pos = _read_svarint(b, pos)
             cbits, vbits = b[pos], b[pos + 1]
             pos += 2
@@ -379,6 +404,7 @@ def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
             n = -1  # filled after counts are unpacked
         elif codec == BITPACK:
             n, pos = read_uvarint(b, pos)
+            check_n(i, n)
             bits = b[pos]
             pos += 1
             if bits > 64 or len(b) != pos + packed_nbytes(n, bits):
@@ -386,6 +412,7 @@ def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
             parsed.append((BITPACK, n, bits, b[pos:]))
         elif codec == FOR:
             n, pos = read_uvarint(b, pos)
+            check_n(i, n)
             min_val, pos = _read_svarint(b, pos)
             bits = b[pos]
             pos += 1
@@ -394,7 +421,11 @@ def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
             parsed.append((FOR, n, min_val, bits, b[pos:]))
         elif codec == DICT:
             n, pos = read_uvarint(b, pos)
+            check_n(i, n)
             ndv, pos = read_uvarint(b, pos)
+            if ndv > n:  # more dictionary entries than values is corrupt,
+                # and (with dbits=0) would otherwise drive a huge allocation
+                raise ValueError("corrupt DICT block: ndv > n")
             dict_min, pos = _read_svarint(b, pos)
             dbits = b[pos]
             pos += 1
@@ -420,6 +451,7 @@ def decode_blocks_batch(blobs, dtype=np.int32) -> tuple[np.ndarray, np.ndarray]:
             counts = cvals.view(np.int64) + 1
             rle_counts[i] = counts
             n_per[i] = int(counts.sum())
+            check_n(i, int(n_per[i]))
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_per, out=offsets[1:])
     out = np.empty(offsets[-1], dtype=np.int64)

@@ -546,14 +546,12 @@ def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             tb.column("n_tok").combine_chunks().to_numpy()
             if "n_tok" in tb.column_names else None
         )
-        flat, offsets = B.decode_blocks_batch(blocks_col.to_pylist(), np.int32)
-        if expected is not None and not np.array_equal(
-            np.diff(offsets), expected.astype(np.int64)
-        ):
-            # the decode-size guard (compute_decode_size_early /
-            # safe_decode_with_limit, rl_encoding.v:4013-4014, 5034-5069):
-            # a corrupt block must fail loudly, never return a wrong answer
-            raise ValueError("corrupt block: declared n_tok != decoded size")
+        # expected doubles as the decode-size guard (compute_decode_size_early
+        # / safe_decode_with_limit, rl_encoding.v:4013-4014, 5034-5069): a
+        # corrupt block fails loudly BEFORE any allocation, never silently
+        flat, offsets = B.decode_blocks_batch(
+            blocks_col.to_pylist(), np.int32, expected=expected
+        )
         decoded = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32), type=pa.int32()),
             pa.array(flat, type=pa.int32()),

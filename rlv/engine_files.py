@@ -324,21 +324,25 @@ def _make_verify_worker(blocks_dir: str):
                         blobs.append(None)  # missing doc: decodes empty
                     else:
                         blobs.append(blocks_col[int(j)].as_py())
+                exp_sizes = np.diff(o)
                 try:
-                    dec, dec_off0 = B.decode_blocks_batch(blobs, np.int32)
+                    dec, dec_off0 = B.decode_blocks_batch(
+                        blobs, np.int32, expected=exp_sizes
+                    )
                     lens = np.diff(dec_off0)
                 except Exception:
                     # corrupt blocks raise (the decode guards,
                     # rl_encoding.v:4016-4023); verify must report the split,
                     # not die — retry per doc so one bad block only fails its
-                    # own doc (an empty decode never matches a nonempty one)
+                    # own doc (an empty decode never matches a nonempty one);
+                    # the per-doc budget keeps forged sizes unallocatable
                     parts = []
-                    for b in blobs:
+                    for k, b in enumerate(blobs):
                         try:
-                            parts.append(
-                                B.decode_block(b, np.int32)
-                                if b is not None else np.empty(0, np.int32)
+                            p, _ = B.decode_blocks_batch(
+                                [b], np.int32, expected=exp_sizes[k:k + 1]
                             )
+                            parts.append(p)
                         except Exception:
                             parts.append(np.empty(0, np.int32))
                     dec = (
@@ -468,14 +472,12 @@ def _make_decode_worker(out_dir: str):
                 tbl = pq.read_table(
                     path, columns=["doc_id", "source", "n_tok", "block"]
                 ).combine_chunks()
-                flat, offs = B.decode_blocks_batch(
-                    tbl.column("block").to_pylist(), np.int32
-                )
                 declared = tbl.column("n_tok").to_numpy().astype(np.int64)
-                if not np.array_equal(np.diff(offs), declared):
-                    raise ValueError(
-                        f"corrupt block file {path}: decoded sizes != n_tok"
-                    )
+                # declared n_tok is the decode-size budget: header/size
+                # disagreement raises before any allocation
+                flat, offs = B.decode_blocks_batch(
+                    tbl.column("block").to_pylist(), np.int32, expected=declared
+                )
                 tokens_col = pa.ListArray.from_arrays(
                     pa.array(offs.astype(np.int32), type=pa.int32()),
                     pa.array(flat, type=pa.int32()),

@@ -214,3 +214,29 @@ def test_decode_blocks_batch_rejects_wrapped_dict_index():
     hdr += (2**64 - 1).to_bytes(8, "little")
     with pytest.raises(ValueError):
         blocks.decode_blocks_batch([bytes(hdr)])
+
+
+def test_decode_blocks_batch_budget_blocks_forged_sizes():
+    """safe_decode_with_limit (v:5034-5069): forged headers declaring huge
+    sizes raise BEFORE any allocation when an expected budget is given."""
+    from rlv.kernels.bitpack import write_uvarint
+
+    # RLE blob with cbits=vbits=0 declaring 10^15 all-length-1 runs
+    forged = bytearray([blocks.RLE])
+    write_uvarint(forged, 10**15)
+    write_uvarint(forged, 0)  # svarint min
+    forged += bytes([0, 0])   # cbits, vbits
+    with pytest.raises(ValueError):
+        blocks.decode_blocks_batch([bytes(forged)], expected=[100])
+    # DICT blob with ndv > n rejected unconditionally
+    forged2 = bytearray([blocks.DICT])
+    write_uvarint(forged2, 1)
+    write_uvarint(forged2, 10**12)
+    with pytest.raises(ValueError):
+        blocks.decode_blocks_batch([bytes(forged2)])
+    # size disagreement with the budget
+    good = blocks.encode_with(blocks.FOR, np.arange(10, dtype=np.int64))
+    with pytest.raises(ValueError):
+        blocks.decode_blocks_batch([good], expected=[11])
+    flat, offs = blocks.decode_blocks_batch([good], expected=[10])
+    assert offs[1] == 10
