@@ -240,3 +240,18 @@ def test_decode_blocks_batch_budget_blocks_forged_sizes():
         blocks.decode_blocks_batch([good], expected=[11])
     flat, offs = blocks.decode_blocks_batch([good], expected=[10])
     assert offs[1] == 10
+
+
+@given(st.binary(max_size=200), st.integers(0, 300))
+def test_decoder_never_crashes_on_garbage(junk, budget):
+    """Arbitrary bytes either decode (if they happen to parse) or raise a
+    clean ValueError/IndexError — never a crash, hang, or huge allocation
+    (the expected budget caps declared sizes)."""
+    for blobs in ([junk], [junk, blocks.encode_with(blocks.PLAIN, arr([1, 2]))]):
+        try:
+            flat, offs = blocks.decode_blocks_batch(
+                blobs, np.int64, expected=[budget] + [2] * (len(blobs) - 1)
+            )
+            assert offs[-1] <= budget + 2
+        except (ValueError, IndexError):
+            pass
