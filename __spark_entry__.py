@@ -450,6 +450,11 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ivf_topk(emb)
 
 
+def _q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash byte-band near-dup pairs with the in-bucket Hamming filter."""
+    return textops.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction through the real mapInPandas plumbing
     (rlv.multimodal): a media table derived deterministically from documents
@@ -615,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "simhash": _q_simhash,
+        "simhash_neardup_pairs": _q_simhash_neardup_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
         "embedding_neardup": _q_embedding_neardup,
@@ -836,6 +842,22 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents
 """,
         "simhash": _simhash_oracle(),
+        "simhash_neardup_pairs": f"""
+WITH sh AS ({_simhash_oracle()}),
+banded AS (
+  SELECT doc_id, simhash, j AS band_idx, (simhash >> (8 * j)) & 255 AS band_val
+  FROM sh, (VALUES (0), (1), (2), (3)) t(j)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+""",
         "ngram_jaccard": """
 WITH ws AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws

@@ -75,6 +75,62 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_id_a, doc_id_b, hamming).
+
+    Byte-band LSH over the fingerprints: candidates share at least one of
+    ``bands`` equal bit-bands (a near-dup at Hamming distance <= bands-1 is
+    guaranteed to share one by pigeonhole); the Hamming filter then runs only
+    inside buckets.  Pairs are generated within buckets with the signatures
+    carried along, so the fingerprint pipeline runs exactly once.
+    """
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    sig = simhash(docs, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.expr(f"(simhash >> {band_width * j}) & {mask}").alias(
+                            "band_val"
+                        ),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> "
+                "struct(x.doc_id AS a, x.simhash AS sa, "
+                "y.doc_id AS b, y.simhash AS sb))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.sa", "p.b", "p.sb").distinct()
+    return (
+        pairs.select(
+            F.col("a").alias("doc_id_a"),
+            F.col("b").alias("doc_id_b"),
+            F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def word_trigrams(docs: DataFrame) -> DataFrame:
     """Distinct word 3-gram shingles per doc: (doc_id, g)."""
     ws = docs.select(
