@@ -141,6 +141,14 @@ def _q_maxrun_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.runs_pass(_token_df(spark, sf_dir), cap=255)
 
 
+def _q_maxrun_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize (v:259-274) applied to the cap-split runs must reproduce the
+    canonical decomposition exactly (encode_is_normalize, v:1594-1620 composed
+    with rle_maxrun_correct, v:4254-4264) — the oracle is the PLAIN
+    run-decomposition SQL, so the merge operator is checked end to end."""
+    return engine.runs_pass(_token_df(spark, sf_dir), cap=255, normalize=True)
+
+
 def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source compression stats: Σ tokens, Σ runs, naive-RLE byte budget
     (encode_space_usage, v:2744-2762)."""
@@ -607,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_runs": _q_count_runs,
         "run_decompose": _q_run_decompose,
         "maxrun_byte": _q_maxrun_byte,
+        "maxrun_normalize": _q_maxrun_normalize,
         "compression_summary": _q_compression_summary,
         "codec_selection": _q_codec_selection,
         "chunked_encode": _q_chunked_encode,
@@ -632,7 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "count_runs": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs
@@ -1010,3 +1019,6 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents
 """,
     }
+    # normalize(maxrun(runs)) must equal the plain decomposition — same oracle
+    out["maxrun_normalize"] = out["run_decompose"]
+    return out

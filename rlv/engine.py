@@ -362,11 +362,14 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         )
 
 
-def _make_runs_batches(cap: int | None):
+def _make_runs_batches(cap: int | None, normalize: bool = False):
     """Run decomposition as rows — ``decompose_runs`` (rl_encoding.v:877-890),
-    optionally cap-split (``rle_encode_maxrun``, v:4137-4154) — exposed
-    relationally so the DuckDB oracle can check the kernel against an
-    independent SQL-window implementation."""
+    optionally cap-split (``rle_encode_maxrun``, v:4137-4154) and then
+    re-``normalize``d (v:259-274) — exposed relationally so the DuckDB oracle
+    can check the kernel against an independent SQL-window implementation.
+    With both flags, the output must equal the plain decomposition
+    (``encode_is_normalize``, v:1594-1620: normalize of any decode-equivalent
+    run list is the canonical encoding)."""
     from rlv.kernels import rle
 
     def _runs_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -391,6 +394,20 @@ def _make_runs_batches(cap: int | None):
                 doc_run_off = np.concatenate(
                     ([0], np.cumsum(runs_per_doc))
                 ).astype(np.int64)
+            if normalize and run_len.size:
+                # vectorized normalize (v:259-274): merge adjacent equal-value
+                # runs within each doc (counts are already positive)
+                ntot = run_len.size
+                new = np.empty(ntot, dtype=bool)
+                new[0] = True
+                np.not_equal(run_val[1:], run_val[:-1], out=new[1:])
+                ds = doc_run_off[1:-1]
+                new[ds[ds < ntot]] = True
+                starts = np.flatnonzero(new)
+                run_len = np.add.reduceat(run_len, starts)
+                run_val = run_val[starts]
+                doc_run_off = np.searchsorted(starts, doc_run_off).astype(np.int64)
+                runs_per_doc = np.diff(doc_run_off)
             n_runs = run_len.size
             doc_idx = np.repeat(np.arange(o.size - 1, dtype=np.int64), runs_per_doc)
             run_idx = np.arange(n_runs, dtype=np.int64) - np.repeat(
@@ -410,11 +427,14 @@ def _make_runs_batches(cap: int | None):
     return _runs_arrow_batches
 
 
-def runs_pass(df: DataFrame, cap: int | None = None) -> DataFrame:
+def runs_pass(
+    df: DataFrame, cap: int | None = None, normalize: bool = False
+) -> DataFrame:
     """Token table -> one row per maximal run (doc_id, run_idx, count, value);
-    with ``cap``, runs are split at the max-run-length bound first."""
+    with ``cap``, runs are split at the max-run-length bound first; with
+    ``normalize``, adjacent equal-value runs are re-merged (v:259-274)."""
     return df.select("doc_id", "tokens").mapInArrow(
-        _make_runs_batches(cap), RUNS_SCHEMA
+        _make_runs_batches(cap, normalize), RUNS_SCHEMA
     )
 
 
