@@ -389,8 +389,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard near-dup pairs via the shingle self-join."""
-    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    """Exact word-trigram Jaccard near-dup pairs via the shingle self-join,
+    with the stop-shingle guard wired (df_cap=50: shingles in more than 50
+    docs are dropped before the join — the hot-key bound at corpus scale).
+    The shingle relation is persisted and scanned once."""
+    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), df_cap=50)
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +405,17 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold (exact-int dot)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return textops.embedding_neardup_pairs(emb)
+
+
+def _q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT embedding near-dup path: IVF multi-probe bucketing (each
+    vector claims its 2 best of 8 cells), candidates = pairs sharing a probed
+    cell, exact cosine only on candidates.  The oracle is the all-pairs SQL
+    restricted to the same bucket-sharing candidate set, so the bucketed
+    semantics (including the recall boundary) is itself hash-checked;
+    `embedding_neardup` remains the all-pairs baseline for recall comparison."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.embedding_neardup_bucketed(emb)
 
 
 def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,8 +473,12 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash byte-band near-dup pairs with the in-bucket Hamming filter."""
-    return textops.simhash_neardup_pairs(_docs(spark, sf_dir))
+    """SimHash byte-band near-dup pairs with the in-bucket Hamming filter and
+    the bucket cap live (max_bucket=64): oversized buckets — mass-duplicated
+    boilerplate — are dropped before any per-bucket array materializes.  The
+    oracle applies the identical cap, so the cap semantics itself is
+    hash-checked."""
+    return textops.simhash_neardup_pairs(_docs(spark, sf_dir), max_bucket=64)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,13 +514,28 @@ def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates — the O(n^2)-avoiding scale path.
 
     Pairs are generated INSIDE each band bucket (groupBy band -> sorted doc
-    set -> pairwise expansion) rather than by self-joining the bands relation:
-    the shingle->minhash pipeline then runs once, not twice, and the pair
-    count is bounded by bucket sizes (at corpus scale, oversized buckets are
-    the degenerate-content signal and get capped/dropped before expansion)."""
-    bands = _q_minhash_bands(spark, sf_dir)
+    set -> pairwise expansion) rather than by self-joining the bands relation,
+    and buckets over ``max_bucket=64`` docs are dropped BEFORE the
+    ``collect_set`` materializes them (the cap runs on a map-side-combinable
+    count, so no executor ever holds an unbounded bucket array; at corpus
+    scale an oversized bucket is the mass-duplication signal, not near-dup
+    candidates).  The bands relation is persisted: the shingle->minhash
+    pipeline runs once for both the size count and the expansion.  The oracle
+    applies the identical cap."""
+    from pyspark import StorageLevel
+
+    max_bucket = 64
+    bands = _q_minhash_bands(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bn"))
+    capped = bands.join(
+        F.broadcast(
+            sizes.filter(F.col("_bn") > max_bucket).select("band_idx", "band_hash")
+        ),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
     buckets = (
-        bands.groupBy("band_idx", "band_hash")
+        capped.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -633,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
@@ -857,12 +891,19 @@ banded AS (
   SELECT doc_id, simhash, j AS band_idx, (simhash >> (8 * j)) & 255 AS band_val
   FROM sh, (VALUES (0), (1), (2), (3)) t(j)
 ),
+keep AS (
+  SELECT band_idx, band_val FROM banded
+  GROUP BY band_idx, band_val HAVING count(*) <= 64
+),
+b2 AS (
+  SELECT banded.* FROM banded JOIN keep USING (band_idx, band_val)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                   a.simhash AS sa, b.simhash AS sb
-  FROM banded a
-  JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-               AND a.doc_id < b.doc_id
+  FROM b2 a
+  JOIN b2 b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
 )
 SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
@@ -872,10 +913,12 @@ WITH ws AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws
   FROM documents WHERE len(string_split(text, ' ')) >= 3
 ),
-tg AS (
+tg0 AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
   FROM ws, unnest(generate_series(1, len(ws) - 2)) t(i)
 ),
+stop AS (SELECT g FROM tg0 GROUP BY g HAVING count(*) > 50),
+tg AS (SELECT * FROM tg0 ANTI JOIN stop USING (g)),
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM tg GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(count(*) AS BIGINT) AS inter
@@ -904,6 +947,36 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM n a, n b
 WHERE a.vec_id < b.vec_id
   AND floor(list_aggregate(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]), 'sum')
+            / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) * 1000000) >= 400000
+""",
+        "embedding_neardup_bucketed": f"""
+WITH {_DUCK_QUANT_CTE},
+c AS (
+  SELECT vec_id AS cell, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8
+),
+s AS (
+  SELECT n.vec_id, c.cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_aggregate(list_transform(list_zip(n.q, c.cq),
+                                     p -> p[1] * p[2]), 'sum')
+                                     / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) DESC,
+                                     c.cell ASC) AS crk
+  FROM n, c
+),
+probes AS (SELECT vec_id, cell FROM s WHERE crk <= 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM probes a JOIN probes b USING (cell)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cd.vec_id_a, cd.vec_id_b,
+       CAST(floor(list_aggregate(list_transform(list_zip(a.q, b.q),
+                                 p -> p[1] * p[2]), 'sum')
+                  / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_e6
+FROM cand cd
+JOIN n a ON a.vec_id = cd.vec_id_a
+JOIN n b ON b.vec_id = cd.vec_id_b
+WHERE floor(list_aggregate(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]), 'sum')
             / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) * 1000000) >= 400000
 """,
         "ann_ivf_cells": f"""
@@ -1003,9 +1076,16 @@ bands AS (
   UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mins
   UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mins
   UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mins
+),
+keep AS (
+  SELECT band_idx, band_hash FROM bands
+  GROUP BY band_idx, band_hash HAVING count(*) <= 64
+),
+b2 AS (
+  SELECT bands.* FROM bands JOIN keep USING (band_idx, band_hash)
 )
 SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-FROM bands a JOIN bands b
+FROM b2 a JOIN b2 b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
 """,

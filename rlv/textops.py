@@ -75,21 +75,12 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    docs: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 3
-) -> DataFrame:
-    """SimHash near-dup pairs: (doc_id_a, doc_id_b, hamming).
-
-    Byte-band LSH over the fingerprints: candidates share at least one of
-    ``bands`` equal bit-bands (a near-dup at Hamming distance <= bands-1 is
-    guaranteed to share one by pigeonhole); the Hamming filter then runs only
-    inside buckets.  Pairs are generated within buckets with the signatures
-    carried along, so the fingerprint pipeline runs exactly once.
-    """
+def _simhash_banded(docs: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val): the byte-band LSH relation."""
     band_width = bits // bands
     mask = (1 << band_width) - 1
     sig = simhash(docs, bits)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -106,6 +97,70 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+
+
+def simhash_bucket_stats(
+    docs: DataFrame, bits: int = 32, bands: int = 4, max_bucket: int | None = 64
+) -> DataFrame:
+    """Per-LSH-bucket sizes with the cap verdict: (band_idx, band_val, n_docs,
+    dropped).  ``dropped = 1`` marks buckets over ``max_bucket`` — the
+    degenerate-content monitor that pairs with :func:`simhash_neardup_pairs`
+    (every dropped bucket is mass-duplicated boilerplate, the signal a corpus
+    pipeline alerts on rather than pair-expanding)."""
+    banded = _simhash_banded(docs, bits, bands)
+    sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("n_docs")
+    )
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    return sizes.select(
+        "band_idx",
+        "band_val",
+        "n_docs",
+        F.when(F.col("n_docs") > cap, 1).otherwise(0).cast("int").alias("dropped"),
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_id_a, doc_id_b, hamming).
+
+    Byte-band LSH over the fingerprints: candidates share at least one of
+    ``bands`` equal bit-bands (a near-dup at Hamming distance <= bands-1 is
+    guaranteed to share one by pigeonhole); the Hamming filter then runs only
+    inside buckets.  Pairs are generated within buckets with the signatures
+    carried along, so the fingerprint pipeline runs exactly once.
+
+    ``max_bucket`` bounds the per-bucket doc array: buckets larger than the cap
+    (mass-duplicated boilerplate at corpus scale) are dropped BEFORE the
+    ``collect_set`` materializes them, so no executor ever holds an unbounded
+    bucket row — :func:`simhash_bucket_stats` reports what was dropped.
+    The cap is applied on a pre-aggregated count (map-side combinable), not on
+    the collected array.
+    """
+    banded = _simhash_banded(docs, bits, bands)
+    if max_bucket is not None:
+        # the banded relation feeds both the size count and the join side:
+        # persist it (4 small rows per doc) so the simhash agg runs once
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = banded.groupBy("band_idx", "band_val").agg(
+            F.count("*").alias("_bn")
+        )
+        banded = banded.join(
+            F.broadcast(
+                sizes.filter(F.col("_bn") > max_bucket).select(
+                    "band_idx", "band_val"
+                )
+            ),
+            ["band_idx", "band_val"],
+            "left_anti",
+        )
     buckets = (
         banded.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
@@ -159,11 +214,25 @@ def ngram_jaccard_pairs(
     pure integer arithmetic (oracle-exact).  ``df_cap`` drops shingles whose
     document frequency exceeds the cap before the self-join — the standard
     stop-shingle guard that keeps the hot-key groups bounded at corpus scale.
+
+    The shingle relation is computed ONCE and persisted: it feeds the df-cap
+    count, the per-doc sizes, and both self-join sides, so ``documents`` is
+    scanned a single time (the relation is materialized by the first stage and
+    reused from cache; Spark evicts it LRU — at 100 TB use DISK_ONLY or
+    checkpoint to a scratch table).
     """
-    tg = word_trigrams(docs)
+    from pyspark import StorageLevel
+
+    # persist the RAW shingle relation: every downstream use (df-cap counts,
+    # sizes, both join sides) reads the cache, never documents again
+    tg = word_trigrams(docs).persist(StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
         freq = tg.groupBy("g").agg(F.count("*").alias("df"))
-        tg = tg.join(freq.filter(F.col("df") <= df_cap).select("g"), "g")
+        tg = tg.join(
+            F.broadcast(freq.filter(F.col("df") > df_cap).select("g")),
+            "g",
+            "left_anti",
+        )
     sizes = tg.groupBy("doc_id").agg(F.count("*").alias("ng"))
     a = tg.select(F.col("doc_id").alias("doc_id_a"), "g")
     b = tg.select(F.col("doc_id").alias("doc_id_b"), "g")
@@ -289,6 +358,67 @@ def embedding_neardup_pairs(emb: DataFrame, min_cos_e6: int = 400_000) -> DataFr
     pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
     return (
         pairs.select(
+            "vec_id_a",
+            "vec_id_b",
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                    "(acc, x) -> acc + x)"
+                )
+                / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
+                * 1_000_000
+            ).alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= min_cos_e6)
+    )
+
+
+def embedding_neardup_bucketed(
+    emb: DataFrame,
+    min_cos_e6: int = 400_000,
+    k_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed — the DEFAULT scale path.
+
+    Candidates are pairs sharing at least one of their ``nprobe`` best IVF
+    cells (multi-probe assignment catches boundary pairs a single-cell
+    assignment splits); the exact cosine then runs only on candidates.  The
+    cell equi-join replaces :func:`embedding_neardup_pairs`'s all-pairs
+    crossJoin: at corpus scale the compare volume is sum of squared bucket
+    sizes, not n^2, and only the k_cells centroids are ever broadcast.
+    Output matches the all-pairs scorer restricted to bucket-sharing pairs:
+    (vec_id_a, vec_id_b, cos_e6).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    probes = (
+        _cell_scores(emb, k_cells)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= nprobe)
+        .select("vec_id", "cell")
+    )
+    cand = (
+        probes.select(F.col("vec_id").alias("vec_id_a"), "cell")
+        .join(probes.select(F.col("vec_id").alias("vec_id_b"), "cell"), "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    q = _quantized(emb)
+    a = q.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    return (
+        cand.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
+        .select(
             "vec_id_a",
             "vec_id_b",
             F.floor(

@@ -130,3 +130,70 @@ def test_ivf_cells_assign_to_max_cos_centroid(emb):
     assert cells[0] == 0 and cells[1] == 1 and cells[2] == 2  # self-assignment
     # vec 5 is orthogonal to all three centroids (cos=0 ties) -> lowest id wins
     assert cells[5] == 0
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    """Mass-duplicated boilerplate: 80 identical docs (the bucket-cap trigger)
+    plus one genuine near-dup pair with distinct content."""
+    rows = [(i, "spam spam lorem ipsum dolor sit amet boilerplate")
+            for i in range(1, 81)]
+    rows += [(100, "unique question about spark partitioning strategies"),
+             (101, "unique question about spark partitioning strategies")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_simhash_bucket_cap_drops_degenerate_buckets(degenerate_docs):
+    # uncapped: the 80 identical docs alone contribute C(80,2)=3160 pairs
+    uncapped = textops.simhash_neardup_pairs(
+        degenerate_docs, max_bucket=None
+    ).count()
+    assert uncapped >= 3160
+    # capped: every bucket holding the boilerplate exceeds 64 and is dropped
+    # BEFORE collect_set; the genuine pair (its own small bucket) survives
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in textops.simhash_neardup_pairs(
+            degenerate_docs, max_bucket=64
+        ).collect()
+    }
+    assert pairs == {("100", "101"): 0}
+
+
+def test_simhash_bucket_stats_counts_dropped(degenerate_docs):
+    stats = textops.simhash_bucket_stats(degenerate_docs, max_bucket=64).collect()
+    dropped = [r for r in stats if r.dropped == 1]
+    kept = [r for r in stats if r.dropped == 0]
+    # the 80-doc boilerplate group fills one bucket per band (4 bands); the
+    # near-dup pair may collide into one of them (80 or 82 docs)
+    assert len(dropped) == 4
+    assert all(r.n_docs >= 80 for r in dropped)
+    # the near-dup pair's buckets (and any stragglers) stay under the cap
+    assert all(r.n_docs <= 64 for r in kept)
+    # no cap -> nothing dropped
+    assert all(
+        r.dropped == 0
+        for r in textops.simhash_bucket_stats(
+            degenerate_docs, max_bucket=None
+        ).collect()
+    )
+
+
+def test_embedding_neardup_bucketed_matches_allpairs_on_shared_cells(emb):
+    bucketed = {
+        (r.vec_id_a, r.vec_id_b): r.cos_e6
+        for r in textops.embedding_neardup_bucketed(
+            emb, min_cos_e6=900_000, k_cells=3, nprobe=2
+        ).collect()
+    }
+    allpairs = {
+        (r.vec_id_a, r.vec_id_b): r.cos_e6
+        for r in textops.embedding_neardup_pairs(emb, min_cos_e6=900_000).collect()
+    }
+    # bucketed is a subset of all-pairs with identical scores where present
+    assert set(bucketed) <= set(allpairs)
+    for k, v in bucketed.items():
+        assert allpairs[k] == v
+    # the parallel pairs share a probed cell, so the scale path finds them
+    assert bucketed[(0, 3)] == 1_000_000
+    assert (1, 4) in bucketed
