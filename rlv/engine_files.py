@@ -316,14 +316,18 @@ def _make_verify_worker(blocks_dir: str):
                 a = vals[offs[0]:offs[-1]]
                 o = offs - offs[0]
                 n = len(src)
-                blocks_col = blk.column("block")
-                blobs = []
-                for i in range(n):
-                    j = i if order is None else order[i]
-                    if order is not None and np.isnan(j):
-                        blobs.append(None)  # missing doc: decodes empty
-                    else:
-                        blobs.append(blocks_col[int(j)].as_py())
+                blocks_col = blk.column("block").combine_chunks()
+                if order is None:
+                    blobs = blocks_col.to_pylist()
+                else:
+                    # vectorized alignment: Arrow take on the reorder indices;
+                    # missing docs (NaN) take index 0 then get None'd (decode
+                    # treats None as empty, which never matches nonempty)
+                    missing = np.isnan(order)
+                    idx = np.where(missing, 0, order).astype(np.int64)
+                    blobs = blocks_col.take(pa.array(idx)).to_pylist()
+                    for i in np.flatnonzero(missing):
+                        blobs[i] = None
                 exp_sizes = np.diff(o)
                 try:
                     dec, dec_off0 = B.decode_blocks_batch(
@@ -400,21 +404,23 @@ def verify_files_dataset(
     live = live_splits(out_dir)  # compacted rows have no file of their own
     if live is not None:
         for rec in live.to_dict("records"):
-            if rec.get("pieces"):
+            # a recorded-but-EMPTY pieces list ("[]") is as lineage-less as a
+            # missing one — handing it to the worker would concat zero tables
+            pieces = json.loads(rec["pieces"]) if rec.get("pieces") else []
+            if pieces:
                 todo.append(
-                    {
-                        "split_id": str(rec["split_id"]),
-                        "pieces": json.loads(rec["pieces"]),
-                    }
+                    {"split_id": str(rec["split_id"]), "pieces": pieces}
                 )
             else:
                 no_pieces.append(str(rec["split_id"]))
-    if no_pieces or not todo:
-        # rows from before the lineage column: recover their pieces by
+    if no_pieces:
+        # LIVE rows from before the lineage column: recover their pieces by
         # re-planning.  Splits we STILL can't source must fail the verify —
-        # returning mismatches=0 while silently skipping them would certify
-        # a dataset that was never checked.
-        wanted = set(no_pieces) if todo else done_splits(spark, out_dir)
+        # returning mismatches=0 while silently skipping them would certify a
+        # dataset that was never checked.  ('compacted' rows never enter:
+        # their blocks files are gone by design and their lineage lives on in
+        # the merged row.)
+        wanted = set(no_pieces)
         planned = {s["split_id"]: s for s in plan_splits(input_dir, num_tasks)}
         unsourced = sorted(wanted - set(planned))
         if unsourced:
@@ -452,12 +458,37 @@ def verify_files_dataset(
 
 DECODE_RESULT_SCHEMA = "file string, n_docs bigint, n_tokens bigint"
 
+_INT32_LIMIT = 2**31
+
+
+def _tokens_list_array(flat: "np.ndarray", offs: "np.ndarray"):
+    """Arrow list column from (flat values, offsets), overflow-safe.
+
+    A blocks file merged by compaction can decode to > 2^31 tokens at the
+    10^12-token scale this plane targets; casting such offsets to int32 for
+    ``ListArray`` would silently wrap and corrupt the export, so past the
+    int32 range we emit a LargeListArray (int64 offsets — parquet stores both
+    identically; readers see the same list column).
+    """
+    import pyarrow as pa
+
+    if int(offs[-1]) < _INT32_LIMIT:
+        return pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), type=pa.int32()),
+            pa.array(flat, type=pa.int32()),
+        )
+    return pa.LargeListArray.from_arrays(
+        pa.array(offs.astype(np.int64), type=pa.int64()),
+        pa.array(flat, type=pa.int32()),
+    )
+
 
 def _make_decode_worker(out_dir: str):
     """Per-file decode: blocks parquet -> token-table parquet (the read/export
     direction, python-native like the encode).  Output rows carry
     (doc_id, tokens, n_tok, source); file name mirrors the blocks file so the
-    export is idempotent and resumable by presence."""
+    export is idempotent and resumable by presence (see
+    :func:`decode_files_dataset`'s ``resume``)."""
     from rlv import blocks as B
     from rlv.util import tune_malloc
 
@@ -478,10 +509,7 @@ def _make_decode_worker(out_dir: str):
                 flat, offs = B.decode_blocks_batch(
                     tbl.column("block").to_pylist(), np.int32, expected=declared
                 )
-                tokens_col = pa.ListArray.from_arrays(
-                    pa.array(offs.astype(np.int32), type=pa.int32()),
-                    pa.array(flat, type=pa.int32()),
-                )
+                tokens_col = _tokens_list_array(flat, offs)
                 out = pa.table(
                     {
                         "doc_id": tbl.column("doc_id"),
@@ -505,10 +533,16 @@ def _make_decode_worker(out_dir: str):
     return run_decode
 
 
-def decode_files_dataset(spark: SparkSession, enc_dir: str, out_dir: str) -> dict:
+def decode_files_dataset(
+    spark: SparkSession, enc_dir: str, out_dir: str, resume: bool = True
+) -> dict:
     """Decode every blocks file under ``enc_dir`` back into a token table at
     ``out_dir`` (one task per blocks file, zero shuffle).  Returns
-    {files, docs, tokens}."""
+    {files, docs, tokens, files_skipped}.
+
+    With ``resume``, files whose output already exists are skipped — output
+    writes are atomic (tmp + rename), so presence means complete; pass
+    ``resume=False`` to force a full re-export."""
     blocks_dir = f"{enc_dir}/blocks"
     live = live_splits(enc_dir)
     if live is not None:
@@ -531,8 +565,17 @@ def decode_files_dataset(spark: SparkSession, enc_dir: str, out_dir: str) -> dic
             if f.endswith(".parquet")
         )
     os.makedirs(out_dir, exist_ok=True)
+    skipped = 0
+    if resume:
+        todo = []
+        for f in files:
+            if os.path.exists(os.path.join(out_dir, os.path.basename(f))):
+                skipped += 1
+            else:
+                todo.append(f)
+        files = todo
     if not files:
-        return {"files": 0, "docs": 0, "tokens": 0}
+        return {"files": 0, "docs": 0, "tokens": 0, "files_skipped": skipped}
     tasks_df = spark.createDataFrame(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
@@ -543,6 +586,7 @@ def decode_files_dataset(spark: SparkSession, enc_dir: str, out_dir: str) -> dic
         "files": len(rows),
         "docs": sum(int(r["n_docs"]) for r in rows),
         "tokens": sum(int(r["n_tokens"]) for r in rows),
+        "files_skipped": skipped,
     }
 
 

@@ -50,9 +50,15 @@ def encode_stream(
     num_tasks: int | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ):
     """Start (and, with ``available_now``, run to completion) the streaming
     encode of ``input_dir`` into ``out_dir``.
+
+    ``schema`` (a StructType or DDL string) lets a continuous service start
+    on an EMPTY landing directory — the normal deployment order for ingest;
+    without it the schema is inferred from files already present, which
+    raises if there are none yet.
 
     Returns the StreamingQuery (already awaited when ``available_now``).
     """
@@ -60,7 +66,15 @@ def encode_stream(
         checkpoint_dir = f"{out_dir}/_stream_checkpoint"
     if num_tasks is None:
         num_tasks = 4 * spark.sparkContext.defaultParallelism
-    schema = spark.read.parquet(input_dir).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(input_dir).schema
+        except Exception as e:
+            raise ValueError(
+                f"cannot infer the stream schema from {input_dir!r} (empty or "
+                "unreadable landing directory); pass schema= to start the "
+                "stream before the first file arrives"
+            ) from e
 
     def process_batch(batch_df, batch_id: int) -> None:
         files = [

@@ -255,3 +255,28 @@ def test_decoder_never_crashes_on_garbage(junk, budget):
             assert offs[-1] <= budget + 2
         except (ValueError, IndexError):
             pass
+
+
+@given(
+    bits=st.integers(0, 64),
+    lens=st.lists(st.integers(0, 17), min_size=1, max_size=6),
+    data=st.data(),
+)
+def test_pack_bits_multi_equals_per_doc(bits, lens, data):
+    """pack_bits_multi's payload slices are byte-identical to per-doc
+    pack_bits for every width 0..64 and mixed doc lengths (covers the
+    sub-byte bit-matrix path AND the 64-bit fast path directly)."""
+    hi = (1 << bits) - 1 if bits else 0
+    docs = [
+        np.array(
+            data.draw(st.lists(st.integers(0, hi), min_size=n, max_size=n)),
+            dtype=np.uint64,
+        )
+        for n in lens
+    ]
+    flat = np.concatenate(docs)
+    payload, offs = bitpack.pack_bits_multi(
+        flat, np.array(lens, dtype=np.int64), bits
+    )
+    for i, d in enumerate(docs):
+        assert payload[offs[i]:offs[i + 1]] == bitpack.pack_bits(d, bits)

@@ -209,3 +209,46 @@ def test_compact_blocks(spark, tok_dir, tmp_path):
     restored = str(tmp_path / "restored")
     d = engine_files.decode_files_dataset(spark, out, restored)
     assert d["docs"] == len(pre_blocks)
+
+
+def test_decode_files_resume_skips_existing(spark, tok_dir, tmp_path):
+    """Export resume-by-presence: already-written output files are skipped
+    (writes are atomic, so presence == complete); resume=False re-exports."""
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=4)
+    restored = str(tmp_path / "restored")
+    r1 = engine_files.decode_files_dataset(spark, out, restored)
+    assert r1["files"] > 0 and r1["files_skipped"] == 0
+    r2 = engine_files.decode_files_dataset(spark, out, restored)
+    assert r2["files"] == 0 and r2["files_skipped"] == r1["files"]
+    r3 = engine_files.decode_files_dataset(spark, out, restored, resume=False)
+    assert r3["files"] == r1["files"] and r3["files_skipped"] == 0
+
+
+def test_tokens_list_array_switches_to_large_list(monkeypatch):
+    """Offsets past the int32 range must produce a LargeListArray, not a
+    silently-wrapped int32 ListArray (threshold patched down to exercise the
+    branch without 8 GiB of tokens)."""
+    import pyarrow as pa
+
+    flat = np.arange(16, dtype=np.int32)
+    offs = np.array([0, 4, 16], dtype=np.int64)
+    small = engine_files._tokens_list_array(flat, offs)
+    assert pa.types.is_list(small.type)
+    monkeypatch.setattr(engine_files, "_INT32_LIMIT", 10)
+    big = engine_files._tokens_list_array(flat, offs)
+    assert pa.types.is_large_list(big.type)
+    assert big.to_pylist() == small.to_pylist()
+
+
+def test_verify_recovers_empty_pieces_rows(spark, tok_dir, tmp_path):
+    """A manifest row whose recorded pieces list is EMPTY ('[]') counts as
+    lineage-less: verify re-plans it instead of handing the worker zero
+    tables (legacy-manifest fallback)."""
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    pdf = engine_files._read_manifest_pdf(out)
+    pdf["pieces"] = "[]"
+    engine_files._write_manifest_pdf(out, pdf)
+    res = engine_files.verify_files_dataset(spark, tok_dir, out, num_tasks=6)
+    assert res["mismatches"] == 0 and res["splits"] > 0

@@ -83,3 +83,20 @@ def test_stream_restart_is_idempotent(spark, landing, tmp_path):
     m2 = engine_files._read_manifest_pdf(out).sort_values("split_id")
     assert (m2["attempt"] == 1).all()
     assert list(m1["split_id"]) == list(m2["split_id"])
+
+
+def test_stream_starts_on_empty_dir_with_schema(spark, tmp_path):
+    """A continuous ingest service starts BEFORE the first file arrives:
+    schema= makes that work; without it the failure is a clear ValueError."""
+    import os
+
+    empty = str(tmp_path / "empty_landing")
+    os.makedirs(empty)
+    out = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="schema"):
+        streaming.encode_stream(spark, empty, out)
+    q = streaming.encode_stream(
+        spark, empty, out,
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert q is not None  # availableNow over zero files terminates cleanly
