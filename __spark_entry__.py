@@ -206,6 +206,36 @@ def _q_string_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_string_codec_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRDICT with a CORPUS-trained FSST symbol table (the sampling-pass
+    output plumbed into the string codec): train once on a deterministic text
+    sample (lowest doc_ids), then every chunk encodes against the shared
+    external table — smaller chunks, no per-chunk training, and identical
+    payloads encode identically corpus-wide.  Verification is the per-row
+    roundtrip bit, so the oracle is count(*) per source."""
+    _ensure_shipped(spark)
+    import pyarrow.parquet as pq
+
+    from rlv.kernels import fsst
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    sample = "|".join(tbl.column("text").to_pylist()[:64]).encode("utf-8")
+    symbols = fsst.train_symbols(sample)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source"), F.col("text")
+    )
+    res = engine.strings_pass(docs, value_col="text", key_col="source",
+                              symbols=symbols)
+    return (
+        res.filter(F.col("ok") == 1)
+        .groupBy(F.col("key").alias("source"))
+        .agg(F.count("*").alias("n_verified"))
+        .select("source", "n_verified")
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents (training-data pipeline op): hash-groupBy,
     keep the lexicographically-smallest doc_id."""
@@ -655,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_length_histogram": _q_run_length_histogram,
         "roundtrip_verify": _q_roundtrip_verify,
         "string_codec_verify": _q_string_codec_verify,
+        "string_codec_shared": _q_string_codec_shared,
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_bands,
         "ann_topk": _q_ann_topk,
@@ -818,6 +849,10 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_verified
 FROM documents GROUP BY source
 """,
         "string_codec_verify": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_verified
+FROM documents GROUP BY source
+""",
+        "string_codec_shared": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_verified
 FROM documents GROUP BY source
 """,

@@ -532,12 +532,20 @@ def decode_blocks_batch(
 # ---------------------------------------------------------------------------
 
 
-def encode_strings(values) -> bytes:
+def encode_strings(values, symbols: list[bytes] | None = None) -> bytes:
     """Encode a string/bytes column chunk: STRDICT block.
 
     Layout: STRDICT | uvarint n | uvarint ndv | ibits u8 | pack(indices)
             | lbits u8 | pack(dict string lengths) | uvarint blob_len
             | FSST blob of the concatenated dictionary payload.
+
+    With ``symbols`` (a corpus-trained FSST table, e.g. from
+    :func:`rlv.engine_files.sample_pass`), the blob references the shared
+    table instead of training on and embedding a per-chunk one: chunk blocks
+    shrink by the table bytes, encode skips the per-chunk training pass, and
+    equal payloads encode identically in every chunk.  Decode then needs the
+    same table (:func:`decode_strings` ``symbols=``) — corpus metadata, kept
+    in the dataset manifest.
     """
     from rlv.kernels import fsst
 
@@ -550,7 +558,11 @@ def encode_strings(values) -> bytes:
     lengths = np.array([len(u) for u in uniq], dtype=np.int64)
     lbits = _storage_bits(int(lengths.max()) if lengths.size else 0)
     payload = b"".join(uniq.tolist())
-    blob = fsst.compress(payload)
+    blob = (
+        fsst.compress(payload)
+        if symbols is None
+        else fsst.compress(payload, symbols, embed_table=False)
+    )
     out = bytearray([STRDICT])
     write_uvarint(out, len(vals))
     write_uvarint(out, uniq.size)
@@ -563,7 +575,7 @@ def encode_strings(values) -> bytes:
     return bytes(out)
 
 
-def decode_strings(block: bytes) -> list[bytes]:
+def decode_strings(block: bytes, symbols: list[bytes] | None = None) -> list[bytes]:
     from rlv.kernels import fsst
 
     if len(block) == 0:
@@ -584,7 +596,7 @@ def decode_strings(block: bytes) -> list[bytes]:
     lengths = unpack_bits(block[pos:pos + nb], ndv, lbits)
     pos += nb
     blob_len, pos = read_uvarint(block, pos)
-    payload = fsst.decompress(block[pos:pos + blob_len])
+    payload = fsst.decompress(block[pos:pos + blob_len], symbols)
     offs = np.zeros(ndv + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
     uniq = [payload[offs[i]:offs[i + 1]] for i in range(ndv)]

@@ -479,40 +479,56 @@ def count_runs_pass(df: DataFrame) -> DataFrame:
     )
 
 
-def _strings_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _make_strings_batches(symbols: list[bytes] | None):
     """Per-batch string-column encode (STRDICT = dict + FSST) with an inline
-    decode check; emits per-row verification + per-batch size metrics."""
-    tune_malloc()
-    for batch in it:
-        tb = pa.table(batch)
-        key = tb.column("key").combine_chunks()
-        vals = tb.column("value").combine_chunks().to_pylist()
-        block = B.encode_strings(vals)
-        back = B.decode_strings(block)
-        expect = [v.encode("utf-8") for v in vals]
-        ok = np.array([a == b for a, b in zip(expect, back)], dtype=np.int32)
-        raw = sum(len(v) for v in expect)
-        n = len(vals)
-        yield pa.record_batch(
-            [
-                key,
-                pa.array(ok, type=pa.int32()),
-                pa.array(np.full(n, len(block), dtype=np.int64)),
-                pa.array(np.full(n, raw, dtype=np.int64)),
-            ],
-            names=["key", "ok", "chunk_enc_bytes", "chunk_raw_bytes"],
-        )
+    decode check; emits per-row verification + per-batch size metrics.
+    ``symbols`` is the optional corpus-trained FSST table (shipped in the task
+    closure — a few KB), switching every chunk to the shared external table."""
+
+    def _strings_arrow_batches(
+        it: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        tune_malloc()
+        for batch in it:
+            tb = pa.table(batch)
+            key = tb.column("key").combine_chunks()
+            vals = tb.column("value").combine_chunks().to_pylist()
+            block = B.encode_strings(vals, symbols)
+            back = B.decode_strings(block, symbols)
+            expect = [v.encode("utf-8") for v in vals]
+            ok = np.array([a == b for a, b in zip(expect, back)], dtype=np.int32)
+            raw = sum(len(v) for v in expect)
+            n = len(vals)
+            yield pa.record_batch(
+                [
+                    key,
+                    pa.array(ok, type=pa.int32()),
+                    pa.array(np.full(n, len(block), dtype=np.int64)),
+                    pa.array(np.full(n, raw, dtype=np.int64)),
+                ],
+                names=["key", "ok", "chunk_enc_bytes", "chunk_raw_bytes"],
+            )
+
+    return _strings_arrow_batches
 
 
-def strings_pass(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
+def strings_pass(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    symbols: list[bytes] | None = None,
+) -> DataFrame:
     """String-column codec pass: (key, ok, chunk sizes) per row.
 
     ``ok`` is the per-row STRDICT roundtrip bit; chunk columns carry the
     encoded/raw byte sizes of the row's Arrow batch (chunk = column chunk).
+    Pass ``symbols`` (e.g. ``sample_pass(...)["fsst_symbols"]`` decoded from
+    hex) to encode every chunk against the corpus-trained FSST table instead
+    of training per chunk.
     """
     sel = df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"))
     return sel.mapInArrow(
-        _strings_arrow_batches,
+        _make_strings_batches(symbols),
         "key string, ok int, chunk_enc_bytes bigint, chunk_raw_bytes bigint",
     )
 

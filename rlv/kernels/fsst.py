@@ -146,21 +146,49 @@ def deserialize_table(buf: bytes, pos: int = 0) -> tuple[SymbolTable, int]:
     return SymbolTable(symbols), pos
 
 
-def compress(data: bytes, symbols: list[bytes] | None = None) -> bytes:
-    """Self-contained blob: serialized table + encoded payload."""
+# Two-byte marker for an external-table blob.  Unambiguous vs the embedded
+# layout: there blob[0] is the symbol count (0..254) and blob[1] a symbol
+# LENGTH (1..8), so 0xFE at blob[1] can never occur; vs raw, blob[0]=0xFF.
+EXTERNAL_MARKER = bytes([0xFE, 0xFE])
+
+
+def compress(
+    data: bytes, symbols: list[bytes] | None = None, embed_table: bool = True
+) -> bytes:
+    """Compress ``data``; self-contained blob by default.
+
+    With ``symbols`` given and ``embed_table=False``, the blob carries only
+    the encoded payload behind :data:`EXTERNAL_MARKER` — the caller owns the
+    table (corpus metadata, e.g. trained once by a sampling pass and recorded
+    in the dataset manifest).  That amortizes the per-blob table bytes across
+    every chunk of the corpus and makes equal payloads encode to equal bytes
+    regardless of which chunk they land in.  Incompressible data falls back
+    to the raw marker either way (still self-contained).
+    """
     if symbols is None:
         symbols = train_symbols(data)
     st = SymbolTable(symbols)
     enc = st.encode(data)
-    if len(enc) >= len(data):  # incompressible: store raw, marker 0xFF
+    overhead = len(EXTERNAL_MARKER) if not embed_table else len(
+        serialize_table(symbols)
+    )
+    if len(enc) + overhead >= len(data) + 1:  # raw, marker 0xFF
         return bytes([ESCAPE]) + data
+    if not embed_table:
+        return EXTERNAL_MARKER + enc
     return serialize_table(symbols) + enc
 
 
-def decompress(blob: bytes) -> bytes:
+def decompress(blob: bytes, symbols: list[bytes] | None = None) -> bytes:
     if not blob:
         return b""
     if blob[0] == ESCAPE:
         return bytes(blob[1:])
+    if blob[:2] == EXTERNAL_MARKER:
+        if symbols is None:
+            raise ValueError(
+                "external-table FSST blob: pass the corpus symbol table"
+            )
+        return SymbolTable(symbols).decode(blob[2:])
     st, pos = deserialize_table(blob)
     return st.decode(blob[pos:])

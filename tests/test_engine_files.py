@@ -252,3 +252,19 @@ def test_verify_recovers_empty_pieces_rows(spark, tok_dir, tmp_path):
     engine_files._write_manifest_pdf(out, pdf)
     res = engine_files.verify_files_dataset(spark, tok_dir, out, num_tasks=6)
     assert res["mismatches"] == 0 and res["splits"] > 0
+
+
+def test_sample_pass_symbols_plumb_into_strings_pass(spark, tok_dir):
+    """sample_pass's trained FSST table drives the string-codec pass: every
+    chunk verifies against the shared external table (the sampling-pass ->
+    encoder wiring the north rule asks for)."""
+    from rlv import engine
+    from rlv.kernels import fsst
+
+    stats = engine_files.sample_pass(spark, tok_dir, every_kth=1, num_tasks=8)
+    symbols = [bytes.fromhex(h) for h in stats["fsst_symbols"]]
+    docs = spark.read.parquet(tok_dir).select("doc_id", "source")
+    res = engine.strings_pass(
+        docs, value_col="source", key_col="source", symbols=symbols
+    ).collect()
+    assert res and all(r["ok"] == 1 for r in res)
