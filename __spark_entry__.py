@@ -539,6 +539,34 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-column engine surface (north rule: *per-column* compression):
+    encode four columns of `orders` — two ints (o_custkey, o_totalprice as
+    exact cents) and two strings (dense-rank dictionary codes) — chunked by
+    o_orderkey % 8 and ordered by o_orderkey within each chunk.  The oracle
+    re-derives every (chunk, column) sequence with SQL windows and re-runs the
+    exact codec-size model, so per-column selection + exact sizes are checked
+    end to end on a table that is NOT token-shaped."""
+    _ensure_shipped(spark)
+    from rlv import table as T
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("chunk", F.expr("CAST(o_orderkey % 8 AS INT)"))
+        .withColumn(
+            "o_total_cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        )
+    )
+    enc = T.encode_table_columns(
+        orders,
+        chunk_col="chunk",
+        order_col="o_orderkey",
+        int_cols=["o_custkey", "o_total_cents"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
+    return enc.select("chunk_id", "col_name", "n_values", "codec_id", "enc_bytes")
+
+
 def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH candidate pairs: docs sharing any band hash are
     near-dup candidates — the O(n^2)-avoiding scale path.
@@ -702,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
+        "table_encode": _q_table_encode,
     }
 
 
@@ -1123,6 +1152,106 @@ SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM b2 a JOIN b2 b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
+""",
+        # SQL re-implementation of the per-column encode: rebuild each
+        # (chunk, column) sequence with windows, re-derive runs/stats, and
+        # re-run the exact codec-size model (same formulas as codec_selection;
+        # every column here is nonnegative, matching the model's zigzag/
+        # bitpack assumptions).
+        "table_encode": """
+WITH seq AS (
+  SELECT CAST(o_orderkey % 8 AS INT) AS chunk_id, 'o_custkey' AS col_name,
+         CAST(o_orderkey AS BIGINT) AS ord, CAST(o_custkey AS BIGINT) AS tok
+  FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey % 8 AS INT), 'o_total_cents',
+         CAST(o_orderkey AS BIGINT), CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey % 8 AS INT), 'o_orderstatus',
+         CAST(o_orderkey AS BIGINT),
+         CAST(dense_rank() OVER (PARTITION BY o_orderkey % 8
+                                 ORDER BY o_orderstatus) - 1 AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT CAST(o_orderkey % 8 AS INT), 'o_orderpriority',
+         CAST(o_orderkey AS BIGINT),
+         CAST(dense_rank() OVER (PARTITION BY o_orderkey % 8
+                                 ORDER BY o_orderpriority) - 1 AS BIGINT)
+  FROM orders
+),
+flagged AS (
+  SELECT chunk_id, col_name, ord, tok,
+         CASE WHEN tok IS DISTINCT FROM
+                   lag(tok) OVER (PARTITION BY chunk_id, col_name ORDER BY ord)
+              THEN 1 ELSE 0 END AS f
+  FROM seq
+),
+grp AS (
+  SELECT chunk_id, col_name, ord, tok,
+         sum(f) OVER (PARTITION BY chunk_id, col_name ORDER BY ord) AS g
+  FROM flagged
+),
+runs AS (
+  SELECT chunk_id, col_name, g, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM grp GROUP BY chunk_id, col_name, g, tok
+),
+doc_runs AS (
+  SELECT chunk_id, col_name, CAST(count(*) AS BIGINT) AS n_runs,
+         max(cnt) AS max_count
+  FROM runs GROUP BY chunk_id, col_name
+),
+doc_stats AS (
+  SELECT chunk_id, col_name, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
+         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv
+  FROM seq GROUP BY chunk_id, col_name
+),
+s AS (
+  SELECT d.chunk_id, d.col_name, d.n, d.minv, d.maxv, d.ndv,
+         r.n_runs, r.max_count
+  FROM doc_stats d JOIN doc_runs r USING (chunk_id, col_name)
+),
+bits AS (
+  SELECT *,
+    CASE WHEN maxv - minv = 0 THEN 0 ELSE length(printf('%b', maxv - minv)) END AS vbits,
+    CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
+    CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
+    CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
+    2 * minv AS zzmin
+  FROM s
+),
+lens AS (
+  SELECT *,
+    (length(printf('%b', n)) + 6) // 7 AS ul_n,
+    (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
+    CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
+    (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
+  FROM bits
+),
+sz AS (
+  SELECT chunk_id, col_name, n,
+    1 + ul_n + 1 + 4 * n AS s_plain,
+    1 + ul_r + ul_zz + 2
+      + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
+      + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END AS s_rle,
+    1 + ul_n + 1
+      + CASE WHEN pbits = 0 THEN 0 ELSE (n * pbits + 7) // 8 END AS s_bitpack,
+    1 + ul_n + ul_zz + 1
+      + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
+    1 + ul_n + ul_ndv + ul_zz + 1
+      + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
+      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict
+  FROM lens
+)
+SELECT chunk_id, col_name, CAST(n AS BIGINT) AS n_values,
+  CAST(CASE
+    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict) THEN 1
+    WHEN s_rle <= least(s_bitpack, s_for, s_dict) THEN 2
+    WHEN s_bitpack <= least(s_for, s_dict) THEN 3
+    WHEN s_for <= s_dict THEN 4
+    ELSE 5 END AS INT) AS codec_id,
+  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
+FROM sz
 """,
         "text_quality": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -1,0 +1,195 @@
+"""Multi-column table encode: the north rule's *per-column* engine surface.
+
+``encode_table_columns`` encodes EVERY requested column of an arbitrary table
+through the existing chunk machinery: each (chunk, column) value sequence
+becomes one logical document for :func:`rlv.engine.encode_pass`, so the whole
+stats sweep / exact-size selector / vectorized serializer stack
+(rl_encoding.v's selector statistics story, v:3032-3053, applied per column)
+is reused unchanged.  String columns are dictionary-coded first — the code
+stream (dense rank of the value within its chunk) goes through the int
+codecs, and the chunk dictionary itself is a STRDICT block
+(:func:`encode_table_dicts`) — the classic columnar split of values vs
+dictionary.
+
+Scale shape: one shuffle to co-locate each chunk's rows (inherent — a chunk
+must be encoded contiguously), everything after is per-(chunk, column) local.
+Chunks are the caller's partition unit (e.g. an Iceberg partition or a
+row-group-sized bucket); at 10^12 rows the chunk column IS the table's
+physical partitioning, so the "shuffle" is a no-op read of already-bucketed
+data.  The dense-rank window for string codes partitions by chunk as well —
+same co-location, no extra exchange after AQE coalesces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rlv import engine
+
+
+def _long_relation(
+    df: DataFrame,
+    chunk_col: str,
+    order_col: str,
+    int_cols: list[str],
+    str_cols: list[str],
+) -> DataFrame:
+    """(chunk_id, col_name, ord, value): every column's values as one long
+    relation, strings replaced by their within-chunk dense-rank codes."""
+    parts = [
+        df.select(
+            F.col(chunk_col).cast("int").alias("chunk_id"),
+            F.lit(c).alias("col_name"),
+            F.col(order_col).cast("long").alias("ord"),
+            F.col(c).cast("long").alias("value"),
+        )
+        for c in int_cols
+    ]
+    for c in str_cols:
+        w = Window.partitionBy(F.col(chunk_col)).orderBy(F.col(c))
+        parts.append(
+            df.select(
+                F.col(chunk_col).cast("int").alias("chunk_id"),
+                F.lit(c).alias("col_name"),
+                F.col(order_col).cast("long").alias("ord"),
+                (F.dense_rank().over(w) - 1).cast("long").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def encode_table_columns(
+    df: DataFrame,
+    chunk_col: str,
+    order_col: str,
+    int_cols: list[str],
+    str_cols: list[str] = (),
+) -> DataFrame:
+    """Encode each column chunk-by-chunk with the auto-selector.
+
+    Returns one row per (chunk, column): ``(chunk_id, col_name, n_values,
+    n_runs, codec_id, enc_bytes, block)``.  ``order_col`` must be a total
+    order within each chunk (it defines the value sequence, hence the run
+    structure — both engines sort by it, so blocks are deterministic).
+    String columns contribute their dense-rank code stream; pair with
+    :func:`encode_table_dicts` for the decodable dictionary.
+    """
+    long_rel = _long_relation(df, chunk_col, order_col, list(int_cols),
+                              list(str_cols))
+    grouped = (
+        long_rel.groupBy("chunk_id", "col_name")
+        .agg(F.array_sort(F.collect_list(F.struct("ord", "value"))).alias("sv"))
+        .select(
+            "chunk_id",
+            "col_name",
+            F.expr("transform(sv, x -> CAST(x.value AS INT))").alias("tokens"),
+        )
+    )
+    doc = grouped.select(
+        F.concat_ws("#", F.col("chunk_id"), F.col("col_name")).alias("doc_id"),
+        F.col("col_name").alias("source"),
+        F.lit(0).alias("group_id"),
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+    )
+    enc = engine.encode_pass(doc)
+    return enc.select(
+        F.split("doc_id", "#")[0].cast("int").alias("chunk_id"),
+        F.col("source").alias("col_name"),
+        F.col("n_tok").cast("bigint").alias("n_values"),
+        "n_runs",
+        "codec_id",
+        "enc_bytes",
+        "block",
+    )
+
+
+def encode_table_dicts(
+    df: DataFrame, chunk_col: str, str_cols: list[str]
+) -> DataFrame:
+    """Per-(chunk, string column) dictionary blocks: ``(chunk_id, col_name,
+    ndv, dict_block)``.
+
+    The dictionary lists the chunk's distinct values in sort order — exactly
+    the order :func:`encode_table_columns`' dense-rank codes index into — as
+    one STRDICT block (dict-of-uniques + FSST payload).  Decode = STRDICT
+    block -> sorted uniques, then ``uniques[code]`` per row.
+    """
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("chunk_id", IntegerType()),
+        StructField("col_name", StringType()),
+        StructField("ndv", LongType()),
+        StructField("dict_block", BinaryType()),
+    ])
+
+    def per_chunk(key, pdf):
+        import pandas as pd
+
+        from rlv import blocks as B
+        from rlv.util import tune_malloc
+
+        tune_malloc()
+        chunk_id, col_name = key
+        uniq = sorted(set(pdf["value"]))
+        block = B.encode_strings(uniq)
+        return pd.DataFrame(
+            {
+                "chunk_id": [int(chunk_id)],
+                "col_name": [col_name],
+                "ndv": [len(uniq)],
+                "dict_block": [block],
+            }
+        )
+
+    parts = [
+        df.select(
+            F.col(chunk_col).cast("int").alias("chunk_id"),
+            F.lit(c).alias("col_name"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in str_cols
+    ]
+    rel = parts[0]
+    for p in parts[1:]:
+        rel = rel.unionByName(p)
+    # distinct first: the grouped-map then ships ndv rows per chunk, not n
+    return (
+        rel.distinct()
+        .groupBy("chunk_id", "col_name")
+        .applyInPandas(per_chunk, out_schema)
+    )
+
+
+def decode_table_column(enc_rows, dict_rows=None) -> dict[int, list]:
+    """Driver-side decode helper (tests / spot checks, not a data path):
+    {chunk_id: values} for ONE column's rows from
+    :func:`encode_table_columns` (+ matching :func:`encode_table_dicts` rows
+    to map string codes back through the dictionary)."""
+    import numpy as np
+
+    from rlv import blocks as B
+
+    dicts = {}
+    if dict_rows is not None:
+        for r in dict_rows:
+            dicts[int(r["chunk_id"])] = [
+                b.decode("utf-8") for b in B.decode_strings(bytes(r["dict_block"]))
+            ]
+    out: dict[int, list] = {}
+    for r in enc_rows:
+        vals = B.decode_block(bytes(r["block"]), np.int32)
+        cid = int(r["chunk_id"])
+        if cid in dicts:
+            uniq = dicts[cid]
+            out[cid] = [uniq[int(v)] for v in vals]
+        else:
+            out[cid] = [int(v) for v in vals]
+    return out
