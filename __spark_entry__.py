@@ -539,6 +539,30 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas binary-in/list-of-binary-
+    out plumbing (rlv.multimodal.frame_sample_pass): payload = document text
+    bytes, 1 KiB frames tiling the payload (every_kth_kb=1).  The checkable
+    facet is the frame accounting — count and total sampled bytes — which the
+    oracle recomputes from octet lengths alone."""
+    _ensure_shipped(spark)
+    from rlv import multimodal
+
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    fs = multimodal.frame_sample_pass(media, every_kth_kb=1)
+    return fs.select(
+        "media_id",
+        "n_frames",
+        F.expr(
+            "aggregate(transform(frames, f -> CAST(octet_length(f) AS BIGINT)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("frame_bytes"),
+    )
+
+
 def _q_table_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multi-column engine surface (north rule: *per-column* compression):
     encode four columns of `orders` — two ints (o_custkey, o_totalprice as
@@ -729,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "frame_sample": _q_frame_sample,
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
         "table_encode": _q_table_encode,
     }
@@ -1119,6 +1144,12 @@ SELECT media_id, kind, n_bytes,
        CAST(floor(CAST(CAST(u32 / 4294967296.0 AS REAL) AS DOUBLE)
                   * 1000000000) AS BIGINT) AS f0_e9
 FROM u
+""",
+        "frame_sample": """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(ceil(octet_length(CAST(text AS BLOB)) / 1024.0) AS INT) AS n_frames,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS frame_bytes
+FROM documents
 """,
         "minhash_neardup_pairs": """
 WITH sh AS (

@@ -36,15 +36,39 @@ N_FEATURES = 8
 SUPPORTED_KINDS = {"image", "audio", "video"}
 
 
+def _real_image_features(payload: bytes) -> "np.ndarray | None":
+    """Real image decode IF Pillow is importable here (optional dependency —
+    absent in this container, present on a real cluster image): grayscale
+    8x8 thumbnail block means as the 8-float feature head.  Returns None when
+    the library is missing so the caller can fall through to the explicit
+    NotImplementedError."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    with Image.open(io.BytesIO(payload)) as im:
+        gray = im.convert("L").resize((N_FEATURES, N_FEATURES))
+        px = np.asarray(gray, dtype=np.float32) / 255.0
+        return px.mean(axis=0)
+
+
 def _decode_payload(kind: str, payload: bytes, fake: bool) -> np.ndarray:
-    """THE DECODE SEAM.  A real deployment plugs PIL/torchaudio/ffmpeg in
-    here; this container has none of them, so ``fake=True`` derives a
-    deterministic 8-float feature vector from a sha256 of the payload
-    (stable across executors/retries), and ``fake=False`` makes the missing
-    dependency explicit instead of silently wrong."""
+    """THE DECODE SEAM.  ``fake=True`` derives a deterministic 8-float
+    feature vector from a sha256 of the payload (stable across executors /
+    retries) — the oracle-checkable stand-in.  ``fake=False`` attempts the
+    real decoder: images go through Pillow when it is installed
+    (:func:`_real_image_features`); otherwise — and for audio/video, whose
+    libraries (librosa/ffmpeg) this container lacks — the missing dependency
+    raises explicitly instead of returning silently-wrong features."""
     if kind not in SUPPORTED_KINDS:
         raise ValueError(f"unsupported media kind: {kind}")
     if not fake:
+        if kind == "image":
+            feats = _real_image_features(payload)
+            if feats is not None:
+                return feats
         raise NotImplementedError(
             f"real {kind} decoding needs the media libraries (PIL/librosa/"
             "ffmpeg), which are not installed in this environment"
