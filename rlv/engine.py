@@ -588,6 +588,15 @@ def _decode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         flat, offsets = B.decode_blocks_batch(
             blocks_col.to_pylist(), np.int32, expected=expected
         )
+        if int(offsets[-1]) >= 2**31:
+            # the declared result schema is array<int> (int32 offsets); a
+            # batch decoding past that must fail loudly, never wrap (the
+            # files-plane decoder upgrades to LargeList instead — use it for
+            # monster batches)
+            raise ValueError(
+                f"decoded batch holds {int(offsets[-1])} tokens, past the "
+                "int32 list-offset range; reduce the Arrow batch size"
+            )
         decoded = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32), type=pa.int32()),
             pa.array(flat, type=pa.int32()),

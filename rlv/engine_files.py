@@ -83,12 +83,16 @@ def plan_splits_for_files(files: list[str], num_tasks: int) -> list[dict]:
         buckets[b].append((path, rg))
         loads[b] += nbytes
     splits = []
-    for bucket in buckets:
+    for bucket, load in zip(buckets, loads):
         if not bucket:
             continue
         key = json.dumps(sorted(bucket), sort_keys=True).encode()
         split_id = hashlib.sha1(key).hexdigest()[:16]
-        splits.append({"split_id": split_id, "pieces": sorted(bucket)})
+        # "bytes" = planned compressed-byte load (LPT balance evidence; not
+        # part of the split identity)
+        splits.append(
+            {"split_id": split_id, "pieces": sorted(bucket), "bytes": load}
+        )
     return splits
 
 

@@ -268,3 +268,22 @@ def test_sample_pass_symbols_plumb_into_strings_pass(spark, tok_dir):
         docs, value_col="source", key_col="source", symbols=symbols
     ).collect()
     assert res and all(r["ok"] == 1 for r in res)
+
+
+def test_lpt_plan_balances_pathological_skew(spark, tmp_path):
+    """Plan-quality guarantee on a Zipf-skewed table: LPT bin-packing of
+    row-group byte loads keeps max/mean split load under 1.5 whenever no
+    single row group dominates a whole bucket (LPT makespan <= 4/3 OPT)."""
+    from rlv import tokens
+
+    pdf = tokens.synth_token_pdf(4000, seed=3, families=("zipf_skew",))
+    d = str(tmp_path / "skew")
+    # many small files -> row-group granularity far below bucket size
+    spark.createDataFrame(pdf, schema=tokens.TOKEN_SCHEMA).repartition(
+        64
+    ).write.mode("overwrite").parquet(d)
+    splits = engine_files.plan_splits(d, 16)
+    loads = [s["bytes"] for s in splits]
+    assert len(loads) == 16
+    imbalance = max(loads) / (sum(loads) / len(loads))
+    assert imbalance < 1.5, f"LPT imbalance {imbalance:.3f}"
