@@ -539,6 +539,38 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_chunked_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL Structured Streaming encoder (applyInPandasWithState,
+    rlv.streaming.chunked_runs_stream): every doc's tokens arrive as 3
+    ordered chunks through a real file stream, the per-doc O(1)-state fold
+    stitches seams and appends completed runs to the sink.  The emitted run
+    stream must equal the batch decomposition (stream_eq_batch,
+    rl_encoding.v:4695-4715) — so the oracle is the plain run_decompose SQL,
+    making the stateful streaming path itself hash-checked."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    from rlv import streaming
+
+    df = _token_df(spark, sf_dir)
+    chunks = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), i -> struct("
+                "i AS chunk_idx, "
+                "CAST(CASE WHEN i = 2 THEN 1 ELSE 0 END AS INT) AS is_last, "
+                "slice(tokens, CAST(i * ceil(size(tokens) / 3.0) AS INT) + 1, "
+                "CAST(ceil(size(tokens) / 3.0) AS INT)) AS tokens))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.is_last", "c.tokens")
+    base = tempfile.mkdtemp(prefix="rlv_stream_q_")
+    chunks.write.mode("overwrite").parquet(f"{base}/in")
+    streaming.chunked_runs_stream(spark, f"{base}/in", f"{base}/out")
+    return spark.read.parquet(f"{base}/out/runs")
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling through the real mapInPandas binary-in/list-of-binary-
     out plumbing (rlv.multimodal.frame_sample_pass): payload = document text
@@ -754,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
+        "stream_chunked_runs": _q_stream_chunked_runs,
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
         "table_encode": _q_table_encode,
     }
@@ -1296,4 +1329,7 @@ FROM documents
     }
     # normalize(maxrun(runs)) must equal the plain decomposition — same oracle
     out["maxrun_normalize"] = out["run_decompose"]
+    # the streaming stateful encoder must emit the exact batch decomposition
+    # (stream_eq_batch, v:4695-4715) — same oracle again
+    out["stream_chunked_runs"] = out["run_decompose"]
     return out

@@ -32,6 +32,131 @@ from pyspark.sql import functions as F
 
 from rlv import engine_files
 
+# chunked-sequence stream: ordered chunks of each logical doc arrive over
+# time; is_last marks the doc's final chunk
+CHUNK_STREAM_SCHEMA = "doc_id string, chunk_idx int, is_last int, tokens array<int>"
+RUNS_OUT_SCHEMA = "doc_id string, run_idx int, run_count bigint, run_value int"
+# O(1) per-doc state — exactly the reference streaming encoder's
+# (rl_encoding.v:4717-4731, streaming_uses_constant_space): the open run +
+# progress counters; completed runs are EMITTED, never held
+_CHUNK_STATE_SCHEMA = (
+    "next_chunk int, run_count bigint, run_value int, runs_emitted int, "
+    "has_open int"
+)
+
+
+def _chunk_state_fold(key, pdf_iter, state):
+    """applyInPandasWithState fold: stitch each arriving chunk onto the open
+    run (``stream_push``/``streaming_safe_append`` semantics,
+    rl_encoding.v:4789-4797 amortized-cost story), emit every run that
+    CLOSES, carry only the open one.  Chunks must arrive in order
+    (chunk_idx contiguous from the state's next_chunk) — a gap raises rather
+    than emitting a wrong decomposition.  On is_last the trailing run is
+    flushed and the state removed, so state size tracks live (unfinished)
+    docs only."""
+    import numpy as np
+    import pandas as pd
+
+    from rlv.kernels import rle
+
+    doc_id = key[0]
+    if state.exists:
+        next_chunk, c_count, c_value, emitted, has_open = state.get
+    else:
+        next_chunk, c_count, c_value, emitted, has_open = 0, 0, 0, 0, 0
+    out_counts: list[int] = []
+    out_values: list[int] = []
+    finished = False
+    chunks = pd.concat(list(pdf_iter)).sort_values("chunk_idx")
+    for _, row in chunks.iterrows():
+        if int(row["chunk_idx"]) != next_chunk:
+            raise ValueError(
+                f"doc {doc_id}: chunk {int(row['chunk_idx'])} arrived but "
+                f"chunk {next_chunk} is next — the chunk stream must be "
+                "delivered in order"
+            )
+        next_chunk += 1
+        if int(row["is_last"]):
+            finished = True
+        a = np.asarray(row["tokens"], dtype=np.int64)
+        if a.size == 0:
+            continue
+        counts, values = rle.rle_encode(a)
+        if has_open and int(values[0]) == c_value:
+            counts = counts.copy()
+            counts[0] += c_count
+        elif has_open:
+            out_counts.append(c_count)
+            out_values.append(c_value)
+        # all but the chunk's final run are closed by construction
+        out_counts.extend(int(c) for c in counts[:-1])
+        out_values.extend(int(v) for v in values[:-1])
+        c_count, c_value, has_open = int(counts[-1]), int(values[-1]), 1
+    if finished:
+        if has_open:
+            out_counts.append(c_count)
+            out_values.append(c_value)
+        state.remove()
+    else:
+        state.update((next_chunk, c_count, c_value, emitted + len(out_counts), has_open))
+    n = len(out_counts)
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.Series([doc_id] * n, dtype="str"),
+            "run_idx": pd.Series(range(emitted, emitted + n), dtype="int32"),
+            "run_count": pd.Series(out_counts, dtype="int64"),
+            "run_value": pd.Series(out_values, dtype="int32"),
+        }
+    )
+
+
+def chunked_runs_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming run decomposition of chunked sequences — the reference's
+    incremental encoder (SURVEY §2.6-2.7) as a Structured Streaming stateful
+    operator.
+
+    Rows ``(doc_id, chunk_idx, is_last, tokens)`` land in ``input_dir`` over
+    any number of micro-batches; the grouped ``applyInPandasWithState`` fold
+    keeps 3-ish words of state per live doc and appends completed runs to
+    ``out_dir/runs`` as parquet.  The concatenated output per doc equals the
+    batch decomposition (``stream_eq_batch``, rl_encoding.v:4695-4715) — the
+    property the contract query checks against the run_decompose SQL oracle.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if checkpoint_dir is None:
+        checkpoint_dir = f"{out_dir}/_chunk_checkpoint"
+    reader = spark.readStream.schema(CHUNK_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    runs = stream.groupBy("doc_id").applyInPandasWithState(
+        _chunk_state_fold,
+        RUNS_OUT_SCHEMA,
+        _CHUNK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        runs.writeStream.format("parquet")
+        .option("path", f"{out_dir}/runs")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+    return q
+
 
 def _local_path(uri: str) -> str:
     """file: URI (as produced by input_file_name(), percent-encoded) -> path."""

@@ -100,3 +100,69 @@ def test_stream_starts_on_empty_dir_with_schema(spark, tmp_path):
         schema="doc_id string, tokens array<int>, n_tok int, source string",
     )
     assert q is not None  # availableNow over zero files terminates cleanly
+
+
+def test_chunked_runs_stream_matches_batch_decomposition(spark, tmp_path):
+    """The stateful streaming encoder (applyInPandasWithState): chunks arrive
+    across THREE micro-batches (one file each, forced by mtime +
+    maxFilesPerTrigger=1); the emitted run stream must equal the batch run
+    decomposition (stream_eq_batch, rl_encoding.v:4695-4715), including runs
+    that span chunk AND batch boundaries."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    docs = {
+        "a": [1, 1, 1, 2, 2, 3, 3, 3, 3, 3, 3, 4, 4],  # seam merges
+        "b": [7] * 10,                                  # one run, all chunks
+        "c": [],                                        # empty doc
+        "d": [1, 2, 1, 2, 1],                           # alternating
+    }
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for ci in range(3):
+        rows = []
+        for did, toks in docs.items():
+            per = (len(toks) + 2) // 3
+            chunk = toks[ci * per:(ci + 1) * per]
+            rows.append((did, ci, 1 if ci == 2 else 0, chunk))
+        stage = str(tmp_path / f"stage{ci}")
+        spark.createDataFrame(
+            rows, schema=streaming.CHUNK_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = os.path.join(in_dir, f"chunk{ci}.parquet")
+        shutil.copy(part, dst)
+        t = time.time() + 10 * ci  # strict modTime order => batch order
+        os.utime(dst, (t, t))
+    out = str(tmp_path / "out")
+    streaming.chunked_runs_stream(spark, in_dir, out, max_files_per_trigger=1)
+    got = {
+        (r["doc_id"], r["run_idx"]): (r["run_count"], r["run_value"])
+        for r in spark.read.parquet(f"{out}/runs").collect()
+    }
+    from rlv import engine
+
+    full = spark.createDataFrame(
+        [(d, t, len(t), "s") for d, t in docs.items()],
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    want = {
+        (r["doc_id"], r["run_idx"]): (r["run_count"], r["run_value"])
+        for r in engine.runs_pass(full).collect()
+    }
+    assert got == want
+
+
+def test_chunked_runs_stream_rejects_out_of_order(spark, tmp_path):
+    """A chunk gap must fail the stream (wrong decompositions are never
+    emitted), not silently reorder."""
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("x", 0, 0, [1, 1]), ("x", 2, 1, [2, 2])],
+        schema=streaming.CHUNK_STREAM_SCHEMA,
+    ).write.mode("overwrite").parquet(in_dir)
+    out = str(tmp_path / "out")
+    with pytest.raises(Exception, match="chunk"):
+        streaming.chunked_runs_stream(spark, in_dir, out)
