@@ -96,13 +96,25 @@ def plan_splits_for_files(files: list[str], num_tasks: int) -> list[dict]:
     return splits
 
 
-def _make_split_worker(out_blocks_dir: str):
+def _make_split_worker(
+    out_blocks_dir: str,
+    string_cols: tuple[str, ...] = (),
+    fsst_symbols_hex: tuple[str, ...] | None = None,
+):
     from rlv.engine import _encode_arrow_batches
     from rlv.util import tune_malloc
+
+    symbols = (
+        [bytes.fromhex(h) for h in fsst_symbols_hex]
+        if fsst_symbols_hex is not None
+        else None
+    )
 
     def run_split(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        from rlv import blocks as B
 
         tune_malloc()
         for pdf in pdf_iter:
@@ -111,6 +123,7 @@ def _make_split_worker(out_blocks_dir: str):
                 pieces = json.loads(row["pieces"])
                 t0 = time.perf_counter_ns()
                 out_batches: list[pa.RecordBatch] = []
+                str_parts: dict[str, list] = {c: [] for c in string_cols}
                 by_file: dict[str, list[int]] = {}
                 for path, rg in pieces:
                     by_file.setdefault(path, []).append(rg)
@@ -120,6 +133,8 @@ def _make_split_worker(out_blocks_dir: str):
                         rgs, columns=["doc_id", "tokens", "n_tok", "source"],
                         use_threads=False,
                     )
+                    for c in string_cols:
+                        str_parts[c].extend(tbl.column(c).to_pylist())
                     tbl = tbl.append_column(
                         "group_id", pa.array(np.zeros(len(tbl), dtype=np.int32))
                     )
@@ -129,6 +144,51 @@ def _make_split_worker(out_blocks_dir: str):
                 out = pa.Table.from_batches(out_batches).drop_columns(
                     ["group_id", "encode_ns"]
                 )
+                if string_cols:
+                    # string columns go through the engine's own codec
+                    # (STRDICT, optionally with the corpus FSST table) into a
+                    # per-split sidecar; the plain column is dropped from the
+                    # blocks file — per-column encoding, not parquet's
+                    out = out.drop_columns(list(string_cols))
+                    srows = {
+                        "col_name": [], "n_values": [], "enc_bytes": [],
+                        "raw_bytes": [], "block": [],
+                    }
+                    for c in string_cols:
+                        vals = str_parts[c]
+                        blk = B.encode_strings(vals, symbols)
+                        srows["col_name"].append(c)
+                        srows["n_values"].append(len(vals))
+                        srows["enc_bytes"].append(len(blk))
+                        srows["raw_bytes"].append(
+                            sum(len(v.encode("utf-8")) for v in vals)
+                        )
+                        srows["block"].append(blk)
+                    sdir = os.path.join(
+                        os.path.dirname(out_blocks_dir), "strings"
+                    )
+                    os.makedirs(sdir, exist_ok=True)
+                    sfinal = os.path.join(sdir, f"{split_id}.parquet")
+                    stmp = sfinal + ".inprogress"
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "col_name": pa.array(srows["col_name"]),
+                                "n_values": pa.array(
+                                    srows["n_values"], pa.int64()
+                                ),
+                                "enc_bytes": pa.array(
+                                    srows["enc_bytes"], pa.int64()
+                                ),
+                                "raw_bytes": pa.array(
+                                    srows["raw_bytes"], pa.int64()
+                                ),
+                                "block": pa.array(srows["block"], pa.binary()),
+                            }
+                        ),
+                        stmp,
+                    )
+                    os.replace(stmp, sfinal)
                 final = os.path.join(out_blocks_dir, f"{split_id}.parquet")
                 tmp = final + ".inprogress"
                 pq.write_table(out, tmp, compression="zstd")
@@ -487,14 +547,23 @@ def _tokens_list_array(flat: "np.ndarray", offs: "np.ndarray"):
     )
 
 
-def _make_decode_worker(out_dir: str):
+def _make_decode_worker(out_dir: str, symbols_hex: tuple[str, ...] | None = None):
     """Per-file decode: blocks parquet -> token-table parquet (the read/export
     direction, python-native like the encode).  Output rows carry
     (doc_id, tokens, n_tok, source); file name mirrors the blocks file so the
     export is idempotent and resumable by presence (see
-    :func:`decode_files_dataset`'s ``resume``)."""
+    :func:`decode_files_dataset`'s ``resume``).  A blocks file WITHOUT the
+    plain ``source`` column (string_cols encode) gets it reconstructed from
+    the split's STRDICT sidecar, using the dataset's recorded FSST table when
+    one exists."""
     from rlv import blocks as B
     from rlv.util import tune_malloc
+
+    symbols = (
+        [bytes.fromhex(h) for h in symbols_hex]
+        if symbols_hex is not None
+        else None
+    )
 
     def run_decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -504,9 +573,11 @@ def _make_decode_worker(out_dir: str):
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 path = row["file"]
-                tbl = pq.read_table(
-                    path, columns=["doc_id", "source", "n_tok", "block"]
-                ).combine_chunks()
+                have = pq.ParquetFile(path).schema_arrow.names
+                cols = ["doc_id", "n_tok", "block"] + (
+                    ["source"] if "source" in have else []
+                )
+                tbl = pq.read_table(path, columns=cols).combine_chunks()
                 declared = tbl.column("n_tok").to_numpy().astype(np.int64)
                 # declared n_tok is the decode-size budget: header/size
                 # disagreement raises before any allocation
@@ -514,12 +585,40 @@ def _make_decode_worker(out_dir: str):
                     tbl.column("block").to_pylist(), np.int32, expected=declared
                 )
                 tokens_col = _tokens_list_array(flat, offs)
+                if "source" in have:
+                    source_col = tbl.column("source")
+                else:
+                    sidecar = os.path.join(
+                        os.path.dirname(os.path.dirname(path)),
+                        "strings",
+                        os.path.basename(path),
+                    )
+                    stbl = pq.read_table(sidecar)
+                    vals: list[bytes] = []
+                    # sidecar rows for one column concatenate in row order
+                    # (compaction preserves it alongside the merged blocks)
+                    for i in range(len(stbl)):
+                        if stbl.column("col_name")[i].as_py() != "source":
+                            continue
+                        vals.extend(
+                            B.decode_strings(
+                                stbl.column("block")[i].as_py(), symbols
+                            )
+                        )
+                    if len(vals) != len(tbl):
+                        raise ValueError(
+                            f"strings sidecar for {os.path.basename(path)} "
+                            f"holds {len(vals)} values for {len(tbl)} docs"
+                        )
+                    source_col = pa.array(
+                        [v.decode("utf-8") for v in vals], pa.string()
+                    )
                 out = pa.table(
                     {
                         "doc_id": tbl.column("doc_id"),
                         "tokens": tokens_col,
                         "n_tok": tbl.column("n_tok"),
-                        "source": tbl.column("source"),
+                        "source": source_col,
                     }
                 )
                 final = os.path.join(out_dir, os.path.basename(path))
@@ -580,11 +679,16 @@ def decode_files_dataset(
         files = todo
     if not files:
         return {"files": 0, "docs": 0, "tokens": 0, "files_skipped": skipped}
+    syms = _load_symbols(enc_dir)
     tasks_df = spark.createDataFrame(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
     rows = tasks_df.mapInPandas(
-        _make_decode_worker(out_dir), DECODE_RESULT_SCHEMA
+        _make_decode_worker(
+            out_dir,
+            symbols_hex=tuple(s.hex() for s in syms) if syms is not None else None,
+        ),
+        DECODE_RESULT_SCHEMA,
     ).collect()
     return {
         "files": len(rows),
@@ -776,12 +880,27 @@ def compact_blocks(
     by_id = {str(r["split_id"]): r for r in pdf.to_dict("records")}
     written = 0
     absorbed = 0
+    strings_dir = f"{out_dir}/strings"
     for bin_ in bins:
         sids = [sid for sid, _, _ in bin_]
         tables = [pq.read_table(path) for _, path, _ in bin_]
         import pyarrow as pa
 
         merged = pa.concat_tables(tables)
+        # string sidecars merge in the SAME order as the blocks rows, so the
+        # per-column STRDICT blocks still concatenate doc-aligned on decode
+        side_paths = [
+            os.path.join(strings_dir, f"{sid}.parquet") for sid in sids
+        ]
+        side_exists = [p for p in side_paths if os.path.exists(p)]
+        merged_side = None
+        if side_exists:
+            if len(side_exists) != len(side_paths):
+                raise ValueError(
+                    f"compaction bin mixes splits with and without string "
+                    f"sidecars: {sids[:3]}..."
+                )
+            merged_side = pa.concat_tables(pq.read_table(p) for p in side_paths)
         pieces: list = []
         for sid in sids:
             pieces.extend(json.loads(by_id[sid].get("pieces") or "[]"))
@@ -794,6 +913,11 @@ def compact_blocks(
         # merged file as an unreferenced orphan while the originals are still
         # live — no window where the manifest points at data that isn't there
         os.replace(tmp, final)
+        if merged_side is not None:
+            sfinal = os.path.join(strings_dir, f"{new_sid}.parquet")
+            stmp = sfinal + ".inprogress"
+            pq.write_table(merged_side, stmp)
+            os.replace(stmp, sfinal)
         rows = [by_id[sid] for sid in sids]
         merged_row = {
             "split_id": new_sid,
@@ -817,6 +941,8 @@ def compact_blocks(
         _write_manifest_pdf(out_dir, pd.DataFrame(list(by_id.values())))
         for _, path, _ in bin_:
             os.remove(path)
+        for p in side_exists:
+            os.remove(p)
         written += 1
         absorbed += len(bin_)
     # orphan cleanup: data files the manifest doesn't know as live
@@ -825,9 +951,12 @@ def compact_blocks(
         for sid, r in by_id.items()
         if r["status"] in ("done", "verified")
     }
-    for name in os.listdir(blocks_dir):
-        if name.endswith(".parquet") and name not in live_names:
-            os.remove(os.path.join(blocks_dir, name))
+    for d in (blocks_dir, strings_dir):
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            if name.endswith(".parquet") and name not in live_names:
+                os.remove(os.path.join(d, name))
     return {"bins_written": written, "files_absorbed": absorbed}
 
 
@@ -837,21 +966,58 @@ def encode_files_dataset(
     out_dir: str,
     num_tasks: int | None = None,
     resume: bool = True,
+    string_cols: tuple[str, ...] = (),
+    fsst_symbols: list[bytes] | None = None,
 ) -> dict:
-    """Full resumable encode over a parquet directory, python-native data plane."""
+    """Full resumable encode over a parquet directory, python-native data plane.
+
+    ``string_cols`` opts listed string columns into the engine's own codec:
+    each split writes a STRDICT block per column to ``out_dir/strings`` and
+    the plain column is dropped from the blocks file;
+    :func:`decode_files_dataset` reconstructs it.  ``fsst_symbols`` (e.g.
+    ``sample_pass(...)["fsst_symbols"]`` decoded from hex) switches those
+    blocks to the shared corpus table, recorded as dataset metadata under
+    the manifest dir so decode is self-sufficient.
+    """
     if num_tasks is None:
         num_tasks = 4 * spark.sparkContext.defaultParallelism
     splits = plan_splits(input_dir, num_tasks)
-    return encode_splits(spark, splits, out_dir, resume=resume)
+    return encode_splits(
+        spark, splits, out_dir, resume=resume, string_cols=string_cols,
+        fsst_symbols=fsst_symbols,
+    )
+
+
+def _symbols_path(out_dir: str) -> str:
+    return f"{_split_manifest_path(out_dir)}/fsst_symbols.json"
+
+
+def _load_symbols(out_dir: str) -> list[bytes] | None:
+    path = _symbols_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [bytes.fromhex(h) for h in json.load(f)]
 
 
 def encode_splits(
-    spark: SparkSession, splits: list[dict], out_dir: str, resume: bool = True
+    spark: SparkSession,
+    splits: list[dict],
+    out_dir: str,
+    resume: bool = True,
+    string_cols: tuple[str, ...] = (),
+    fsst_symbols: list[bytes] | None = None,
 ) -> dict:
     """Encode an explicit split list (shared by the batch directory walk and
     the streaming micro-batch path)."""
     blocks_dir = f"{out_dir}/blocks"
     os.makedirs(blocks_dir, exist_ok=True)
+    if fsst_symbols is not None:
+        os.makedirs(_split_manifest_path(out_dir), exist_ok=True)
+        tmp = _symbols_path(out_dir) + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump([s.hex() for s in fsst_symbols], f)
+        os.replace(tmp, _symbols_path(out_dir))
     done = done_splits(spark, out_dir) if resume else set()
     todo = [s for s in splits if s["split_id"] not in done]
     if not todo:
@@ -867,7 +1033,16 @@ def encode_splits(
     tasks_df = spark.createDataFrame(tasks_pdf).repartition(len(todo))
     t0 = time.perf_counter()
     results = tasks_df.mapInPandas(
-        _make_split_worker(blocks_dir), RESULT_SCHEMA
+        _make_split_worker(
+            blocks_dir,
+            string_cols=tuple(string_cols),
+            fsst_symbols_hex=(
+                tuple(s.hex() for s in fsst_symbols)
+                if fsst_symbols is not None
+                else None
+            ),
+        ),
+        RESULT_SCHEMA,
     ).collect()
     wall = time.perf_counter() - t0
     pieces_of = {s["split_id"]: json.dumps(s["pieces"]) for s in todo}

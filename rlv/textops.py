@@ -390,14 +390,18 @@ def embedding_neardup_bucketed(
     Output matches the all-pairs scorer restricted to bucket-sharing pairs:
     (vec_id_a, vec_id_b, cos_e6).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    # persisted: the probe relation (nprobe small rows per vector) feeds both
+    # sides of the candidate self-join — score against centroids once
     probes = (
         _cell_scores(emb, k_cells)
         .withColumn("crk", F.row_number().over(w))
         .filter(F.col("crk") <= nprobe)
         .select("vec_id", "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         probes.select(F.col("vec_id").alias("vec_id_a"), "cell")

@@ -287,3 +287,41 @@ def test_lpt_plan_balances_pathological_skew(spark, tmp_path):
     assert len(loads) == 16
     imbalance = max(loads) / (sum(loads) / len(loads))
     assert imbalance < 1.5, f"LPT imbalance {imbalance:.3f}"
+
+
+def test_string_cols_encode_decode_roundtrip(spark, tok_dir, tmp_path):
+    """Per-column string encode on the files plane: source goes through
+    STRDICT (with the sampling pass's corpus FSST table) into per-split
+    sidecars, the plain column leaves the blocks file, and decode (after
+    compaction!) reconstructs the token table bit-identically."""
+    from rlv.kernels import fsst
+
+    stats = engine_files.sample_pass(spark, tok_dir, every_kth=2, num_tasks=6)
+    symbols = [bytes.fromhex(h) for h in stats["fsst_symbols"]]
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=6,
+        string_cols=("source",), fsst_symbols=symbols,
+    )
+    blk = spark.read.parquet(f"{out}/blocks")
+    assert "source" not in blk.columns  # the plain column is gone
+    side = spark.read.parquet(f"{out}/strings")
+    assert set(r["col_name"] for r in side.collect()) == {"source"}
+    # verify (tokens) still green with the slimmer blocks files
+    assert engine_files.verify_files_dataset(spark, tok_dir, out)["mismatches"] == 0
+    # compaction carries the sidecars doc-aligned
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    restored = str(tmp_path / "restored")
+    engine_files.decode_files_dataset(spark, out, restored)
+    src = spark.read.parquet(tok_dir)
+    rec = spark.read.parquet(restored)
+    assert rec.count() == src.count()
+    joined = src.select("doc_id", "tokens", "source").alias("s").join(
+        rec.select("doc_id", "tokens", "source").alias("r"), "doc_id"
+    )
+    bad = joined.filter(
+        (F.col("s.tokens") != F.col("r.tokens"))
+        | (F.col("s.source") != F.col("r.source"))
+    ).count()
+    assert bad == 0
