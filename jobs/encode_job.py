@@ -46,9 +46,19 @@ def main(argv=None) -> int:
                     help="decode every block and check bit-identity")
     ap.add_argument("--compact-target", type=int, default=None, metavar="BYTES",
                     help="after encoding, compact blocks files up to this size")
+    ap.add_argument("--encode-strings", action="store_true",
+                    help="route the source column through the STRDICT codec "
+                         "(per-split sidecars) instead of storing it plain")
+    ap.add_argument("--shared-fsst", action="store_true",
+                    help="with --encode-strings: train one corpus FSST table "
+                         "via the sampling pass and share it across chunks")
     args = ap.parse_args(argv)
     if args.compact_target and args.mode != "files":
         ap.error("--compact-target requires --mode files")
+    if (args.encode_strings or args.shared_fsst) and args.mode != "files":
+        ap.error("--encode-strings/--shared-fsst require --mode files")
+    if args.shared_fsst and not args.encode_strings:
+        ap.error("--shared-fsst requires --encode-strings")
 
     from pyspark.sql import SparkSession
 
@@ -64,8 +74,14 @@ def main(argv=None) -> int:
 
     resume = not args.no_resume
     if args.mode == "files":
+        symbols = None
+        if args.shared_fsst:
+            stats = engine_files.sample_pass(spark, args.input)
+            symbols = [bytes.fromhex(h) for h in stats["fsst_symbols"]]
         summary = engine_files.encode_files_dataset(
-            spark, args.input, args.output, num_tasks=args.tasks, resume=resume
+            spark, args.input, args.output, num_tasks=args.tasks, resume=resume,
+            string_cols=("source",) if args.encode_strings else (),
+            fsst_symbols=symbols,
         )
     else:
         tok = spark.read.parquet(args.input)
@@ -74,11 +90,12 @@ def main(argv=None) -> int:
             n_groups=args.tasks or 64, resume=resume,
         )
 
-    if args.compact_target and args.mode == "files":
-        summary["compaction"] = engine_files.compact_blocks(
-            spark, args.output, target_bytes=args.compact_target
-        )
-
+    # verify BEFORE compaction: one task per original split keeps the
+    # decode-compare fully parallel (a freshly-compacted dataset may hold
+    # only a handful of merged files); compaction never touches block bytes,
+    # so verifying the pre-compaction files certifies the post-compaction
+    # data identically (and post-compaction verify still works — the merged
+    # lineage replay — it just runs at merged-file granularity).
     if args.verify:
         if args.mode == "files":
             # zero-shuffle: replay each split's lineage and compare in-task
@@ -92,6 +109,11 @@ def main(argv=None) -> int:
             res = engine.verify_roundtrip(tok, encoded)
             summary["verify_rows"] = res["rows"]
         summary["verify_mismatches"] = res["mismatches"]
+
+    if args.compact_target and args.mode == "files":
+        summary["compaction"] = engine_files.compact_blocks(
+            spark, args.output, target_bytes=args.compact_target
+        )
 
     print(json.dumps(summary))
     spark.stop()
