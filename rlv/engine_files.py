@@ -156,12 +156,28 @@ def _make_split_worker(
                     }
                     for c in string_cols:
                         vals = str_parts[c]
+                        if any(v is None for v in vals):
+                            raise ValueError(
+                                f"split {split_id}: column {c!r} contains "
+                                "NULLs — the string codec stores values, not "
+                                "validity; filter or fill before encoding"
+                            )
                         blk = B.encode_strings(vals, symbols)
+                        # inline roundtrip check, same discipline as
+                        # strings_pass: a sidecar that cannot decode back
+                        # bit-identically must fail the task, not be written
+                        back = B.decode_strings(blk, symbols)
+                        expect = [v.encode("utf-8") for v in vals]
+                        if back != expect:
+                            raise ValueError(
+                                f"split {split_id}: STRDICT roundtrip "
+                                f"mismatch on column {c!r}"
+                            )
                         srows["col_name"].append(c)
                         srows["n_values"].append(len(vals))
                         srows["enc_bytes"].append(len(blk))
                         srows["raw_bytes"].append(
-                            sum(len(v.encode("utf-8")) for v in vals)
+                            sum(len(v) for v in expect)
                         )
                         srows["block"].append(blk)
                     sdir = os.path.join(
@@ -324,7 +340,33 @@ def sample_pass(
 VERIFY_SCHEMA = "split_id string, n_docs bigint, n_tokens bigint, mismatches bigint"
 
 
-def _make_verify_worker(blocks_dir: str):
+def _read_sidecar_strings(
+    blocks_path: str, col: str, symbols: list[bytes] | None
+) -> list[bytes] | None:
+    """Decode ``col``'s values from the strings sidecar paired with a blocks
+    file, concatenating sidecar rows in order (doc-aligned with the blocks
+    rows, also after compaction).  None when no sidecar exists."""
+    import pyarrow.parquet as pq
+
+    from rlv import blocks as B
+
+    sidecar = os.path.join(
+        os.path.dirname(os.path.dirname(blocks_path)),
+        "strings",
+        os.path.basename(blocks_path),
+    )
+    if not os.path.exists(sidecar):
+        return None
+    stbl = pq.read_table(sidecar)
+    vals: list[bytes] = []
+    for i in range(len(stbl)):
+        if stbl.column("col_name")[i].as_py() != col:
+            continue
+        vals.extend(B.decode_strings(stbl.column("block")[i].as_py(), symbols))
+    return vals
+
+
+def _make_verify_worker(blocks_dir: str, symbols_hex: tuple[str, ...] | None = None):
     """Per-split verify: re-read the split's SOURCE row groups (its lineage)
     and its blocks file, decode, and compare in-task.
 
@@ -337,6 +379,12 @@ def _make_verify_worker(blocks_dir: str):
     from rlv import blocks as B
     from rlv.engine import _list_offsets_values
     from rlv.util import tune_malloc
+
+    symbols = (
+        [bytes.fromhex(h) for h in symbols_hex]
+        if symbols_hex is not None
+        else None
+    )
 
     def run_verify(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -352,7 +400,8 @@ def _make_verify_worker(blocks_dir: str):
                     by_file.setdefault(path, []).append(rg)
                 src = pa.concat_tables(
                     pq.ParquetFile(p).read_row_groups(
-                        rgs, columns=["doc_id", "tokens"], use_threads=False
+                        rgs, columns=["doc_id", "tokens", "source"],
+                        use_threads=False,
                     )
                     for p, rgs in by_file.items()
                 ).combine_chunks()
@@ -434,12 +483,35 @@ def _make_verify_worker(blocks_dir: str):
                             a[o[i]:o[i + 1]], dec[dec_off[i]:dec_off[i + 1]]
                         ):
                             mismatches += 1
+                # string sidecar check: decoded sidecar values must equal the
+                # source column, doc-aligned through the same `order` map —
+                # a dataset's string plane is verified with the same rigor as
+                # its tokens, never assumed
+                str_mismatches = 0
+                side = _read_sidecar_strings(
+                    os.path.join(blocks_dir, f"{split_id}.parquet"),
+                    "source",
+                    symbols,
+                )
+                if side is not None:
+                    if len(side) != len(blk):
+                        # truncated/corrupt sidecar: every doc unverifiable
+                        str_mismatches = n
+                    else:
+                        src_src = src.column("source").to_pylist()
+                        for i in range(n):
+                            j = i if order is None else order[i]
+                            want = src_src[i].encode("utf-8")
+                            if (
+                                order is not None and np.isnan(j)
+                            ) or side[int(j)] != want:
+                                str_mismatches += 1
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
                         "n_docs": [n],
                         "n_tokens": [int(a.size)],
-                        "mismatches": [mismatches + extra_docs],
+                        "mismatches": [mismatches + extra_docs + str_mismatches],
                     }
                 )
 
@@ -503,8 +575,15 @@ def verify_files_dataset(
             }
         )
     ).repartition(len(todo))
+    syms = _load_symbols(out_dir)
     results = tasks_df.mapInPandas(
-        _make_verify_worker(f"{out_dir}/blocks"), VERIFY_SCHEMA
+        _make_verify_worker(
+            f"{out_dir}/blocks",
+            symbols_hex=(
+                tuple(s.hex() for s in syms) if syms is not None else None
+            ),
+        ),
+        VERIFY_SCHEMA,
     ).collect()
     passed = {str(r["split_id"]) for r in results if int(r["mismatches"]) == 0}
     pdf = _read_manifest_pdf(out_dir)
@@ -588,22 +667,11 @@ def _make_decode_worker(out_dir: str, symbols_hex: tuple[str, ...] | None = None
                 if "source" in have:
                     source_col = tbl.column("source")
                 else:
-                    sidecar = os.path.join(
-                        os.path.dirname(os.path.dirname(path)),
-                        "strings",
-                        os.path.basename(path),
-                    )
-                    stbl = pq.read_table(sidecar)
-                    vals: list[bytes] = []
-                    # sidecar rows for one column concatenate in row order
-                    # (compaction preserves it alongside the merged blocks)
-                    for i in range(len(stbl)):
-                        if stbl.column("col_name")[i].as_py() != "source":
-                            continue
-                        vals.extend(
-                            B.decode_strings(
-                                stbl.column("block")[i].as_py(), symbols
-                            )
+                    vals = _read_sidecar_strings(path, "source", symbols)
+                    if vals is None:
+                        raise FileNotFoundError(
+                            f"blocks file {os.path.basename(path)} has no "
+                            "plain source column and no strings sidecar"
                         )
                     if len(vals) != len(tbl):
                         raise ValueError(
@@ -861,21 +929,34 @@ def compact_blocks(
         path = os.path.join(blocks_dir, f"{rec['split_id']}.parquet")
         if os.path.exists(path):
             infos.append((str(rec["split_id"]), path, os.path.getsize(path)))
-    # first-fit-decreasing by size; only bins with >= 2 files are worth it
-    infos.sort(key=lambda x: -x[2])
+    # first-fit-decreasing by size, binned SEPARATELY for splits with and
+    # without string sidecars (a resumed dataset can legitimately hold both;
+    # a mixed merged file could not reconstruct its string column) — only
+    # bins with >= 2 files are worth rewriting
+    strings_dir0 = f"{out_dir}/strings"
+    def _has_sidecar(sid: str) -> bool:
+        return os.path.exists(os.path.join(strings_dir0, f"{sid}.parquet"))
+
     bins: list[list[tuple[str, str, int]]] = []
-    loads: list[int] = []
-    for info in infos:
-        placed = False
-        for i, ld in enumerate(loads):
-            if ld + info[2] <= target_bytes:
-                bins[i].append(info)
-                loads[i] += info[2]
-                placed = True
-                break
-        if not placed:
-            bins.append([info])
-            loads.append(info[2])
+    for klass in (False, True):
+        class_infos = sorted(
+            (i for i in infos if _has_sidecar(i[0]) == klass),
+            key=lambda x: -x[2],
+        )
+        class_bins: list[list[tuple[str, str, int]]] = []
+        loads: list[int] = []
+        for info in class_infos:
+            placed = False
+            for i, ld in enumerate(loads):
+                if ld + info[2] <= target_bytes:
+                    class_bins[i].append(info)
+                    loads[i] += info[2]
+                    placed = True
+                    break
+            if not placed:
+                class_bins.append([info])
+                loads.append(info[2])
+        bins.extend(class_bins)
     bins = [b for b in bins if len(b) >= 2]
     by_id = {str(r["split_id"]): r for r in pdf.to_dict("records")}
     written = 0
@@ -1012,12 +1093,31 @@ def encode_splits(
     the streaming micro-batch path)."""
     blocks_dir = f"{out_dir}/blocks"
     os.makedirs(blocks_dir, exist_ok=True)
+    if string_cols and set(string_cols) != {"source"}:
+        raise ValueError(
+            f"string_cols={string_cols!r}: the token-table schema has exactly "
+            "one string payload column ('source'); for arbitrary tables use "
+            "rlv.table.encode_table_columns"
+        )
     if fsst_symbols is not None:
-        os.makedirs(_split_manifest_path(out_dir), exist_ok=True)
-        tmp = _symbols_path(out_dir) + ".inprogress"
-        with open(tmp, "w") as f:
-            json.dump([s.hex() for s in fsst_symbols], f)
-        os.replace(tmp, _symbols_path(out_dir))
+        # the symbol table is DATASET metadata: every external-table sidecar
+        # ever written here references it, so a resumed run must not swap it
+        # (re-trained symbols would silently mis-decode earlier splits — the
+        # per-string lengths live outside the FSST blob, so even the value
+        # COUNT would still look right)
+        existing = _load_symbols(out_dir)
+        if existing is not None and existing != list(fsst_symbols):
+            raise ValueError(
+                f"{_symbols_path(out_dir)} already records a different FSST "
+                "table; resume with the recorded table (engine_files."
+                "_load_symbols) or encode into a fresh out_dir"
+            )
+        if existing is None:
+            os.makedirs(_split_manifest_path(out_dir), exist_ok=True)
+            tmp = _symbols_path(out_dir) + ".inprogress"
+            with open(tmp, "w") as f:
+                json.dump([s.hex() for s in fsst_symbols], f)
+            os.replace(tmp, _symbols_path(out_dir))
     done = done_splits(spark, out_dir) if resume else set()
     todo = [s for s in splits if s["split_id"] not in done]
     if not todo:

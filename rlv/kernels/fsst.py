@@ -169,14 +169,10 @@ def compress(
         symbols = train_symbols(data)
     st = SymbolTable(symbols)
     enc = st.encode(data)
-    overhead = len(EXTERNAL_MARKER) if not embed_table else len(
-        serialize_table(symbols)
-    )
-    if len(enc) + overhead >= len(data) + 1:  # raw, marker 0xFF
+    prefix = EXTERNAL_MARKER if not embed_table else serialize_table(symbols)
+    if len(enc) + len(prefix) >= len(data) + 1:  # raw, marker 0xFF
         return bytes([ESCAPE]) + data
-    if not embed_table:
-        return EXTERNAL_MARKER + enc
-    return serialize_table(symbols) + enc
+    return prefix + enc
 
 
 def decompress(blob: bytes, symbols: list[bytes] | None = None) -> bytes:

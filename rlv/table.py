@@ -104,7 +104,14 @@ def encode_table_columns(
             "chunk_id",
             "block_idx",
             "col_name",
-            F.expr("transform(sv, x -> CAST(x.value AS INT))").alias("tokens"),
+            # int codecs are int32-valued; a bigint outside the range must
+            # FAIL (non-ANSI CAST would silently wrap and corrupt blocks)
+            F.expr(
+                "transform(sv, x -> CASE WHEN assert_true("
+                "x.value BETWEEN -2147483648 AND 2147483647, "
+                "'table_encode: value outside int32 range') IS NULL "
+                "THEN CAST(x.value AS INT) END)"
+            ).alias("tokens"),
         )
     )
     doc = grouped.select(

@@ -14,6 +14,10 @@ Scale notes (each op at 10^12 docs):
 * embedding near-dup is all-pairs only as the small-scale baseline; the scale
   path is to pre-bucket with :func:`ann` LSH buckets (see __spark_entry__'s
   ``ann_lsh_buckets``) or IVF cells (:func:`ivf_cells`) and join per bucket.
+* several ops persist an internal relation (shingles, bands, probes) so the
+  expensive upstream pipeline runs once per invocation; the cache lives until
+  Spark's LRU evicts it — services batching many corpora through one session
+  should expect that residency or clear the cache between corpora.
 """
 
 from __future__ import annotations

@@ -325,3 +325,95 @@ def test_string_cols_encode_decode_roundtrip(spark, tok_dir, tmp_path):
         | (F.col("s.source") != F.col("r.source"))
     ).count()
     assert bad == 0
+
+
+def test_symbols_conflict_rejected_and_resume_with_same_ok(spark, tok_dir, tmp_path):
+    """A resumed encode may not swap the dataset's recorded FSST table
+    (earlier sidecars would silently mis-decode); the same table resumes
+    fine."""
+    out = str(tmp_path / "enc")
+    t1 = [b"ab", b"cd", b"e"]
+    engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=4, string_cols=("source",),
+        fsst_symbols=t1,
+    )
+    # same table: resume OK (everything skipped)
+    again = engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=4, string_cols=("source",),
+        fsst_symbols=t1,
+    )
+    assert again["splits_encoded"] == 0
+    with pytest.raises(ValueError, match="different FSST"):
+        engine_files.encode_files_dataset(
+            spark, tok_dir, out, num_tasks=4, string_cols=("source",),
+            fsst_symbols=[b"zz"],
+        )
+    with pytest.raises(ValueError, match="string_cols"):
+        engine_files.encode_files_dataset(
+            spark, tok_dir, out, num_tasks=4, string_cols=("doc_id",),
+        )
+
+
+def test_verify_catches_corrupt_string_sidecar(spark, tok_dir, tmp_path):
+    """The string plane is verified, not assumed: a corrupted sidecar block
+    must surface as mismatches."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=4, string_cols=("source",),
+    )
+    assert engine_files.verify_files_dataset(spark, tok_dir, out)["mismatches"] == 0
+    victim = sorted(glob.glob(f"{out}/strings/*.parquet"))[0]
+    tbl = pq.read_table(victim)
+    blocks = tbl.column("block").to_pylist()
+    b = bytearray(blocks[0])
+    b[-1] ^= 0xFF
+    blocks[0] = bytes(b)
+    tbl = tbl.set_column(
+        tbl.column_names.index("block"), "block", pa.array(blocks, pa.binary())
+    )
+    pq.write_table(tbl, victim)
+    res = engine_files.verify_files_dataset(spark, tok_dir, out)
+    assert res["mismatches"] >= 1
+
+
+def test_compact_bins_plain_and_sidecar_splits_separately(spark, tok_dir, tmp_path):
+    """A dataset holding both plain and string-encoded splits (legitimate
+    after a resumed run flips the option) compacts each class into its own
+    bins and still decodes."""
+    from rlv import tokens
+
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=4)
+    extra_dir = str(tmp_path / "extra_tokens")
+    tokens.synth_tokens(spark, n_rows=200, seed=11).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(extra_dir)
+    engine_files.encode_files_dataset(
+        spark, extra_dir, out, num_tasks=4, string_cols=("source",),
+    )
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] == 2  # one per class, never mixed
+    restored = str(tmp_path / "restored")
+    dec = engine_files.decode_files_dataset(spark, out, restored)
+    n_src = spark.read.parquet(tok_dir).count() + spark.read.parquet(extra_dir).count()
+    assert dec["docs"] == n_src
+
+
+def test_string_cols_rejects_nulls(spark, tmp_path):
+    from pyspark.sql.utils import PythonException
+
+    d = str(tmp_path / "nulltok")
+    spark.createDataFrame(
+        [("a", [1, 2], 2, "s"), ("b", [3], 1, None)],
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.mode("overwrite").parquet(d)
+    out = str(tmp_path / "enc")
+    with pytest.raises(Exception, match="NULL"):
+        engine_files.encode_files_dataset(
+            spark, d, out, num_tasks=2, string_cols=("source",)
+        )

@@ -111,3 +111,12 @@ def test_rows_per_block_bounds_units_and_roundtrips(spark, mixed_df):
     )
     for cid, vals in city.items():
         assert vals == [r["city"] for r in by_chunk[cid]]
+
+
+def test_int64_overflow_fails_loudly(spark):
+    rows = [(0, i, 2**40 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["chunk", "k", "big"])
+    with pytest.raises(Exception, match="int32"):
+        table.encode_table_columns(
+            df, chunk_col="chunk", order_col="k", int_cols=["big"]
+        ).collect()
