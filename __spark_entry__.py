@@ -595,6 +595,56 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup on the events table (time-series facet):
+    per (hour bucket, event_type) — event count, distinct users, exact value
+    cents.  All time arithmetic on unix MICROsecond integers (unix_micros /
+    epoch_us), so bucketing is bit-exact on both engines.  One partial+final
+    aggregate; at 10^12 events the hour+type key keeps cardinality tiny."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("hour_bucket"),
+            "event_type",
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+def _q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) — the classic stateful
+    time-series operator as lag + running sum windows: per (user, session) —
+    event count and first/last event ids.  Gap compare runs on exact
+    microsecond integers."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_idx", F.sum("ns").over(w).cast("int"))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
 def _q_table_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multi-column engine surface (north rule: *per-column* compression):
     encode four columns of `orders` — two ints (o_custkey, o_totalprice as
@@ -789,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chunked_runs": _q_stream_chunked_runs,
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
         "table_encode": _q_table_encode,
+        "event_window_rollup": _q_event_window_rollup,
+        "event_sessionize": _q_event_sessionize,
     }
 
 
@@ -1177,6 +1229,38 @@ SELECT media_id, kind, n_bytes,
        CAST(floor(CAST(CAST(u32 / 4294967296.0 AS REAL) AS DOUBLE)
                   * 1000000000) AS BIGINT) AS f0_e9
 FROM u
+""",
+        "event_window_rollup": """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+""",
+        "event_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                                 event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END
+              AS ns
+  FROM e
+),
+g AS (
+  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                 AS INT) AS session_idx
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event_id,
+       CAST(max(event_id) AS BIGINT) AS last_event_id
+FROM g GROUP BY user_id, session_idx
 """,
         "frame_sample": """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

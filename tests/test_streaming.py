@@ -166,3 +166,65 @@ def test_chunked_runs_stream_rejects_out_of_order(spark, tmp_path):
     out = str(tmp_path / "out")
     with pytest.raises(Exception, match="chunk"):
         streaming.chunked_runs_stream(spark, in_dir, out)
+
+
+def test_windowed_stream_watermark_closes_and_drops_late(spark, tmp_path):
+    """Structured Streaming windowed aggregation with a watermark: closed
+    windows emit once the watermark passes them; a late event arriving after
+    its window closed is dropped, not double-counted."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(h, m):
+        return (base + dt.timedelta(hours=h, minutes=m),)
+
+    # batch 1: hours 0-2; the 02:30 event drives the watermark to 02:20,
+    # closing the hour-0/1 windows during batch 2
+    f1 = [ev(0, 5), ev(0, 20), ev(0, 40), ev(1, 10), ev(1, 50), ev(2, 30)]
+    # batch 2: hour-3 events (hour-0/1 emit here)
+    f2 = [ev(3, 0), ev(3, 5)]
+    # batch 3: a LATE hour-0 event arriving AFTER its window closed (must be
+    # dropped, not re-emitted) + an hour-4 event that closes hour-2
+    f3 = [ev(0, 59), ev(4, 0)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((f1, f2, f3)):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = os.path.join(in_dir, f"f{i}.parquet")
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = time.time() + 10 * i
+        os.utime(dst, (t, t))
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["w"]["start"].hour, r["n"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # only watermark-closed windows emitted, exactly once each; the late
+    # 00:59 event was dropped (hour 0 stays 3, no duplicate row); the still
+    # -open hour-3/4 windows never emitted
+    assert got == [(0, 3), (1, 2), (2, 1)]
