@@ -511,6 +511,13 @@ def _q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash_neardup_pairs(_docs(spark, sf_dir), max_bucket=64)
 
 
+def _q_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degenerate-content monitor behind the near-dup bucket cap:
+    per-LSH-bucket doc counts with the dropped verdict at max_bucket=64 —
+    what a corpus pipeline alerts on instead of pair-expanding."""
+    return textops.simhash_bucket_stats(_docs(spark, sf_dir), max_bucket=64)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction through the real mapInPandas plumbing
     (rlv.multimodal): a media table derived deterministically from documents
@@ -828,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "simhash": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_neardup_pairs,
+        "simhash_bucket_stats": _q_simhash_bucket_stats,
         "ngram_jaccard": _q_ngram_jaccard,
         "lang_id": _q_lang_id,
         "embedding_neardup": _q_embedding_neardup,
@@ -1081,6 +1089,18 @@ pairs AS (
 )
 SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+""",
+        "simhash_bucket_stats": f"""
+WITH sh AS ({_simhash_oracle()}),
+banded AS (
+  SELECT doc_id, j AS band_idx, (simhash >> (8 * j)) & 255 AS band_val
+  FROM sh, (VALUES (0), (1), (2), (3)) t(j)
+)
+SELECT CAST(band_idx AS INT) AS band_idx,
+       CAST(band_val AS BIGINT) AS band_val,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN count(*) > 64 THEN 1 ELSE 0 END AS INT) AS dropped
+FROM banded GROUP BY band_idx, band_val
 """,
         "ngram_jaccard": """
 WITH ws AS (

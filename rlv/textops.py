@@ -524,6 +524,101 @@ def ivf_topk(
     )
 
 
+def _cell_scores_from(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, cell, cos) against EXPLICIT integer centroids (broadcast)."""
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cell int, cq array<bigint>",
+    ).selectExpr(
+        "cell", "cq",
+        "aggregate(zip_with(cq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        " AS cn2",
+    )
+    q = _quantized(emb)
+    return q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        (
+            F.expr(
+                "aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
+            / F.sqrt((F.col("n2") * F.col("cn2")).cast("double"))
+        ).alias("cos"),
+    )
+
+
+def ivf_train(emb: DataFrame, k: int = 8, iters: int = 2) -> list[list[int]]:
+    """Deterministic Lloyd refinement of the IVF coarse quantizer.
+
+    Seeds with the k lowest vec_ids (the :func:`ivf_cells` stand-in), then
+    ``iters`` rounds of (assign every vector to its max-cos centroid,
+    recompute each centroid as the exact-integer floor-mean of its members).
+    All arithmetic is integer/IEEE-exact, ties break to the lowest cell, so
+    training is reproducible on any cluster.  Returns the k centroid vectors
+    — broadcast-sized corpus metadata, persisted alongside the dataset like
+    the FSST table.  Each round is one assignment join + one (cell, dim)
+    partial+final aggregate: 2 scans per iteration, nothing driver-sized but
+    the k*dims centroid matrix itself.
+    """
+    from pyspark.sql import Window as W
+
+    q = _quantized(emb)
+    seed = (
+        q.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("q")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["q"]] for r in seed]
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    for _ in range(iters):
+        assign = (
+            _cell_scores_from(emb, centroids)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cell")
+        )
+        sums = (
+            assign.join(q, "vec_id")
+            .select("cell", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                int(r["s"]), int(r["n"]),
+            )
+        new = []
+        for c in range(len(centroids)):
+            dims = by_cell.get(c)
+            if not dims:  # empty cell keeps its centroid (deterministic)
+                new.append(centroids[c])
+                continue
+            new.append(
+                [dims[p][0] // dims[p][1] for p in sorted(dims)]
+            )
+        centroids = new
+    return centroids
+
+
+def ivf_cells_trained(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """IVF cell assignment against trained centroids: (vec_id, cell),
+    max-cosine with lowest-cell tie-break — :func:`ivf_cells` with the
+    :func:`ivf_train` output instead of the seed stand-in."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    return (
+        _cell_scores_from(emb, centroids)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+    )
+
+
 def ivf_cells(emb: DataFrame, k: int = 8) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its max-cosine centroid.
 

@@ -197,3 +197,28 @@ def test_embedding_neardup_bucketed_matches_allpairs_on_shared_cells(emb):
     # the parallel pairs share a probed cell, so the scale path finds them
     assert bucketed[(0, 3)] == 1_000_000
     assert (1, 4) in bucketed
+
+
+def _assignment_quality(emb, centroids):
+    """Mean best-centroid cosine over all vectors (the k-means objective)."""
+    scored = textops._cell_scores_from(emb, centroids)
+    best = scored.groupBy("vec_id").agg(F.max("cos").alias("m"))
+    return best.agg(F.avg("m")).collect()[0][0]
+
+
+def test_ivf_train_refines_centroids_deterministically(emb):
+    seed = [
+        [int(round(x * 1000)) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").collect()[:2]
+    ]
+    trained = textops.ivf_train(emb, k=2, iters=2)
+    # Lloyd iterations never worsen the assignment objective
+    assert _assignment_quality(emb, trained) >= _assignment_quality(emb, seed) - 1e-12
+    # training is reproducible (integer floor-means, deterministic ties)
+    assert textops.ivf_train(emb, k=2, iters=2) == trained
+    cells = {
+        r.vec_id: r.cell for r in textops.ivf_cells_trained(emb, trained).collect()
+    }
+    assert len(cells) == 6
+    # parallel pairs still land together under the trained quantizer
+    assert cells[0] == cells[3] and cells[1] == cells[4]
