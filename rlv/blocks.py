@@ -306,10 +306,15 @@ def _unpack_multi(buf: bytes, byte_offs: np.ndarray, ns: np.ndarray, bits: int) 
     w = (bitpos >> _U64_6).astype(np.int64)
     off = bitpos & _U64_63
     lo = words[w] >> off
-    hi = np.where(
-        off == 0, np.uint64(0), words[w + 1] << ((np.uint64(64) - off) & _U64_63)
-    )
-    return (lo | hi) & np.uint64((1 << bits) - 1)
+    # only values straddling a word boundary (off + bits > 64) need the next
+    # word — a minority for narrow widths, so gather it for just those
+    # instead of materializing a full second gather + where()
+    need_hi = off > np.uint64(64 - bits)
+    if need_hi.any():
+        idx = np.flatnonzero(need_hi)
+        off_hi = off[idx]
+        lo[idx] |= words[w[idx] + 1] << ((np.uint64(64) - off_hi) & _U64_63)
+    return lo & np.uint64((1 << bits) - 1)
 
 
 def _plane_groups(items):
@@ -454,15 +459,17 @@ def decode_blocks_batch(
             check_n(i, int(n_per[i]))
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_per, out=offsets[1:])
-    out = np.empty(offsets[-1], dtype=np.int64)
+    # decode straight into the caller's dtype: int32 halves every scatter's
+    # write traffic and kills the final whole-array cast (values fit by
+    # encode construction; corrupt data wraps identically either way)
+    out = np.empty(offsets[-1], dtype=dtype)
 
     def scatter(docs: list[int], flat: np.ndarray) -> None:
         ns = n_per[docs]
         local = np.cumsum(ns) - ns
-        tgt = (
-            np.arange(flat.size, dtype=np.int64)
-            - np.repeat(local, ns)
-            + np.repeat(offsets[docs], ns)
+        # one fused repeat of the per-doc shift instead of two full-size ones
+        tgt = np.arange(flat.size, dtype=np.int64) + np.repeat(
+            offsets[docs] - local, ns
         )
         out[tgt] = flat
 
@@ -489,6 +496,8 @@ def decode_blocks_batch(
                 vals_u64, [parsed[i][2] for i in docs], runs_per
             )
             counts = np.concatenate([rle_counts[i] for i in docs])
+            # cast at RUN granularity, before the token-granular expansion
+            values = values.astype(out.dtype, copy=False)
             scatter(docs, np.repeat(values, counts))
         elif codec == BITPACK:
             planes = [(parsed[i][2], parsed[i][3], parsed[i][1], 0) for i in docs]
@@ -516,11 +525,11 @@ def decode_blocks_batch(
                 if ((idx < 0) | (idx >= limit)).any():
                     raise ValueError("corrupt DICT block: index out of range")
             dict_off = np.cumsum(ndvs) - ndvs
+            # cast at DICTIONARY granularity, before the per-token gather
+            uniq = uniq.astype(out.dtype, copy=False)
             scatter(docs, uniq[idx + np.repeat(dict_off, ns)])
         else:  # pragma: no cover
             raise ValueError(f"unknown codec id {codec}")
-    if np.dtype(dtype) != np.int64:
-        out = out.astype(dtype)
     return out, offsets
 
 
