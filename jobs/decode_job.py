@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True, help="token table output dir")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] when no cluster master is configured")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="re-export files whose output already exists")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,7 +49,9 @@ def main(argv=None) -> int:
 
     from rlv import engine_files
 
-    summary = engine_files.decode_files_dataset(spark, args.input, args.output)
+    summary = engine_files.decode_files_dataset(
+        spark, args.input, args.output, resume=not args.no_resume
+    )
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -228,3 +228,25 @@ def test_windowed_stream_watermark_closes_and_drops_late(spark, tmp_path):
     # 00:59 event was dropped (hour 0 stays 3, no duplicate row); the still
     # -open hour-3/4 windows never emitted
     assert got == [(0, 3), (1, 2), (2, 1)]
+
+
+def test_chunked_runs_stream_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the stateful run-encoder stream over the same checkpoint
+    emits nothing new (file->batch assignment is checkpointed; the parquet
+    sink's own log makes replays exactly-once)."""
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("a", 0, 0, [1, 1, 2]), ("a", 1, 1, [2, 3]), ("b", 0, 1, [9])],
+        schema=streaming.CHUNK_STREAM_SCHEMA,
+    ).write.mode("overwrite").parquet(in_dir)
+    out = str(tmp_path / "out")
+    streaming.chunked_runs_stream(spark, in_dir, out)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/runs").collect()
+    )
+    assert len(first) == 4  # a: (2,1),(2,2)->merged... runs: 1x2,2x2,3x1 + b: 9x1
+    streaming.chunked_runs_stream(spark, in_dir, out)  # same checkpoint, no new files
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/runs").collect()
+    )
+    assert again == first
