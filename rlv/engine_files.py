@@ -903,22 +903,80 @@ def live_splits(out_dir: str):
     return pdf[pdf["status"].isin(["done", "verified"])]
 
 
+COMPACT_RESULT_SCHEMA = "new_sid string, n_files int, n_rows bigint"
+
+
+def _make_compact_worker(blocks_dir: str, strings_dir: str):
+    """Per-bin merge task: read the bin's blocks files (and, when present,
+    their string sidecars — in the SAME order, so the per-column STRDICT
+    blocks still concatenate doc-aligned on decode), concat, write under an
+    ``.inprogress`` name, and atomically rename.  Block bytes are untouched.
+
+    Retries are idempotent: ``new_sid`` is a deterministic hash of the sorted
+    member split_ids and concat order is the bin's fixed file order, so a
+    re-run renames byte-identical content over the same final path."""
+
+    def run_compact(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rlv.util import tune_malloc
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                new_sid = str(row["new_sid"])
+                sids = json.loads(row["sids"])
+                merged = pa.concat_tables(
+                    pq.read_table(os.path.join(blocks_dir, f"{sid}.parquet"))
+                    for sid in sids
+                )
+                final = os.path.join(blocks_dir, f"{new_sid}.parquet")
+                tmp = final + ".inprogress"
+                pq.write_table(merged, tmp, compression="zstd")
+                os.replace(tmp, final)
+                if bool(row["has_sidecar"]):
+                    merged_side = pa.concat_tables(
+                        pq.read_table(
+                            os.path.join(strings_dir, f"{sid}.parquet")
+                        )
+                        for sid in sids
+                    )
+                    sfinal = os.path.join(strings_dir, f"{new_sid}.parquet")
+                    stmp = sfinal + ".inprogress"
+                    pq.write_table(merged_side, stmp)
+                    os.replace(stmp, sfinal)
+                yield pd.DataFrame(
+                    {
+                        "new_sid": [new_sid],
+                        "n_files": [len(sids)],
+                        "n_rows": [len(merged)],
+                    }
+                )
+
+    return run_compact
+
+
 def compact_blocks(
     spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:
     """Iceberg-style small-file compaction: bin-pack live blocks files up to
-    ``target_bytes`` and rewrite each bin as one file.
+    ``target_bytes`` and rewrite each bin as one file — each bin as ONE SPARK
+    TASK (the data never funnels through the driver; at 100 TB the rewrite
+    bandwidth is the cluster's, not one node's).
 
-    Metadata-first protocol (crash-safe): write the merged file under an
-    ``.inprogress`` name, flip the manifest (old rows -> status='compacted',
-    merged row added with the UNION of their lineage pieces), rename, then
-    delete the absorbed files; readers resolve the file set from the manifest,
-    so a crash mid-sequence leaves only ignorable orphans (cleaned here too).
-    Block bytes are untouched — compaction regroups files, and the lineage
-    union keeps the zero-shuffle verify replayable against the merged file.
+    Crash-safe protocol, data before metadata: tasks write each merged file
+    under an ``.inprogress`` name and rename; only after EVERY bin's data is
+    renamed does the driver flip the manifest (old rows -> status='compacted',
+    merged rows added with the UNION of their lineage pieces) and delete the
+    absorbed files.  Readers resolve the file set from the manifest, so a
+    crash at any point leaves either the originals live (+ ignorable merged
+    orphans, cleaned on the next run) or the merge complete (+ ignorable
+    original orphans) — never a manifest pointing at missing data.  The
+    lineage union keeps the zero-shuffle verify replayable against the merged
+    file.  The driver touches only footer-less metadata: manifest rows and
+    file sizes.
     """
-    import pyarrow.parquet as pq
-
     blocks_dir = f"{out_dir}/blocks"
     pdf = _read_manifest_pdf(out_dir)
     if pdf is None:
@@ -933,11 +991,12 @@ def compact_blocks(
     # without string sidecars (a resumed dataset can legitimately hold both;
     # a mixed merged file could not reconstruct its string column) — only
     # bins with >= 2 files are worth rewriting
-    strings_dir0 = f"{out_dir}/strings"
+    strings_dir = f"{out_dir}/strings"
     def _has_sidecar(sid: str) -> bool:
-        return os.path.exists(os.path.join(strings_dir0, f"{sid}.parquet"))
+        return os.path.exists(os.path.join(strings_dir, f"{sid}.parquet"))
 
     bins: list[list[tuple[str, str, int]]] = []
+    sidecar_bins: set[int] = set()
     for klass in (False, True):
         class_infos = sorted(
             (i for i in infos if _has_sidecar(i[0]) == klass),
@@ -956,76 +1015,87 @@ def compact_blocks(
             if not placed:
                 class_bins.append([info])
                 loads.append(info[2])
-        bins.extend(class_bins)
-    bins = [b for b in bins if len(b) >= 2]
+        for b in class_bins:
+            if len(b) >= 2:
+                if klass:
+                    sidecar_bins.add(len(bins))
+                bins.append(b)
     by_id = {str(r["split_id"]): r for r in pdf.to_dict("records")}
     written = 0
     absorbed = 0
-    strings_dir = f"{out_dir}/strings"
-    for bin_ in bins:
-        sids = [sid for sid, _, _ in bin_]
-        tables = [pq.read_table(path) for _, path, _ in bin_]
-        import pyarrow as pa
-
-        merged = pa.concat_tables(tables)
-        # string sidecars merge in the SAME order as the blocks rows, so the
-        # per-column STRDICT blocks still concatenate doc-aligned on decode
-        side_paths = [
-            os.path.join(strings_dir, f"{sid}.parquet") for sid in sids
-        ]
-        side_exists = [p for p in side_paths if os.path.exists(p)]
-        merged_side = None
-        if side_exists:
-            if len(side_exists) != len(side_paths):
-                raise ValueError(
-                    f"compaction bin mixes splits with and without string "
-                    f"sidecars: {sids[:3]}..."
-                )
-            merged_side = pa.concat_tables(pq.read_table(p) for p in side_paths)
-        pieces: list = []
-        for sid in sids:
-            pieces.extend(json.loads(by_id[sid].get("pieces") or "[]"))
-        key = json.dumps(["compact", sorted(sids)], sort_keys=True).encode()
-        new_sid = hashlib.sha1(key).hexdigest()[:16]
-        final = os.path.join(blocks_dir, f"{new_sid}.parquet")
-        tmp = final + ".inprogress"
-        pq.write_table(merged, tmp, compression="zstd")
-        # data rename BEFORE the manifest flip: a crash in between leaves the
-        # merged file as an unreferenced orphan while the originals are still
-        # live — no window where the manifest points at data that isn't there
-        os.replace(tmp, final)
-        if merged_side is not None:
-            sfinal = os.path.join(strings_dir, f"{new_sid}.parquet")
-            stmp = sfinal + ".inprogress"
-            pq.write_table(merged_side, stmp)
-            os.replace(stmp, sfinal)
-        rows = [by_id[sid] for sid in sids]
-        merged_row = {
-            "split_id": new_sid,
-            "status": "done",
-            "n_docs": sum(int(r["n_docs"]) for r in rows),
-            "n_tokens": sum(int(r["n_tokens"]) for r in rows),
-            "n_runs": sum(int(r["n_runs"]) for r in rows),
-            "bytes_in": sum(int(r["bytes_in"]) for r in rows),
-            "bytes_out": sum(int(r["bytes_out"]) for r in rows),
-            "naive_rle_bytes": sum(int(r["naive_rle_bytes"]) for r in rows),
-            "codec_hist": "",
-            "encode_cpu_ns": sum(int(r["encode_cpu_ns"]) for r in rows),
-            "tokens_per_cpu_sec": 0.0,
-            "attempt": 1,
-            "finished_at": time.time(),
-            "pieces": json.dumps(pieces),
+    if bins:
+        specs = []
+        for bi, bin_ in enumerate(bins):
+            sids = [sid for sid, _, _ in bin_]
+            key = json.dumps(["compact", sorted(sids)], sort_keys=True).encode()
+            new_sid = hashlib.sha1(key).hexdigest()[:16]
+            specs.append(
+                {
+                    "new_sid": new_sid,
+                    "sids": sids,
+                    "has_sidecar": bi in sidecar_bins,
+                    "exp_rows": sum(int(by_id[s]["n_docs"]) for s in sids),
+                }
+            )
+        tasks_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "new_sid": [s["new_sid"] for s in specs],
+                    "sids": [json.dumps(s["sids"]) for s in specs],
+                    "has_sidecar": [s["has_sidecar"] for s in specs],
+                }
+            )
+        ).repartition(len(specs))
+        results = {
+            str(r["new_sid"]): r
+            for r in tasks_df.mapInPandas(
+                _make_compact_worker(blocks_dir, strings_dir),
+                COMPACT_RESULT_SCHEMA,
+            ).collect()
         }
-        for sid in sids:
-            by_id[sid] = {**by_id[sid], "status": "compacted"}
-        by_id[new_sid] = merged_row
+        # every bin's data must exist and carry exactly the absorbed rows
+        # BEFORE any manifest flip — the data-before-metadata ordering
+        for s in specs:
+            r = results.get(s["new_sid"])
+            if r is None or int(r["n_rows"]) != s["exp_rows"]:
+                raise RuntimeError(
+                    f"compaction task for bin {s['new_sid']} "
+                    f"{'missing' if r is None else 'row-count mismatch'}"
+                )
+        now = time.time()
+        for s in specs:
+            rows = [by_id[sid] for sid in s["sids"]]
+            pieces: list = []
+            for sid in s["sids"]:
+                pieces.extend(json.loads(by_id[sid].get("pieces") or "[]"))
+            by_id[s["new_sid"]] = {
+                "split_id": s["new_sid"],
+                "status": "done",
+                "n_docs": sum(int(r["n_docs"]) for r in rows),
+                "n_tokens": sum(int(r["n_tokens"]) for r in rows),
+                "n_runs": sum(int(r["n_runs"]) for r in rows),
+                "bytes_in": sum(int(r["bytes_in"]) for r in rows),
+                "bytes_out": sum(int(r["bytes_out"]) for r in rows),
+                "naive_rle_bytes": sum(
+                    int(r["naive_rle_bytes"]) for r in rows
+                ),
+                "codec_hist": "",
+                "encode_cpu_ns": sum(int(r["encode_cpu_ns"]) for r in rows),
+                "tokens_per_cpu_sec": 0.0,
+                "attempt": 1,
+                "finished_at": now,
+                "pieces": json.dumps(pieces),
+            }
+            for sid in s["sids"]:
+                by_id[sid] = {**by_id[sid], "status": "compacted"}
         _write_manifest_pdf(out_dir, pd.DataFrame(list(by_id.values())))
-        for _, path, _ in bin_:
-            os.remove(path)
-        for p in side_exists:
-            os.remove(p)
-        written += 1
-        absorbed += len(bin_)
+        for s in specs:
+            for sid in s["sids"]:
+                os.remove(os.path.join(blocks_dir, f"{sid}.parquet"))
+                if s["has_sidecar"]:
+                    os.remove(os.path.join(strings_dir, f"{sid}.parquet"))
+            written += 1
+            absorbed += len(s["sids"])
     # orphan cleanup: data files the manifest doesn't know as live
     live_names = {
         f"{sid}.parquet"

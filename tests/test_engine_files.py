@@ -211,6 +211,53 @@ def test_compact_blocks(spark, tok_dir, tmp_path):
     assert d["docs"] == len(pre_blocks)
 
 
+def test_compact_crash_between_data_and_manifest(spark, tok_dir, tmp_path, monkeypatch):
+    """Crash-safety of the data-before-metadata ordering: a crash after the
+    compaction tasks renamed their merged files but BEFORE the manifest flip
+    leaves the originals live and the merged files as ignorable orphans; the
+    next compaction run completes idempotently and cleans them up."""
+    import glob
+    import os
+
+    out = str(tmp_path / "enc")
+    engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=6)
+    originals = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    n_docs = spark.read.parquet(tok_dir).count()
+
+    real_write = engine_files._write_manifest_pdf
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before manifest flip")
+
+    monkeypatch.setattr(engine_files, "_write_manifest_pdf", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    monkeypatch.setattr(engine_files, "_write_manifest_pdf", real_write)
+
+    # originals untouched and still the manifest's live set; the merged file
+    # exists but is an unreferenced orphan readers never resolve
+    now = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    assert set(originals) <= set(now) and len(now) == len(originals) + 1
+    live = engine_files.live_splits(out)
+    live_names = {f"{sid}.parquet" for sid in live["split_id"].astype(str)}
+    assert live_names == {os.path.basename(p) for p in originals}
+    restored = str(tmp_path / "restored_crash")
+    d = engine_files.decode_files_dataset(spark, out, restored)
+    assert d["docs"] == n_docs
+
+    # re-run completes: same deterministic new_sid, orphan overwritten by
+    # byte-identical content, manifest flipped, originals + orphans gone
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    final = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    live2 = engine_files.live_splits(out)
+    assert {os.path.basename(p) for p in final} == {
+        f"{sid}.parquet" for sid in live2["split_id"].astype(str)
+    }
+    v = engine_files.verify_files_dataset(spark, tok_dir, out)
+    assert v["mismatches"] == 0 and v["docs"] == n_docs
+
+
 def test_decode_files_resume_skips_existing(spark, tok_dir, tmp_path):
     """Export resume-by-presence: already-written output files are skipped
     (writes are atomic, so presence == complete); resume=False re-exports."""
