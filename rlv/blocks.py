@@ -548,6 +548,13 @@ def encode_strings(values, symbols: list[bytes] | None = None) -> bytes:
             | lbits u8 | pack(dict string lengths) | uvarint blob_len
             | FSST blob of the concatenated dictionary payload.
 
+    ``values`` may be a Python sequence (strings/bytes) or a pyarrow
+    binary/string Array/ChunkedArray — the Arrow path is the data plane's:
+    dictionary-encode, dictionary sort, and code remap all run as Arrow C++
+    kernels, no per-row Python.  The dictionary is the SORTED unique values
+    (bytewise-lexicographic, exactly ``np.unique``'s order), so blocks stay
+    byte-identical across code paths and versions.
+
     With ``symbols`` (a corpus-trained FSST table, e.g. from
     :func:`rlv.engine_files.sample_pass`), the blob references the shared
     table instead of training on and embedding a per-chunk one: chunk blocks
@@ -556,25 +563,54 @@ def encode_strings(values, symbols: list[bytes] | None = None) -> bytes:
     same table (:func:`decode_strings` ``symbols=``) — corpus metadata, kept
     in the dataset manifest.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from rlv.kernels import fsst
 
-    vals = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
-    if not vals:
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.array(
+            [
+                v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                for v in values
+            ],
+            pa.binary(),
+        )
+    if len(arr) == 0:
         return b""
-    arr = np.array(vals, dtype=object)
-    uniq, inv = np.unique(arr, return_inverse=True)
-    ibits = _storage_bits(uniq.size - 1)
-    lengths = np.array([len(u) for u in uniq], dtype=np.int64)
+    if arr.null_count:
+        raise ValueError(
+            "STRDICT stores values, not validity: filter or fill NULLs "
+            "before encoding"
+        )
+    if not pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    denc = arr.dictionary_encode()
+    dic = denc.dictionary
+    sort_idx = pc.sort_indices(dic).to_numpy().astype(np.int64)
+    rank = np.empty(sort_idx.size, dtype=np.int64)
+    rank[sort_idx] = np.arange(sort_idx.size, dtype=np.int64)
+    inv = rank[denc.indices.to_numpy().astype(np.int64)]
+    uniq = dic.take(pa.array(sort_idx))
+    ndv = len(uniq)
+    u_offs = np.frombuffer(uniq.buffers()[1], dtype=np.int32, count=ndv + 1,
+                           offset=4 * uniq.offset)
+    lengths = np.diff(u_offs.astype(np.int64))
+    payload = uniq.buffers()[2].to_pybytes()[u_offs[0]:u_offs[-1]]
+    ibits = _storage_bits(ndv - 1)
     lbits = _storage_bits(int(lengths.max()) if lengths.size else 0)
-    payload = b"".join(uniq.tolist())
     blob = (
         fsst.compress(payload)
         if symbols is None
         else fsst.compress(payload, symbols, embed_table=False)
     )
     out = bytearray([STRDICT])
-    write_uvarint(out, len(vals))
-    write_uvarint(out, uniq.size)
+    write_uvarint(out, len(arr))
+    write_uvarint(out, ndv)
     out.append(ibits)
     out += pack_bits(inv, ibits)
     out.append(lbits)
@@ -584,11 +620,17 @@ def encode_strings(values, symbols: list[bytes] | None = None) -> bytes:
     return bytes(out)
 
 
-def decode_strings(block: bytes, symbols: list[bytes] | None = None) -> list[bytes]:
+def decode_strings_arrow(block: bytes, symbols: list[bytes] | None = None):
+    """Decode a STRDICT block to a pyarrow binary Array — the dictionary is
+    materialized zero-copy from (payload buffer, offsets) and the per-row
+    gather is Arrow ``take``, so no Python object is built per value (the
+    vectorization the verify/decode hot paths run on)."""
+    import pyarrow as pa
+
     from rlv.kernels import fsst
 
     if len(block) == 0:
-        return []
+        return pa.array([], pa.binary())
     if block[0] != STRDICT:
         raise ValueError(f"not a STRDICT block (codec {block[0]})")
     pos = 1
@@ -608,8 +650,31 @@ def decode_strings(block: bytes, symbols: list[bytes] | None = None) -> list[byt
     payload = fsst.decompress(block[pos:pos + blob_len], symbols)
     offs = np.zeros(ndv + 1, dtype=np.int64)
     np.cumsum(lengths, out=offs[1:])
-    uniq = [payload[offs[i]:offs[i + 1]] for i in range(ndv)]
-    return [uniq[i] for i in idx]
+    if int(offs[-1]) != len(payload):
+        raise ValueError("corrupt STRDICT block: length plane != payload")
+    if idx.size and int(idx.max()) >= ndv:
+        raise ValueError("corrupt STRDICT block: index out of range")
+    if int(offs[-1]) < _INT32_MAX:
+        dictionary = pa.Array.from_buffers(
+            pa.binary(),
+            ndv,
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+             pa.py_buffer(payload)],
+        )
+    else:
+        dictionary = pa.Array.from_buffers(
+            pa.large_binary(),
+            ndv,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(payload)],
+        )
+    return dictionary.take(pa.array(idx.astype(np.int64)))
+
+
+_INT32_MAX = 2**31 - 1
+
+
+def decode_strings(block: bytes, symbols: list[bytes] | None = None) -> list[bytes]:
+    return decode_strings_arrow(block, symbols).to_pylist()
 
 
 # ---------------------------------------------------------------------------

@@ -488,21 +488,28 @@ def _make_strings_batches(symbols: list[bytes] | None):
     def _strings_arrow_batches(
         it: Iterator[pa.RecordBatch],
     ) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         tune_malloc()
         for batch in it:
             tb = pa.table(batch)
             key = tb.column("key").combine_chunks()
-            vals = tb.column("value").combine_chunks().to_pylist()
+            vals = tb.column("value").combine_chunks()
             block = B.encode_strings(vals, symbols)
-            back = B.decode_strings(block, symbols)
-            expect = [v.encode("utf-8") for v in vals]
-            ok = np.array([a == b for a, b in zip(expect, back)], dtype=np.int32)
-            raw = sum(len(v) for v in expect)
+            # whole-column Arrow compare — the per-row roundtrip bit without
+            # per-row Python (the token path's discipline)
+            want = vals.cast(pa.binary())
+            back = B.decode_strings_arrow(block, symbols)
             n = len(vals)
+            if len(back) == n:
+                ok = pc.equal(back, want).cast(pa.int32())
+            else:  # count mismatch: every row unverified
+                ok = pa.array(np.zeros(n, dtype=np.int32))
+            raw = int(pc.sum(pc.binary_length(want)).as_py() or 0)
             yield pa.record_batch(
                 [
                     key,
-                    pa.array(ok, type=pa.int32()),
+                    ok,
                     pa.array(np.full(n, len(block), dtype=np.int64)),
                     pa.array(np.full(n, raw, dtype=np.int64)),
                 ],

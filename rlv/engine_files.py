@@ -134,7 +134,7 @@ def _make_split_worker(
                         use_threads=False,
                     )
                     for c in string_cols:
-                        str_parts[c].extend(tbl.column(c).to_pylist())
+                        str_parts[c].extend(tbl.column(c).chunks)
                     tbl = tbl.append_column(
                         "group_id", pa.array(np.zeros(len(tbl), dtype=np.int32))
                     )
@@ -154,30 +154,43 @@ def _make_split_worker(
                         "col_name": [], "n_values": [], "enc_bytes": [],
                         "raw_bytes": [], "block": [],
                     }
+                    import pyarrow.compute as pc
+
                     for c in string_cols:
-                        vals = str_parts[c]
-                        if any(v is None for v in vals):
+                        arr = (
+                            pa.concat_arrays(str_parts[c])
+                            if str_parts[c]
+                            else pa.array([], pa.string())
+                        )
+                        if arr.null_count:
                             raise ValueError(
                                 f"split {split_id}: column {c!r} contains "
                                 "NULLs — the string codec stores values, not "
                                 "validity; filter or fill before encoding"
                             )
-                        blk = B.encode_strings(vals, symbols)
+                        blk = B.encode_strings(arr, symbols)
                         # inline roundtrip check, same discipline as
                         # strings_pass: a sidecar that cannot decode back
                         # bit-identically must fail the task, not be written
-                        back = B.decode_strings(blk, symbols)
-                        expect = [v.encode("utf-8") for v in vals]
-                        if back != expect:
+                        # (whole-column Arrow equality, no per-row Python)
+                        want = arr.cast(pa.binary())
+                        back = B.decode_strings_arrow(blk, symbols)
+                        ok = len(back) == len(want) and (
+                            len(want) == 0
+                            or bool(pc.all(pc.equal(back, want)).as_py())
+                        )
+                        if not ok:
                             raise ValueError(
                                 f"split {split_id}: STRDICT roundtrip "
                                 f"mismatch on column {c!r}"
                             )
                         srows["col_name"].append(c)
-                        srows["n_values"].append(len(vals))
+                        srows["n_values"].append(len(arr))
                         srows["enc_bytes"].append(len(blk))
                         srows["raw_bytes"].append(
-                            sum(len(v) for v in expect)
+                            int(
+                                pc.sum(pc.binary_length(want)).as_py() or 0
+                            )
                         )
                         srows["block"].append(blk)
                     sdir = os.path.join(
@@ -342,10 +355,13 @@ VERIFY_SCHEMA = "split_id string, n_docs bigint, n_tokens bigint, mismatches big
 
 def _read_sidecar_strings(
     blocks_path: str, col: str, symbols: list[bytes] | None
-) -> list[bytes] | None:
+):
     """Decode ``col``'s values from the strings sidecar paired with a blocks
-    file, concatenating sidecar rows in order (doc-aligned with the blocks
-    rows, also after compaction).  None when no sidecar exists."""
+    file as ONE pyarrow binary Array, concatenating sidecar rows in order
+    (doc-aligned with the blocks rows, also after compaction).  None when no
+    sidecar exists.  The loop below is per sidecar ROW (one STRDICT block
+    per absorbed split) — each block decodes as a whole-array Arrow kernel."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from rlv import blocks as B
@@ -358,12 +374,14 @@ def _read_sidecar_strings(
     if not os.path.exists(sidecar):
         return None
     stbl = pq.read_table(sidecar)
-    vals: list[bytes] = []
-    for i in range(len(stbl)):
-        if stbl.column("col_name")[i].as_py() != col:
-            continue
-        vals.extend(B.decode_strings(stbl.column("block")[i].as_py(), symbols))
-    return vals
+    parts = [
+        B.decode_strings_arrow(stbl.column("block")[i].as_py(), symbols)
+        for i in range(len(stbl))
+        if stbl.column("col_name")[i].as_py() == col
+    ]
+    if not parts:
+        return pa.array([], pa.binary())
+    return pa.concat_arrays(parts)
 
 
 def _make_verify_worker(blocks_dir: str, symbols_hex: tuple[str, ...] | None = None):
@@ -498,14 +516,30 @@ def _make_verify_worker(blocks_dir: str, symbols_hex: tuple[str, ...] | None = N
                         # truncated/corrupt sidecar: every doc unverifiable
                         str_mismatches = n
                     else:
-                        src_src = src.column("source").to_pylist()
-                        for i in range(n):
-                            j = i if order is None else order[i]
-                            want = src_src[i].encode("utf-8")
-                            if (
-                                order is not None and np.isnan(j)
-                            ) or side[int(j)] != want:
-                                str_mismatches += 1
+                        # vectorized compare, same discipline as the token
+                        # path: Arrow take on the reorder indices + one
+                        # whole-column equality kernel
+                        import pyarrow.compute as pc
+
+                        want = (
+                            src.column("source")
+                            .cast(pa.binary())
+                            .combine_chunks()
+                        )
+                        if order is None:
+                            eq = pc.equal(side, want).to_numpy(
+                                zero_copy_only=False
+                            )
+                        else:
+                            missing = np.isnan(order)
+                            take_idx = np.where(missing, 0, order).astype(
+                                np.int64
+                            )
+                            eq = pc.equal(
+                                side.take(pa.array(take_idx)), want
+                            ).to_numpy(zero_copy_only=False)
+                            eq[missing] = False
+                        str_mismatches = int(n - np.count_nonzero(eq))
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
@@ -678,9 +712,9 @@ def _make_decode_worker(out_dir: str, symbols_hex: tuple[str, ...] | None = None
                             f"strings sidecar for {os.path.basename(path)} "
                             f"holds {len(vals)} values for {len(tbl)} docs"
                         )
-                    source_col = pa.array(
-                        [v.decode("utf-8") for v in vals], pa.string()
-                    )
+                    # Arrow cast binary -> utf8 validates encoding and builds
+                    # the column without a per-row Python decode
+                    source_col = vals.cast(pa.string())
                 out = pa.table(
                     {
                         "doc_id": tbl.column("doc_id"),

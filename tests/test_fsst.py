@@ -49,6 +49,42 @@ def test_fsst_escape_byte_values():
     assert fsst.decompress(fsst.compress(data)) == data
 
 
+@given(
+    st.lists(st.binary(min_size=1, max_size=8), max_size=60),
+    st.binary(max_size=1500),
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_codec_matches_scalar_reference(symbols, data):
+    """The numpy-vectorized encode/decode must reproduce the byte-at-a-time
+    reference (greedy longest-match, escape parity) EXACTLY — byte-identical
+    blobs are the determinism contract recorded datasets depend on."""
+    table = fsst.SymbolTable(list(dict.fromkeys(symbols)))
+    enc = table.encode(data)
+    assert enc == table._encode_scalar(data)
+    assert table.decode(enc) == table._decode_scalar(enc) == data
+
+
+def test_vectorized_codec_edge_cases():
+    # trailing-0x00 symbol must not match past the end of the buffer
+    t = fsst.SymbolTable([b"ab\x00\x00"])
+    assert t.encode(b"ab") == t._encode_scalar(b"ab")
+    # nested prefixes sharing the same padded interval low
+    t = fsst.SymbolTable([b"a", b"ab", b"abc", b"a\x00", b"a\x00\x00\x00"])
+    for d in [b"a", b"abc" * 100, b"a\x00" * 50, b"a\x00\x00\x00x", b"zzz"]:
+        assert t.encode(d) == t._encode_scalar(d)
+        assert t.decode(t.encode(d)) == d
+    # empty table: everything escapes, 0xFF runs parse by parity
+    t = fsst.SymbolTable([])
+    d = b"\xff" * 5 + b"A\xff"
+    assert t.encode(d) == t._encode_scalar(d)
+    assert t.decode(t.encode(d)) == d
+    # block-seam coverage: token chains crossing the orbit block boundary
+    t = fsst.SymbolTable([b"abcdefgh", b"abc", b"x"])
+    d = (b"abcdefgh" * 40 + b"x" * 7 + b"abc")[: t._ORBIT_BLOCK * 3 + 5]
+    assert t.encode(d) == t._encode_scalar(d)
+    assert t.decode(t.encode(d)) == d
+
+
 strings_strategy = st.lists(
     st.one_of(
         st.sampled_from(["cc", "wiki", "code", "books", ""]),
