@@ -680,6 +680,42 @@ def _q_table_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("chunk_id", "col_name", "n_values", "codec_id", "enc_bytes")
 
 
+def _q_table_encode_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-column engine on the FILES plane (rlv.table_files): encode
+    four `orders` columns — two ints plus two strings as per-block dense
+    codes — through the zero-shuffle pyarrow data plane (single split, 2048
+    rows/block, ordered by o_orderkey), then return the written blocks
+    relation.  The oracle rebuilds every (block, column) sequence with SQL
+    windows and re-runs the exact codec-size model, so the files plane's
+    per-column selection + exact sizes are checked end to end against
+    independently derived SQL — the same bar the JVM plane's `table_encode`
+    already clears."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_tf_q_")
+    TF.encode_table_files(
+        spark,
+        [f"{sf_dir}/orders.parquet"],
+        out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_custkey"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+        rows_per_block=2048,
+        num_tasks=1,
+    )
+    return spark.read.parquet(f"{out}/blocks").select(
+        F.col("block_idx").cast("int").alias("block_idx"),
+        "col_name",
+        "n_values",
+        "n_runs",
+        F.col("codec_id").cast("int").alias("codec_id"),
+        "enc_bytes",
+    )
+
+
 def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH candidate pairs: docs sharing any band hash are
     near-dup candidates — the O(n^2)-avoiding scale path.
@@ -800,6 +836,121 @@ FROM a
 """
 
 
+def _codec_size_model_sql(keys: str) -> str:
+    """DuckDB CTE chain re-deriving runs + the exact codec-size model over a
+    ``seq({keys}, ord, tok)`` relation, keyed by ``keys`` (comma-separated).
+    Final relation ``result`` has ({keys}, n_values, n_runs, codec_id,
+    enc_bytes) — the SQL re-implementation of rlv/blocks.py codec_sizes, the
+    same formulas the green `codec_selection`/`table_encode` oracles use."""
+    return f"""
+flagged AS (
+  SELECT {keys}, ord, tok,
+         CASE WHEN tok IS DISTINCT FROM
+                   lag(tok) OVER (PARTITION BY {keys} ORDER BY ord)
+              THEN 1 ELSE 0 END AS f
+  FROM seq
+),
+grp AS (
+  SELECT {keys}, ord, tok,
+         sum(f) OVER (PARTITION BY {keys} ORDER BY ord) AS g
+  FROM flagged
+),
+runs AS (
+  SELECT {keys}, g, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM grp GROUP BY {keys}, g, tok
+),
+doc_runs AS (
+  SELECT {keys}, CAST(count(*) AS BIGINT) AS n_runs, max(cnt) AS max_count
+  FROM runs GROUP BY {keys}
+),
+doc_stats AS (
+  SELECT {keys}, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
+         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv
+  FROM seq GROUP BY {keys}
+),
+s AS (
+  SELECT d.*, r.n_runs, r.max_count
+  FROM doc_stats d JOIN doc_runs r USING ({keys})
+),
+bits AS (
+  SELECT *,
+    CASE WHEN maxv - minv = 0 THEN 0 ELSE length(printf('%b', maxv - minv)) END AS vbits,
+    CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
+    CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
+    CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
+    2 * minv AS zzmin
+  FROM s
+),
+lens AS (
+  SELECT *,
+    (length(printf('%b', n)) + 6) // 7 AS ul_n,
+    (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
+    CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
+    (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
+  FROM bits
+),
+sz AS (
+  SELECT {keys}, n, n_runs,
+    1 + ul_n + 1 + 4 * n AS s_plain,
+    1 + ul_r + ul_zz + 2
+      + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
+      + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END AS s_rle,
+    1 + ul_n + 1
+      + CASE WHEN pbits = 0 THEN 0 ELSE (n * pbits + 7) // 8 END AS s_bitpack,
+    1 + ul_n + ul_zz + 1
+      + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
+    1 + ul_n + ul_ndv + ul_zz + 1
+      + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
+      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict
+  FROM lens
+),
+result AS (
+  SELECT {keys}, CAST(n AS BIGINT) AS n_values, n_runs,
+    CAST(CASE
+      WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict) THEN 1
+      WHEN s_rle <= least(s_bitpack, s_for, s_dict) THEN 2
+      WHEN s_bitpack <= least(s_for, s_dict) THEN 3
+      WHEN s_for <= s_dict THEN 4
+      ELSE 5 END AS INT) AS codec_id,
+    CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
+  FROM sz
+)"""
+
+
+def _table_encode_files_oracle() -> str:
+    # PLAIN width in the size model is 4 bytes when every value fits int32
+    # (all four sequences here do) — same assumption table_encode makes.
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 2048 AS INT)
+           AS block_idx
+  FROM orders
+),
+seq AS (
+  SELECT block_idx, 'o_orderkey' AS col_name,
+         CAST(o_orderkey AS BIGINT) AS ord, CAST(o_orderkey AS BIGINT) AS tok
+  FROM base
+  UNION ALL
+  SELECT block_idx, 'o_custkey', CAST(o_orderkey AS BIGINT),
+         CAST(o_custkey AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT block_idx, 'o_orderstatus', CAST(o_orderkey AS BIGINT),
+         CAST(dense_rank() OVER (PARTITION BY block_idx
+                                 ORDER BY o_orderstatus) - 1 AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT block_idx, 'o_orderpriority', CAST(o_orderkey AS BIGINT),
+         CAST(dense_rank() OVER (PARTITION BY block_idx
+                                 ORDER BY o_orderpriority) - 1 AS BIGINT)
+  FROM base
+),
+{_codec_size_model_sql("block_idx, col_name")[1:]}
+SELECT block_idx, col_name, n_values, n_runs, codec_id, enc_bytes FROM result
+"""
+
+
 _DUCK_QUANT_CTE = """
 q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -847,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chunked_runs": _q_stream_chunked_runs,
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
         "table_encode": _q_table_encode,
+        "table_encode_files": _q_table_encode_files,
         "event_window_rollup": _q_event_window_rollup,
         "event_sessionize": _q_event_sessionize,
     }
@@ -1421,6 +1573,7 @@ SELECT chunk_id, col_name, CAST(n AS BIGINT) AS n_values,
   CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
 FROM sz
 """,
+        "table_encode_files": _table_encode_files_oracle(),
         "text_quality": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,

@@ -1,0 +1,508 @@
+"""Per-column table encode on the python-native files plane.
+
+:mod:`rlv.table` runs the per-column engine through the JVM (dense-rank
+windows + ``collect_list``); this module lifts the same semantics onto the
+zero-shuffle pyarrow plane (:mod:`rlv.engine_files`): the driver plans
+row-group splits, each Spark task reads its rows with pyarrow, sorts them by
+``order_col``, cuts every column into ``rows_per_block``-row blocks, and runs
+the exact-size auto-selector per (column, block) — the north rule's
+*per-column* engine (generic-``A`` columns, rl_encoding.v:2145-2486) on the
+engine's best data plane.  No token or value ever crosses the network; the
+only driver IO is parquet footers and the manifest.
+
+Wire layout under ``out_dir``:
+
+* ``blocks/{split_id}.parquet`` — one row per (column, block):
+  ``(col_name, block_idx, n_values, n_runs, codec_id, enc_bytes,
+  naive_bytes, block)``.  String columns contribute their per-block
+  dense-code stream (codes = rank of the value among the block's sorted
+  distinct values) through the INT codecs — parquet's dictionary-page /
+  data-page split, same as :func:`rlv.table.encode_table_columns`.
+* ``strings/{split_id}.parquet`` — one row per (string column, block):
+  ``(col_name, block_idx, ndv, raw_bytes, dict_block)`` where ``dict_block``
+  is a STRDICT block of the block's sorted distinct values.
+* ``manifest/`` — the standard split manifest (resume/idempotency identical
+  to the token plane: deterministic split ids, atomic renames, byte-identical
+  retries) plus ``table_schema.json`` recording the encoded schema.
+
+Blocks never span splits and runs never span blocks (parquet row-group
+discipline), so decode is embarrassingly parallel per blocks file and the
+whole table reconstructs bit-identically (:func:`decode_table_files`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from rlv import engine_files
+
+TABLE_RESULT_SCHEMA = (
+    "split_id string, n_docs bigint, n_tokens bigint, n_runs bigint, "
+    "bytes_out bigint, naive_rle_bytes bigint, codec_hist string, "
+    "encode_cpu_ns bigint"
+)
+
+DECODE_RESULT_SCHEMA = "file string, n_rows bigint, n_cols int"
+
+
+def _schema_path(out_dir: str) -> str:
+    return f"{out_dir}/manifest/table_schema.json"
+
+
+def _load_table_schema(out_dir: str) -> dict | None:
+    path = _schema_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _block_string_codes(arr, symbols):
+    """One string block -> (int code stream, STRDICT dictionary block, ndv,
+    raw payload bytes).  Codes index the block's distinct values in bytewise
+    sort order; everything runs as Arrow/numpy kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rlv import blocks as B
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    denc = arr.dictionary_encode()
+    dic = denc.dictionary
+    sort_idx = pc.sort_indices(dic).to_numpy().astype(np.int64)
+    rank = np.empty(sort_idx.size, dtype=np.int64)
+    rank[sort_idx] = np.arange(sort_idx.size, dtype=np.int64)
+    codes = rank[denc.indices.to_numpy().astype(np.int64)]
+    uniq = dic.take(pa.array(sort_idx))
+    dict_block = B.encode_strings(uniq, symbols)
+    raw = int(pc.sum(pc.binary_length(uniq)).as_py() or 0)
+    return codes, dict_block, len(uniq), raw
+
+
+def _make_table_split_worker(
+    out_blocks_dir: str,
+    order_col: str,
+    int_cols: tuple[str, ...],
+    str_cols: tuple[str, ...],
+    rows_per_block: int,
+    fsst_symbols_hex: tuple[str, ...] | None,
+):
+    from rlv.util import tune_malloc
+
+    symbols = (
+        [bytes.fromhex(h) for h in fsst_symbols_hex]
+        if fsst_symbols_hex is not None
+        else None
+    )
+    read_cols = list(dict.fromkeys([order_col, *int_cols, *str_cols]))
+
+    def run_split(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+        from rlv import selector
+        from rlv.stats import chunk_stats
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                split_id = row["split_id"]
+                pieces = json.loads(row["pieces"])
+                t0 = time.perf_counter_ns()
+                by_file: dict[str, list[int]] = {}
+                for path, rg in pieces:
+                    by_file.setdefault(path, []).append(rg)
+                tbl = pa.concat_tables(
+                    pq.ParquetFile(p).read_row_groups(
+                        rgs, columns=read_cols, use_threads=False
+                    )
+                    for p, rgs in by_file.items()
+                ).combine_chunks()
+                for c in read_cols:
+                    if tbl.column(c).null_count:
+                        raise ValueError(
+                            f"split {split_id}: column {c!r} contains NULLs "
+                            "— the codecs store values, not validity; filter "
+                            "or fill before encoding"
+                        )
+                n_rows = len(tbl)
+                order = np.argsort(
+                    tbl.column(order_col).to_numpy(), kind="stable"
+                )
+                n_blocks = max((n_rows + rows_per_block - 1) // rows_per_block, 1)
+                brows = {
+                    k: []
+                    for k in ("col_name", "block_idx", "n_values", "n_runs",
+                              "codec_id", "enc_bytes", "naive_bytes", "block")
+                }
+                srows = {
+                    k: []
+                    for k in ("col_name", "block_idx", "ndv", "raw_bytes",
+                              "dict_block")
+                }
+                total_vals = total_runs = bytes_out = naive_total = 0
+                hist: dict[int, int] = {}
+
+                def encode_blocks(col_name: str, vals: np.ndarray) -> None:
+                    nonlocal total_vals, total_runs, bytes_out, naive_total
+                    for bi in range(n_blocks):
+                        a = vals[bi * rows_per_block:(bi + 1) * rows_per_block]
+                        if a.size == 0:
+                            continue
+                        st = chunk_stats(a)
+                        codec, size = selector.choose_codec(st)
+                        blk = B.encode_with(codec, a)
+                        if len(blk) != size:
+                            raise AssertionError(
+                                f"exact-size model broke: {len(blk)} != {size}"
+                            )
+                        naive = B.naive_rle_bytes(st.n_runs)
+                        brows["col_name"].append(col_name)
+                        brows["block_idx"].append(bi)
+                        brows["n_values"].append(int(a.size))
+                        brows["n_runs"].append(int(st.n_runs))
+                        brows["codec_id"].append(int(codec))
+                        brows["enc_bytes"].append(len(blk))
+                        brows["naive_bytes"].append(naive)
+                        brows["block"].append(blk)
+                        total_vals += int(a.size)
+                        total_runs += int(st.n_runs)
+                        bytes_out += len(blk)
+                        naive_total += naive
+                        hist[codec] = hist.get(codec, 0) + 1
+
+                for c in int_cols:
+                    vals = tbl.column(c).to_numpy().astype(np.int64)[order]
+                    encode_blocks(c, vals)
+                for c in str_cols:
+                    arr = tbl.column(c).cast(pa.binary()).take(
+                        pa.array(order)
+                    )
+                    code_parts = []
+                    for bi in range(n_blocks):
+                        ablk = arr.slice(
+                            bi * rows_per_block,
+                            min(rows_per_block,
+                                n_rows - bi * rows_per_block),
+                        )
+                        if len(ablk) == 0:
+                            continue
+                        codes, dict_block, ndv, raw = _block_string_codes(
+                            ablk, symbols
+                        )
+                        srows["col_name"].append(c)
+                        srows["block_idx"].append(bi)
+                        srows["ndv"].append(ndv)
+                        srows["raw_bytes"].append(raw)
+                        srows["dict_block"].append(dict_block)
+                        bytes_out += len(dict_block)
+                        code_parts.append(codes)
+                    # the code stream goes through the INT selector like any
+                    # other column (it re-blocks to the same boundaries)
+                    encode_blocks(
+                        c,
+                        np.concatenate(code_parts)
+                        if code_parts
+                        else np.empty(0, np.int64),
+                    )
+                cpu_ns = time.perf_counter_ns() - t0
+                out = pa.table(
+                    {
+                        "col_name": pa.array(brows["col_name"], pa.string()),
+                        "block_idx": pa.array(brows["block_idx"], pa.int32()),
+                        "n_values": pa.array(brows["n_values"], pa.int64()),
+                        "n_runs": pa.array(brows["n_runs"], pa.int64()),
+                        "codec_id": pa.array(brows["codec_id"], pa.int32()),
+                        "enc_bytes": pa.array(brows["enc_bytes"], pa.int64()),
+                        "naive_bytes": pa.array(
+                            brows["naive_bytes"], pa.int64()
+                        ),
+                        "block": pa.array(brows["block"], pa.binary()),
+                    }
+                )
+                final = os.path.join(out_blocks_dir, f"{split_id}.parquet")
+                tmp = final + ".inprogress"
+                pq.write_table(out, tmp, compression="zstd")
+                os.replace(tmp, final)
+                if str_cols:
+                    sdir = os.path.join(
+                        os.path.dirname(out_blocks_dir), "strings"
+                    )
+                    os.makedirs(sdir, exist_ok=True)
+                    sfinal = os.path.join(sdir, f"{split_id}.parquet")
+                    stmp = sfinal + ".inprogress"
+                    pq.write_table(
+                        pa.table(
+                            {
+                                "col_name": pa.array(
+                                    srows["col_name"], pa.string()
+                                ),
+                                "block_idx": pa.array(
+                                    srows["block_idx"], pa.int32()
+                                ),
+                                "ndv": pa.array(srows["ndv"], pa.int64()),
+                                "raw_bytes": pa.array(
+                                    srows["raw_bytes"], pa.int64()
+                                ),
+                                "dict_block": pa.array(
+                                    srows["dict_block"], pa.binary()
+                                ),
+                            }
+                        ),
+                        stmp,
+                    )
+                    os.replace(stmp, sfinal)
+                yield pd.DataFrame(
+                    {
+                        "split_id": [split_id],
+                        "n_docs": [n_rows],
+                        "n_tokens": [total_vals],
+                        "n_runs": [total_runs],
+                        "bytes_out": [bytes_out],
+                        "naive_rle_bytes": [naive_total],
+                        "codec_hist": [
+                            json.dumps(
+                                {str(k): v for k, v in sorted(hist.items())}
+                            )
+                        ],
+                        "encode_cpu_ns": [cpu_ns],
+                    }
+                )
+
+    return run_split
+
+
+def encode_table_files(
+    spark: SparkSession,
+    input_files: list[str],
+    out_dir: str,
+    order_col: str,
+    int_cols: list[str],
+    str_cols: list[str] = (),
+    rows_per_block: int = 4096,
+    num_tasks: int | None = None,
+    resume: bool = True,
+    fsst_symbols: list[bytes] | None = None,
+) -> dict:
+    """Encode an arbitrary (int|string)-column parquet table per column on
+    the files plane.  ``order_col`` must totally order the rows of each split
+    (it defines the value sequences, hence the run structure — ties would
+    make blocks read-order-dependent); include it in ``int_cols`` to make
+    the dataset self-describing on decode.
+
+    Resume semantics are the token plane's: deterministic split ids, blocks
+    written under tmp + atomic rename, manifest rows flipped after the data
+    exists, re-runs skip done splits.  Returns the familiar summary dict
+    (``n_docs``/``tokens`` mean rows / values encoded here).
+    """
+    if num_tasks is None:
+        num_tasks = 4 * spark.sparkContext.defaultParallelism
+    if order_col not in list(int_cols):
+        raise ValueError(
+            f"order_col {order_col!r} must be one of int_cols so the decoded "
+            "table is self-describing"
+        )
+    schema = {
+        "order_col": order_col,
+        "int_cols": list(int_cols),
+        "str_cols": list(str_cols),
+        "rows_per_block": int(rows_per_block),
+    }
+    existing = _load_table_schema(out_dir)
+    if existing is not None and existing != schema:
+        raise ValueError(
+            f"{_schema_path(out_dir)} records a different table schema; "
+            "resume with the recorded schema or encode into a fresh out_dir"
+        )
+    blocks_dir = f"{out_dir}/blocks"
+    os.makedirs(blocks_dir, exist_ok=True)
+    if existing is None:
+        os.makedirs(f"{out_dir}/manifest", exist_ok=True)
+        tmp = _schema_path(out_dir) + ".inprogress"
+        with open(tmp, "w") as f:
+            json.dump(schema, f)
+        os.replace(tmp, _schema_path(out_dir))
+    if fsst_symbols is not None:
+        # same dataset-metadata discipline as the token plane
+        existing_syms = engine_files._load_symbols(out_dir)
+        if existing_syms is not None and existing_syms != list(fsst_symbols):
+            raise ValueError(
+                "out_dir already records a different FSST table; resume "
+                "with it or use a fresh out_dir"
+            )
+        if existing_syms is None:
+            tmp = engine_files._symbols_path(out_dir) + ".inprogress"
+            with open(tmp, "w") as f:
+                json.dump([s.hex() for s in fsst_symbols], f)
+            os.replace(tmp, engine_files._symbols_path(out_dir))
+    splits = engine_files.plan_splits_for_files(list(input_files), num_tasks)
+    done = engine_files.done_splits(spark, out_dir) if resume else set()
+    todo = [s for s in splits if s["split_id"] not in done]
+    if not todo:
+        return {"splits_encoded": 0, "splits_skipped": len(done), "tokens": 0}
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "split_id": [s["split_id"] for s in todo],
+                "pieces": [json.dumps(s["pieces"]) for s in todo],
+            }
+        )
+    ).repartition(len(todo))
+    t0 = time.perf_counter()
+    results = tasks_df.mapInPandas(
+        _make_table_split_worker(
+            blocks_dir,
+            order_col,
+            tuple(int_cols),
+            tuple(str_cols),
+            int(rows_per_block),
+            (
+                tuple(s.hex() for s in fsst_symbols)
+                if fsst_symbols is not None
+                else None
+            ),
+        ),
+        TABLE_RESULT_SCHEMA,
+    ).collect()
+    wall = time.perf_counter() - t0
+    pieces_of = {s["split_id"]: json.dumps(s["pieces"]) for s in todo}
+    return engine_files._merge_split_manifest(
+        spark, out_dir, results, wall, len(done), pieces_of
+    )
+
+
+def _make_table_decode_worker(out_dir: str, schema: dict,
+                              symbols_hex: tuple[str, ...] | None):
+    from rlv.util import tune_malloc
+
+    symbols = (
+        [bytes.fromhex(h) for h in symbols_hex]
+        if symbols_hex is not None
+        else None
+    )
+
+    def run_decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                tbl = pq.read_table(path).combine_chunks()
+                names = tbl.column("col_name").to_pylist()
+                bidx = tbl.column("block_idx").to_numpy()
+                blobs = tbl.column("block").to_pylist()
+                nvals = tbl.column("n_values").to_numpy()
+                per_col: dict[str, list[tuple[int, bytes, int]]] = {}
+                for name, bi, blob, nv in zip(names, bidx, blobs, nvals):
+                    per_col.setdefault(name, []).append(
+                        (int(bi), blob, int(nv))
+                    )
+                side = None
+                spath = os.path.join(
+                    os.path.dirname(os.path.dirname(path)),
+                    "strings",
+                    os.path.basename(path),
+                )
+                if os.path.exists(spath):
+                    stbl = pq.read_table(spath).combine_chunks()
+                    side = {}
+                    for name, bi, blob in zip(
+                        stbl.column("col_name").to_pylist(),
+                        stbl.column("block_idx").to_numpy(),
+                        stbl.column("dict_block").to_pylist(),
+                    ):
+                        side[(name, int(bi))] = blob
+                cols: dict[str, pa.Array] = {}
+                for c in schema["int_cols"]:
+                    items = sorted(per_col.get(c, []))
+                    flat, _ = B.decode_blocks_batch(
+                        [b for _, b, _ in items],
+                        np.int64,
+                        expected=[n for _, _, n in items],
+                    )
+                    cols[c] = pa.array(flat, pa.int64())
+                for c in schema["str_cols"]:
+                    items = sorted(per_col.get(c, []))
+                    parts = []
+                    for bi, blob, nv in items:
+                        codes, _ = B.decode_blocks_batch(
+                            [blob], np.int64, expected=[nv]
+                        )
+                        uniq = B.decode_strings_arrow(
+                            side[(c, bi)], symbols
+                        )
+                        parts.append(uniq.take(pa.array(codes)))
+                    cols[c] = (
+                        pa.concat_arrays(parts).cast(pa.string())
+                        if parts
+                        else pa.array([], pa.string())
+                    )
+                out = pa.table(cols)
+                final = os.path.join(out_dir, os.path.basename(path))
+                tmp = final + ".inprogress"
+                pq.write_table(out, tmp, compression="zstd")
+                os.replace(tmp, final)
+                yield pd.DataFrame(
+                    {
+                        "file": [os.path.basename(path)],
+                        "n_rows": [len(out)],
+                        "n_cols": [out.num_columns],
+                    }
+                )
+
+    return run_decode
+
+
+def decode_table_files(
+    spark: SparkSession, enc_dir: str, out_dir: str
+) -> dict:
+    """Reconstruct the encoded table (one task per live blocks file, zero
+    shuffle).  Rows come back in ``order_col`` order within each split; the
+    ``order_col`` column itself is decoded data, so any global order can be
+    re-established by sorting on it."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    lost = [f for f in files if not os.path.exists(f)]
+    if lost:
+        raise FileNotFoundError(
+            f"manifest lists live splits with missing blocks files: "
+            f"{[os.path.basename(f) for f in lost[:5]]}"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    syms = engine_files._load_symbols(enc_dir)
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    rows = tasks_df.mapInPandas(
+        _make_table_decode_worker(
+            out_dir,
+            schema,
+            tuple(s.hex() for s in syms) if syms is not None else None,
+        ),
+        DECODE_RESULT_SCHEMA,
+    ).collect()
+    return {
+        "files": len(rows),
+        "rows": sum(int(r["n_rows"]) for r in rows),
+    }
