@@ -454,6 +454,98 @@ def _q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ivf_cells(emb)
 
 
+_IVF_TRAIN_DIR = "/root/testdata/sf0.01"
+
+
+def _numpy_ivf_train(sf_dir: str, k: int = 8, iters: int = 2) -> list[list[int]]:
+    """Driver-side mirror of :func:`rlv.textops.ivf_train`'s deterministic
+    Lloyd refinement, in numpy over duckdb-quantized embeddings: exact int64
+    dots, IEEE-double cosines, argmax-first (= lowest cell) tie-break,
+    floor-division centroid means.  Equality with the Spark trainer is
+    pytest-asserted (tests/test_textops.py)."""
+    import duckdb
+
+    rel = duckdb.sql(
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    import numpy as np
+
+    ids = np.array([r[0] for r in rel], dtype=np.int64)
+    Q = np.array([r[1] for r in rel], dtype=np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    C = Q[ids < k][np.argsort(ids[ids < k])].copy()
+    for _ in range(iters):
+        cn2 = (C * C).sum(axis=1)
+        dots = Q @ C.T  # exact int64
+        cos = dots.astype(np.float64) / np.sqrt(
+            (n2[:, None] * cn2[None, :]).astype(np.float64)
+        )
+        assign = np.argmax(cos, axis=1)  # first max = lowest cell on ties
+        new = C.copy()
+        for c in range(k):
+            members = Q[assign == c]
+            if len(members):
+                new[c] = members.sum(axis=0) // len(members)
+        C = new
+    return [[int(x) for x in row] for row in C]
+
+
+_IVF_CENTROIDS_CACHE: list[list[int]] | None = None
+
+
+def _ivf_trained_centroids() -> list[list[int]]:
+    """Trained coarse-quantizer centroids — corpus metadata, trained ONCE on
+    the fixed sf0.01 embeddings (like a recorded FSST table) and baked as
+    literals into BOTH engines, so the contract checks the trained-assignment
+    operator itself regardless of which sf the assignment runs at."""
+    global _IVF_CENTROIDS_CACHE
+    if _IVF_CENTROIDS_CACHE is None:
+        _IVF_CENTROIDS_CACHE = _numpy_ivf_train(_IVF_TRAIN_DIR)
+    return _IVF_CENTROIDS_CACHE
+
+
+def _q_ann_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment against TRAINED centroids (rlv.textops.ivf_train's
+    Lloyd output, baked as literals — the `_lsh_projections` pattern): the
+    operator a corpus ANN index runs after training, now oracle-checked."""
+    return textops.ivf_cells_trained(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        _ivf_trained_centroids(),
+    )
+
+
+def _ann_ivf_cells_trained_oracle() -> str:
+    cents = _ivf_trained_centroids()
+    values = ", ".join(
+        f"({i}, [{', '.join(str(x) for x in c)}]::BIGINT[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH {_DUCK_QUANT_CTE},
+c0 (cell, cq) AS (VALUES {values}),
+c AS (
+  SELECT cell, cq,
+         list_aggregate(list_transform(list_zip(cq, cq), p -> p[1] * p[2]),
+                        'sum') AS cn2
+  FROM c0
+),
+s AS (
+  SELECT n.vec_id, c.cell,
+         list_aggregate(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2]), 'sum')
+           / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) AS cos
+  FROM n, c
+),
+r AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+  FROM s
+)
+SELECT vec_id, CAST(cell AS INT) AS cell FROM r WHERE rk = 1
+"""
+
+
 def _q_run_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """run_frequency / empirical run statistics (v:3032-3049): per source, a
     log2-bucketed histogram of maximal-run lengths — the selector's RLE-vs-
@@ -992,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "ann_ivf_cells": _q_ann_ivf_cells,
+        "ann_ivf_cells_trained": _q_ann_ivf_cells_trained,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "frame_sample": _q_frame_sample,
@@ -1343,6 +1436,7 @@ r AS (
 )
 SELECT vec_id, CAST(cell AS INT) AS cell FROM r WHERE rk = 1
 """,
+        "ann_ivf_cells_trained": _ann_ivf_cells_trained_oracle(),
         "ann_ivf_topk": f"""
 WITH {_DUCK_QUANT_CTE},
 c AS (

@@ -222,3 +222,16 @@ def test_ivf_train_refines_centroids_deterministically(emb):
     assert len(cells) == 6
     # parallel pairs still land together under the trained quantizer
     assert cells[0] == cells[3] and cells[1] == cells[4]
+
+
+def test_numpy_ivf_trainer_matches_spark_trainer(spark):
+    """The driver-side numpy trainer (__spark_entry__._numpy_ivf_train, the
+    one that bakes the ann_ivf_cells_trained oracle literals) must reproduce
+    the Spark trainer's centroids EXACTLY on the real embeddings table."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark_trained = textops.ivf_train(emb, k=8, iters=2)
+    np_trained = entrymod._numpy_ivf_train(sf_dir, k=8, iters=2)
+    assert np_trained == spark_trained
