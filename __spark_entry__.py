@@ -694,6 +694,17 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FLOOR-division hour bucketing (exact integers, sign-correct): Spark `div`
+# truncates toward zero while DuckDB `//` floors, so pre-1970 timestamps
+# (negative unix_micros) would bucket differently; subtracting pmod first
+# makes the dividend an exact multiple, giving floor semantics on both
+# engines for any sign.  Tested on pre-epoch rows in test_entry_contract.
+_HOUR_BUCKET_SQL = (
+    "(unix_micros(CAST(ts AS TIMESTAMP)) - "
+    "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 3600000000)) div 3600000000"
+)
+
+
 def _q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup on the events table (time-series facet):
     per (hour bucket, event_type) — event count, distinct users, exact value
@@ -703,7 +714,7 @@ def _q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.select(
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("hour_bucket"),
+            F.expr(_HOUR_BUCKET_SQL).alias("hour_bucket"),
             "event_type",
             "user_id",
             F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
@@ -818,13 +829,12 @@ def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``collect_set`` materializes them (the cap runs on a map-side-combinable
     count, so no executor ever holds an unbounded bucket array; at corpus
     scale an oversized bucket is the mass-duplication signal, not near-dup
-    candidates).  The bands relation is persisted: the shingle->minhash
-    pipeline runs once for both the size count and the expansion.  The oracle
-    applies the identical cap."""
-    from pyspark import StorageLevel
-
+    candidates).  The bands relation is STAGED to scratch parquet: the
+    shingle->minhash pipeline runs once for both the size count and the
+    expansion, and no cached RDD outlives the query.  The oracle applies the
+    identical cap."""
     max_bucket = 64
-    bands = _q_minhash_bands(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = textops._stage(_q_minhash_bands(spark, sf_dir), None, "mh_bands")
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bn"))
     capped = bands.join(
         F.broadcast(

@@ -36,13 +36,27 @@ def _long_relation(
     str_cols: list[str],
 ) -> DataFrame:
     """(chunk_id, col_name, ord, value): every column's values as one long
-    relation, strings replaced by their within-chunk dense-rank codes."""
+    relation, strings replaced by their within-chunk dense-rank codes.
+
+    NULLs fail loudly (assert_true at execution): the codecs store values,
+    not validity — a NULL string would otherwise take dense-rank code 0
+    (Spark nulls-first) while the dictionary holds no NULL entry, silently
+    shifting every code past the dictionary.  Same contract as the
+    files-plane guard (engine_files._make_split_worker)."""
+
+    def _null_guard(c: str, value_sql: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN assert_true({c} IS NOT NULL, "
+            f"'table_encode: NULL in column {c}; filter or fill before "
+            f"encoding') IS NULL THEN {value_sql} END"
+        ).alias("value")
+
     parts = [
         df.select(
             F.col(chunk_col).cast("int").alias("chunk_id"),
             F.lit(c).alias("col_name"),
             F.col(order_col).cast("long").alias("ord"),
-            F.col(c).cast("long").alias("value"),
+            _null_guard(c, f"CAST({c} AS LONG)"),
         )
         for c in int_cols
     ]
@@ -53,7 +67,13 @@ def _long_relation(
                 F.col(chunk_col).cast("int").alias("chunk_id"),
                 F.lit(c).alias("col_name"),
                 F.col(order_col).cast("long").alias("ord"),
-                (F.dense_rank().over(w) - 1).cast("long").alias("value"),
+                F.col(c).alias("_raw"),
+                (F.dense_rank().over(w) - 1).cast("long").alias("_rk"),
+            ).select(
+                "chunk_id",
+                "col_name",
+                "ord",
+                _null_guard("_raw", "_rk"),
             )
         )
     out = parts[0]
@@ -166,6 +186,11 @@ def encode_table_dicts(
 
         tune_malloc()
         chunk_id, col_name = key
+        if pdf["value"].isnull().any():
+            raise ValueError(
+                f"table_encode: NULL in string column {col_name!r} (chunk "
+                f"{chunk_id}); filter or fill before encoding"
+            )
         uniq = sorted(set(pdf["value"]))
         block = B.encode_strings(uniq)
         return pd.DataFrame(

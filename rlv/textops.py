@@ -14,15 +14,35 @@ Scale notes (each op at 10^12 docs):
 * embedding near-dup is all-pairs only as the small-scale baseline; the scale
   path is to pre-bucket with :func:`ann` LSH buckets (see __spark_entry__'s
   ``ann_lsh_buckets``) or IVF cells (:func:`ivf_cells`) and join per bucket.
-* several ops persist an internal relation (shingles, bands, probes) so the
-  expensive upstream pipeline runs once per invocation; the cache lives until
-  Spark's LRU evicts it — services batching many corpora through one session
-  should expect that residency or clear the cache between corpora.
+* ops that consume an internal relation more than once (shingles, bands,
+  probes) STAGE it to scratch parquet (:func:`_stage`) instead of persisting:
+  the upstream pipeline still runs exactly once, but no cached RDD outlives
+  the call — a service session batching many corpora accumulates nothing,
+  and at 100 TB this is the standard checkpoint-to-scratch-table pattern
+  (columnar, spillable, shareable across stages without executor memory).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _stage(df: DataFrame, stage_dir: str | None, name: str) -> DataFrame:
+    """Materialize ``df`` to scratch parquet and read it back.
+
+    The parquet round-trip replaces ``persist(MEMORY_AND_DISK)``: every
+    downstream consumer scans a compact columnar file instead of re-running
+    the upstream pipeline, and the session holds no cached RDDs afterwards
+    (asserted in tests).  ``stage_dir=None`` creates a fresh temp dir per
+    call; pass an explicit scratch location (e.g. a job-scoped cluster path)
+    to control lifecycle/cleanup."""
+    import os
+    import tempfile
+
+    base = stage_dir or tempfile.mkdtemp(prefix="rlv_stage_")
+    path = os.path.join(base, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 POLY_MOD = 4_294_967_296  # 2^32: poly-31 rolling hash stays exact in int64
 
@@ -129,7 +149,8 @@ def simhash_neardup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int | None = 64,
+    max_bucket: int | None = None,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (doc_id_a, doc_id_b, hamming).
 
@@ -144,15 +165,16 @@ def simhash_neardup_pairs(
     ``collect_set`` materializes them, so no executor ever holds an unbounded
     bucket row — :func:`simhash_bucket_stats` reports what was dropped.
     The cap is applied on a pre-aggregated count (map-side combinable), not on
-    the collected array.
+    the collected array.  The DEFAULT is uncapped (full recall); capping is
+    an explicit opt-in because it changes which pairs are returned — corpus
+    pipelines should pass a cap AND monitor :func:`simhash_bucket_stats`.
     """
     banded = _simhash_banded(docs, bits, bands)
     if max_bucket is not None:
         # the banded relation feeds both the size count and the join side:
-        # persist it (4 small rows per doc) so the simhash agg runs once
-        from pyspark import StorageLevel
-
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        # stage it (4 small rows per doc) so the simhash agg runs once and
+        # no cached RDD outlives the call
+        banded = _stage(banded, stage_dir, "simhash_banded")
         sizes = banded.groupBy("band_idx", "band_val").agg(
             F.count("*").alias("_bn")
         )
@@ -209,7 +231,10 @@ def word_trigrams(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, min_jaccard_e6: int = 100_000, df_cap: int | None = None
+    docs: DataFrame,
+    min_jaccard_e6: int = 100_000,
+    df_cap: int | None = None,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by exact word-trigram Jaccard.
 
@@ -219,17 +244,14 @@ def ngram_jaccard_pairs(
     document frequency exceeds the cap before the self-join — the standard
     stop-shingle guard that keeps the hot-key groups bounded at corpus scale.
 
-    The shingle relation is computed ONCE and persisted: it feeds the df-cap
-    count, the per-doc sizes, and both self-join sides, so ``documents`` is
-    scanned a single time (the relation is materialized by the first stage and
-    reused from cache; Spark evicts it LRU — at 100 TB use DISK_ONLY or
-    checkpoint to a scratch table).
+    The shingle relation is computed ONCE and staged to scratch parquet: it
+    feeds the df-cap count, the per-doc sizes, and both self-join sides, so
+    ``documents`` is scanned a single time and the session holds no cached
+    RDDs afterwards (see :func:`_stage`).
     """
-    from pyspark import StorageLevel
-
-    # persist the RAW shingle relation: every downstream use (df-cap counts,
-    # sizes, both join sides) reads the cache, never documents again
-    tg = word_trigrams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # stage the RAW shingle relation: every downstream use (df-cap counts,
+    # sizes, both join sides) scans the staged file, never documents again
+    tg = _stage(word_trigrams(docs), stage_dir, "trigrams")
     if df_cap is not None:
         freq = tg.groupBy("g").agg(F.count("*").alias("df"))
         tg = tg.join(
@@ -382,6 +404,7 @@ def embedding_neardup_bucketed(
     min_cos_e6: int = 400_000,
     k_cells: int = 8,
     nprobe: int = 2,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, bucketed — the DEFAULT scale path.
 
@@ -394,18 +417,19 @@ def embedding_neardup_bucketed(
     Output matches the all-pairs scorer restricted to bucket-sharing pairs:
     (vec_id_a, vec_id_b, cos_e6).
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
-    # persisted: the probe relation (nprobe small rows per vector) feeds both
-    # sides of the candidate self-join — score against centroids once
-    probes = (
+    # staged: the probe relation (nprobe small rows per vector) feeds both
+    # sides of the candidate self-join — score against centroids once, and
+    # leave no cached RDD behind
+    probes = _stage(
         _cell_scores(emb, k_cells)
         .withColumn("crk", F.row_number().over(w))
         .filter(F.col("crk") <= nprobe)
-        .select("vec_id", "cell")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("vec_id", "cell"),
+        stage_dir,
+        "ivf_probes",
     )
     cand = (
         probes.select(F.col("vec_id").alias("vec_id_a"), "cell")

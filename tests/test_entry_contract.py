@@ -68,3 +68,29 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert all(r["mismatches"] == 0 for r in rows)
     assert all(r["enc_bytes"] <= r["naive_rle_bytes"] for r in rows)
+
+
+def test_hour_bucket_floor_semantics_pre_epoch(spark):
+    """The rollup's hour bucket must FLOOR (DuckDB `//` semantics), not
+    truncate toward zero, for pre-1970 timestamps."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:30:00",), ("1970-01-01 00:30:00",),
+         ("1969-12-31 23:59:59.999999",), ("1968-01-01 00:00:00",)],
+        "ts string",
+    )
+    out = [
+        r.hb
+        for r in df.select(
+            F.expr(entrymod._HOUR_BUCKET_SQL).alias("hb")
+        ).collect()
+    ]
+    import math
+
+    expect = [
+        math.floor(us / 3_600_000_000)
+        for us in (-1_800_000_000, 1_800_000_000, -1, -63_158_400_000_000)
+    ]
+    assert out == expect

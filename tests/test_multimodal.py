@@ -52,3 +52,56 @@ def test_frame_sample_pass(spark, media_df):
         expect = (len(payload) + 4096 - 1) // 4096
         assert r["n_frames"] == max(expect, 0) == len(r["frames"])
         assert bytes(r["frames"][0]) == payload[:1024]
+
+
+def _tiny_png(width=8, height=8):
+    """Minimal valid 8-bit grayscale PNG built with stdlib only (no Pillow
+    needed to GENERATE it): constant-column horizontal gradient."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 32) % 256 for x in range(width))
+        for _ in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_image_decode_seam():
+    """The NON-stub branch of _decode_payload: with Pillow importable the
+    tiny PNG's column means come back as the 8-float feature head (golden
+    asserted); without it the seam must raise explicitly, never return
+    silently-wrong features."""
+    png = _tiny_png()
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        feats = multimodal._decode_payload("image", png, fake=False)
+        assert feats.shape == (multimodal.N_FEATURES,)
+        assert feats.dtype == np.float32
+        expected = np.array(
+            [(x * 32 % 256) / 255.0 for x in range(8)], dtype=np.float32
+        )
+        assert np.allclose(feats, expected, atol=1e-6)
+    else:
+        with pytest.raises(NotImplementedError, match="media libraries"):
+            multimodal._decode_payload("image", png, fake=False)
+    # audio/video decoding has no library either way: must raise explicitly
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_payload("audio", b"\x00" * 64, fake=False)

@@ -120,3 +120,18 @@ def test_int64_overflow_fails_loudly(spark):
         table.encode_table_columns(
             df, chunk_col="chunk", order_col="k", int_cols=["big"]
         ).collect()
+
+
+def test_table_encode_null_string_raises(spark):
+    """NULL strings must fail loudly, not shift dense-rank codes past the
+    dictionary (ADVICE r2: mirror the files-plane guard)."""
+    df = spark.createDataFrame(
+        [(0, 1, "a"), (0, 2, None)], "chunk int, k long, s string"
+    )
+    enc = table.encode_table_columns(
+        df, chunk_col="chunk", order_col="k", int_cols=["k"], str_cols=["s"]
+    )
+    with pytest.raises(Exception, match="NULL"):
+        enc.collect()
+    with pytest.raises(Exception, match="NULL"):
+        table.encode_table_dicts(df, chunk_col="chunk", str_cols=["s"]).collect()

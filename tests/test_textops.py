@@ -235,3 +235,32 @@ def test_numpy_ivf_trainer_matches_spark_trainer(spark):
     spark_trained = textops.ivf_train(emb, k=8, iters=2)
     np_trained = entrymod._numpy_ivf_train(sf_dir, k=8, iters=2)
     assert np_trained == spark_trained
+
+
+def test_neardup_paths_leave_no_cached_rdds(spark, docs, emb):
+    """The staged near-dup paths must leave the session cache empty — a
+    service batching many corpora through one session accumulates nothing
+    (VERDICT r2 #8: no persisted RDDs after a contract query runs)."""
+    import __spark_entry__ as entrymod
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    textops.ngram_jaccard_pairs(docs, df_cap=50).collect()
+    textops.simhash_neardup_pairs(docs, max_bucket=64).collect()
+    textops.embedding_neardup_bucketed(emb).collect()
+    entrymod._q_minhash_neardup_pairs(spark, "/root/testdata/sf0.001").collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before == 0
+
+
+def test_simhash_neardup_uncapped_default_superset(docs):
+    """max_bucket now defaults to None (full recall): the uncapped result is
+    a superset of the capped one."""
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in textops.simhash_neardup_pairs(docs, max_bucket=2).collect()
+    }
+    full = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in textops.simhash_neardup_pairs(docs).collect()
+    }
+    assert capped <= full
