@@ -380,6 +380,185 @@ def encode_table_files(
     )
 
 
+TABLE_VERIFY_SCHEMA = "split_id string, n_rows bigint, mismatches bigint"
+
+
+def _make_table_verify_worker(blocks_dir: str, schema: dict,
+                              symbols_hex: tuple[str, ...] | None):
+    """Per-split lineage verify: re-read the split's SOURCE row groups, sort
+    by order_col, decode the blocks file, and compare every column in-task —
+    the token plane's zero-shuffle verify discipline on arbitrary tables.
+    ``mismatches`` counts rows where ANY column differs."""
+    from rlv.util import tune_malloc
+
+    symbols = (
+        [bytes.fromhex(h) for h in symbols_hex]
+        if symbols_hex is not None
+        else None
+    )
+    order_col = schema["order_col"]
+    read_cols = list(dict.fromkeys(
+        [order_col, *schema["int_cols"], *schema["str_cols"]]
+    ))
+
+    def run_verify(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                split_id = str(row["split_id"])
+                pieces = json.loads(row["pieces"])
+                by_file: dict[str, list[int]] = {}
+                for path, rg in pieces:
+                    by_file.setdefault(path, []).append(rg)
+                src = pa.concat_tables(
+                    pq.ParquetFile(p).read_row_groups(
+                        rgs, columns=read_cols, use_threads=False
+                    )
+                    for p, rgs in by_file.items()
+                ).combine_chunks()
+                order = np.argsort(
+                    src.column(order_col).to_numpy(), kind="stable"
+                )
+                n = len(src)
+                btbl = pq.read_table(
+                    os.path.join(blocks_dir, f"{split_id}.parquet")
+                ).combine_chunks()
+                per_col: dict[str, list[tuple[int, bytes, int]]] = {}
+                for name, bi, blob, nv in zip(
+                    btbl.column("col_name").to_pylist(),
+                    btbl.column("block_idx").to_numpy(),
+                    btbl.column("block").to_pylist(),
+                    btbl.column("n_values").to_numpy(),
+                ):
+                    per_col.setdefault(name, []).append(
+                        (int(bi), blob, int(nv))
+                    )
+                spath = os.path.join(
+                    os.path.dirname(blocks_dir),
+                    "strings",
+                    f"{split_id}.parquet",
+                )
+                side: dict[tuple[str, int], bytes] = {}
+                if os.path.exists(spath):
+                    stbl = pq.read_table(spath).combine_chunks()
+                    for name, bi, blob in zip(
+                        stbl.column("col_name").to_pylist(),
+                        stbl.column("block_idx").to_numpy(),
+                        stbl.column("dict_block").to_pylist(),
+                    ):
+                        side[(name, int(bi))] = blob
+                bad = np.zeros(n, dtype=bool)
+                for c in schema["int_cols"]:
+                    items = sorted(per_col.get(c, []))
+                    try:
+                        flat, _ = B.decode_blocks_batch(
+                            [b for _, b, _ in items],
+                            np.int64,
+                            expected=[v for _, _, v in items],
+                        )
+                    except Exception:
+                        bad[:] = True
+                        continue
+                    want = src.column(c).to_numpy().astype(np.int64)[order]
+                    if flat.size != n:
+                        bad[:] = True
+                    else:
+                        bad |= flat != want
+                for c in schema["str_cols"]:
+                    items = sorted(per_col.get(c, []))
+                    try:
+                        parts = []
+                        for bi, blob, nv in items:
+                            codes, _ = B.decode_blocks_batch(
+                                [blob], np.int64, expected=[nv]
+                            )
+                            uniq = B.decode_strings_arrow(
+                                side[(c, bi)], symbols
+                            )
+                            parts.append(uniq.take(pa.array(codes)))
+                        got = (
+                            pa.concat_arrays(parts)
+                            if parts
+                            else pa.array([], pa.binary())
+                        )
+                    except Exception:
+                        bad[:] = True
+                        continue
+                    want = (
+                        src.column(c).cast(pa.binary()).take(pa.array(order))
+                    )
+                    if len(got) != n:
+                        bad[:] = True
+                    else:
+                        eq = pc.equal(got, want).to_numpy(
+                            zero_copy_only=False
+                        )
+                        bad |= ~eq
+                yield pd.DataFrame(
+                    {
+                        "split_id": [split_id],
+                        "n_rows": [n],
+                        "mismatches": [int(bad.sum())],
+                    }
+                )
+
+    return run_verify
+
+
+def verify_table_files(spark: SparkSession, enc_dir: str) -> dict:
+    """Decode-and-compare every live split against its recorded lineage
+    (zero shuffle, one task per split); splits that pass are promoted to
+    status='verified'.  Returns {splits, rows, mismatches}."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        return {"splits": 0, "rows": 0, "mismatches": 0}
+    todo = []
+    for rec in live.to_dict("records"):
+        pieces = json.loads(rec["pieces"]) if rec.get("pieces") else []
+        if not pieces:
+            raise ValueError(
+                f"split {rec['split_id']} has no recorded lineage"
+            )
+        todo.append({"split_id": str(rec["split_id"]),
+                     "pieces": json.dumps(pieces)})
+    if not todo:
+        return {"splits": 0, "rows": 0, "mismatches": 0}
+    syms = engine_files._load_symbols(enc_dir)
+    tasks_df = spark.createDataFrame(pd.DataFrame(todo)).repartition(len(todo))
+    results = tasks_df.mapInPandas(
+        _make_table_verify_worker(
+            f"{enc_dir}/blocks",
+            schema,
+            tuple(s.hex() for s in syms) if syms is not None else None,
+        ),
+        TABLE_VERIFY_SCHEMA,
+    ).collect()
+    passed = {
+        str(r["split_id"]) for r in results if int(r["mismatches"]) == 0
+    }
+    pdf = engine_files._read_manifest_pdf(enc_dir)
+    if pdf is not None and passed:
+        sel = pdf["split_id"].astype(str).isin(passed) & (
+            pdf["status"] == "done"
+        )
+        pdf.loc[sel, "status"] = "verified"
+        engine_files._write_manifest_pdf(enc_dir, pdf)
+    return {
+        "splits": len(results),
+        "rows": sum(int(r["n_rows"]) for r in results),
+        "mismatches": sum(int(r["mismatches"]) for r in results),
+    }
+
+
 def _make_table_decode_worker(out_dir: str, schema: dict,
                               symbols_hex: tuple[str, ...] | None):
     from rlv.util import tune_malloc

@@ -140,3 +140,34 @@ def test_table_files_null_guard(spark, tmp_path):
             spark, files, str(tmp_path / "enc"),
             order_col="k", int_cols=["k"], str_cols=["s"], num_tasks=1,
         )
+
+
+def test_verify_table_files(spark, orders_dir, tmp_path):
+    """Lineage verify on the table plane: all splits pass and get promoted
+    to 'verified'; a corrupted block is detected and counted."""
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    res = table_files.verify_table_files(spark, out)
+    n = spark.read.parquet(orders_dir).count()
+    assert res["mismatches"] == 0 and res["rows"] == n
+    pdf = engine_files._read_manifest_pdf(out)
+    assert (pdf["status"] == "verified").all()
+
+    # corrupt one block payload byte -> mismatches reported, not crash
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    victim = sorted(glob.glob(f"{out}/blocks/*.parquet"))[0]
+    tbl = pq.read_table(victim)
+    blocks_col = tbl.column("block").to_pylist()
+    idx = next(i for i, b in enumerate(blocks_col) if len(b) > 8)
+    b = bytearray(blocks_col[idx])
+    b[-1] ^= 0xFF
+    blocks_col[idx] = bytes(b)
+    tbl = tbl.set_column(
+        tbl.column_names.index("block"), "block",
+        pa.array(blocks_col, pa.binary()),
+    )
+    pq.write_table(tbl, victim, compression="zstd")
+    res2 = table_files.verify_table_files(spark, out)
+    assert res2["mismatches"] >= 1
