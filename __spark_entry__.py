@@ -967,12 +967,25 @@ doc_runs AS (
 ),
 doc_stats AS (
   SELECT {keys}, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
-         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv
+         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
+         arg_min(tok, ord) AS first
   FROM seq GROUP BY {keys}
 ),
+deltas AS (
+  SELECT {keys}, tok - lag(tok) OVER (PARTITION BY {keys} ORDER BY ord) AS d
+  FROM seq
+),
+dstats AS (
+  SELECT {keys},
+         COALESCE(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)
+           AS maxzz
+  FROM deltas GROUP BY {keys}
+),
 s AS (
-  SELECT d.*, r.n_runs, r.max_count
-  FROM doc_stats d JOIN doc_runs r USING ({keys})
+  SELECT d.*, r.n_runs, r.max_count, z.maxzz
+  FROM doc_stats d
+  JOIN doc_runs r USING ({keys})
+  JOIN dstats z USING ({keys})
 ),
 bits AS (
   SELECT *,
@@ -980,7 +993,9 @@ bits AS (
     CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
     CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
     CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
-    2 * minv AS zzmin
+    CASE WHEN maxzz = 0 THEN 0 ELSE length(printf('%b', maxzz)) END AS dlbits,
+    2 * minv AS zzmin,
+    CASE WHEN first >= 0 THEN 2 * first ELSE -2 * first - 1 END AS zzfirst
   FROM s
 ),
 lens AS (
@@ -988,6 +1003,7 @@ lens AS (
     (length(printf('%b', n)) + 6) // 7 AS ul_n,
     (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
     CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
+    CASE WHEN zzfirst = 0 THEN 1 ELSE (length(printf('%b', zzfirst)) + 6) // 7 END AS ul_zf,
     (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
   FROM bits
 ),
@@ -1003,18 +1019,22 @@ sz AS (
       + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
     1 + ul_n + ul_ndv + ul_zz + 1
       + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
-      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict
+      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict,
+    1 + ul_n + ul_zf + 1
+      + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
   FROM lens
 ),
 result AS (
   SELECT {keys}, CAST(n AS BIGINT) AS n_values, n_runs,
     CAST(CASE
-      WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict) THEN 1
-      WHEN s_rle <= least(s_bitpack, s_for, s_dict) THEN 2
-      WHEN s_bitpack <= least(s_for, s_dict) THEN 3
-      WHEN s_for <= s_dict THEN 4
-      ELSE 5 END AS INT) AS codec_id,
-    CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
+      WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
+      WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
+      WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
+      WHEN s_for <= least(s_dict, s_delta) THEN 4
+      WHEN s_dict <= s_delta THEN 5
+      ELSE 8 END AS INT) AS codec_id,
+    CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
+      AS enc_bytes
   FROM sz
 )"""
 
@@ -1162,12 +1182,26 @@ doc_runs AS (
 ),
 doc_stats AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv, max(tok) AS maxv,
-         CAST(count(DISTINCT tok) AS BIGINT) AS ndv
+         CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
+         arg_min(tok, pos) AS first
   FROM tok2 GROUP BY doc_id
 ),
+ddeltas AS (
+  SELECT doc_id, tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS d
+  FROM tok2
+),
+dstats AS (
+  SELECT doc_id,
+         COALESCE(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)
+           AS maxzz
+  FROM ddeltas GROUP BY doc_id
+),
 s AS (
-  SELECT d.doc_id, d.n, d.minv, d.maxv, d.ndv, r.n_runs, r.max_count
-  FROM doc_stats d JOIN doc_runs r USING (doc_id)
+  SELECT d.doc_id, d.n, d.minv, d.maxv, d.ndv, d.first, r.n_runs,
+         r.max_count, z.maxzz
+  FROM doc_stats d
+  JOIN doc_runs r USING (doc_id)
+  JOIN dstats z USING (doc_id)
 ),
 bits AS (
   SELECT *,
@@ -1175,7 +1209,9 @@ bits AS (
     CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
     CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
     CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
-    2 * minv AS zzmin
+    CASE WHEN maxzz = 0 THEN 0 ELSE length(printf('%b', maxzz)) END AS dlbits,
+    2 * minv AS zzmin,
+    CASE WHEN first >= 0 THEN 2 * first ELSE -2 * first - 1 END AS zzfirst
   FROM s
 ),
 lens AS (
@@ -1183,6 +1219,7 @@ lens AS (
     (length(printf('%b', n)) + 6) // 7 AS ul_n,
     (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
     CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
+    CASE WHEN zzfirst = 0 THEN 1 ELSE (length(printf('%b', zzfirst)) + 6) // 7 END AS ul_zf,
     (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
   FROM bits
 ),
@@ -1198,17 +1235,21 @@ sz AS (
       + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
     1 + ul_n + ul_ndv + ul_zz + 1
       + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
-      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict
+      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict,
+    1 + ul_n + ul_zf + 1
+      + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
   FROM lens
 )
 SELECT doc_id,
   CAST(CASE
-    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict) THEN 1
-    WHEN s_rle <= least(s_bitpack, s_for, s_dict) THEN 2
-    WHEN s_bitpack <= least(s_for, s_dict) THEN 3
-    WHEN s_for <= s_dict THEN 4
-    ELSE 5 END AS INT) AS codec_id,
-  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
+    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
+    WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
+    WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
+    WHEN s_for <= least(s_dict, s_delta) THEN 4
+    WHEN s_dict <= s_delta THEN 5
+    ELSE 8 END AS INT) AS codec_id,
+  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
+    AS enc_bytes
 FROM sz
 """,
         "run_length_histogram": f"""
@@ -1627,13 +1668,27 @@ doc_runs AS (
 ),
 doc_stats AS (
   SELECT chunk_id, col_name, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
-         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv
+         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
+         arg_min(tok, ord) AS first
   FROM seq GROUP BY chunk_id, col_name
 ),
+tdeltas AS (
+  SELECT chunk_id, col_name,
+         tok - lag(tok) OVER (PARTITION BY chunk_id, col_name ORDER BY ord) AS d
+  FROM seq
+),
+dstats AS (
+  SELECT chunk_id, col_name,
+         COALESCE(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)
+           AS maxzz
+  FROM tdeltas GROUP BY chunk_id, col_name
+),
 s AS (
-  SELECT d.chunk_id, d.col_name, d.n, d.minv, d.maxv, d.ndv,
-         r.n_runs, r.max_count
-  FROM doc_stats d JOIN doc_runs r USING (chunk_id, col_name)
+  SELECT d.chunk_id, d.col_name, d.n, d.minv, d.maxv, d.ndv, d.first,
+         r.n_runs, r.max_count, z.maxzz
+  FROM doc_stats d
+  JOIN doc_runs r USING (chunk_id, col_name)
+  JOIN dstats z USING (chunk_id, col_name)
 ),
 bits AS (
   SELECT *,
@@ -1641,7 +1696,9 @@ bits AS (
     CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
     CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
     CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
-    2 * minv AS zzmin
+    CASE WHEN maxzz = 0 THEN 0 ELSE length(printf('%b', maxzz)) END AS dlbits,
+    2 * minv AS zzmin,
+    CASE WHEN first >= 0 THEN 2 * first ELSE -2 * first - 1 END AS zzfirst
   FROM s
 ),
 lens AS (
@@ -1649,6 +1706,7 @@ lens AS (
     (length(printf('%b', n)) + 6) // 7 AS ul_n,
     (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
     CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
+    CASE WHEN zzfirst = 0 THEN 1 ELSE (length(printf('%b', zzfirst)) + 6) // 7 END AS ul_zf,
     (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
   FROM bits
 ),
@@ -1664,17 +1722,21 @@ sz AS (
       + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
     1 + ul_n + ul_ndv + ul_zz + 1
       + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
-      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict
+      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict,
+    1 + ul_n + ul_zf + 1
+      + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
   FROM lens
 )
 SELECT chunk_id, col_name, CAST(n AS BIGINT) AS n_values,
   CAST(CASE
-    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict) THEN 1
-    WHEN s_rle <= least(s_bitpack, s_for, s_dict) THEN 2
-    WHEN s_bitpack <= least(s_for, s_dict) THEN 3
-    WHEN s_for <= s_dict THEN 4
-    ELSE 5 END AS INT) AS codec_id,
-  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict) AS BIGINT) AS enc_bytes
+    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
+    WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
+    WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
+    WHEN s_for <= least(s_dict, s_delta) THEN 4
+    WHEN s_dict <= s_delta THEN 5
+    ELSE 8 END AS INT) AS codec_id,
+  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
+    AS enc_bytes
 FROM sz
 """,
         "table_encode_files": _table_encode_files_oracle(),

@@ -19,6 +19,8 @@ FOR    (4)  uvarint n | svarint min_val | bits u8 | pack(values-min_val, bits)
 DICT   (5)  uvarint n | uvarint ndv | svarint dict_min | dbits u8
             | pack(dict-dict_min, dbits) | ibits u8 | pack(indices, ibits)
 FSST   (6)  string codec, see rlv/kernels/fsst.py
+DELTA  (8)  uvarint n | svarint first | bits u8
+            | pack(zigzag(successive diffs), bits)   (n-1 packed values)
 ==========  =================================================================
 
 The empty array is the empty block ``b""`` so that the reference size budget
@@ -58,14 +60,16 @@ FOR = 4
 DICT = 5
 FSST = 6      # raw FSST blob (one byte payload)
 STRDICT = 7   # string column: dict indices + FSST-compressed dictionary
+DELTA = 8     # svarint first | bits u8 | pack(zigzag(successive diffs))
 
 CODEC_NAMES = {0: "empty", PLAIN: "plain", RLE: "rle", BITPACK: "bitpack",
-               FOR: "for", DICT: "dict", FSST: "fsst", STRDICT: "strdict"}
+               FOR: "for", DICT: "dict", FSST: "fsst", STRDICT: "strdict",
+               DELTA: "delta"}
 
 # Integer codecs the auto-selector considers for a token array, in
 # deterministic tie-break order (lower id wins ties -> identical blocks on
 # every executor, the determinism law SURVEY §2.9 #54 requires).
-INT_CODECS = (PLAIN, RLE, BITPACK, FOR, DICT)
+INT_CODECS = (PLAIN, RLE, BITPACK, FOR, DICT, DELTA)
 
 
 def _storage_bits(max_delta: int) -> int:
@@ -198,8 +202,38 @@ def encode_dict_from_unique(n: int, uniq: np.ndarray, inv: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _zigzag_diffs_u64(a64: np.ndarray) -> np.ndarray:
+    """Zigzagged successive differences of an int64 array, as uint64.
+
+    Arithmetic is two's-complement mod 2^64 on purpose: a delta that
+    overflows int64 wraps here AND unwraps identically in the decode cumsum,
+    so the codec stays exact for the full int64 value domain (the wrapped
+    zigzag is just wide, and the size model prices that same wide value).
+    """
+    d = np.diff(a64)
+    return ((d << 1) ^ (d >> 63)).astype(np.uint64)
+
+
+def encode_delta(a: np.ndarray) -> bytes:
+    """Delta: first value + bit-packed zigzag diffs — the sorted/clustered
+    column codec (keys, timestamps); beyond the reference's codec set, priced
+    by the same exact-size selector."""
+    a = np.asarray(a)
+    if a.size == 0:
+        return b""
+    a64 = a.astype(np.int64)
+    zz = _zigzag_diffs_u64(a64)
+    bits = _storage_bits(int(zz.max())) if zz.size else 0
+    out = bytearray([DELTA])
+    write_uvarint(out, a.size)
+    _svarint(out, int(a64[0]))
+    out.append(bits)
+    out += pack_bits(zz, bits)
+    return bytes(out)
+
+
 _ENCODERS = {PLAIN: encode_plain, RLE: encode_rle, BITPACK: encode_bitpack,
-             FOR: encode_for, DICT: encode_dict}
+             FOR: encode_for, DICT: encode_dict, DELTA: encode_delta}
 
 
 def encode_with(codec: int, a: np.ndarray) -> bytes:
@@ -266,6 +300,18 @@ def decode_block(block: bytes, dtype=np.int32) -> np.ndarray:
         pos += 1
         idx = unpack_bits(block[pos:], n, ibits)
         return uniq[idx].astype(dtype)
+    if codec == DELTA:
+        n, pos = read_uvarint(block, pos)
+        first, pos = _read_svarint(block, pos)
+        bits = block[pos]
+        pos += 1
+        zz = unpack_bits(block[pos:], n - 1, bits, dtype=np.uint64)
+        d = (zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))
+        arr = np.empty(n, dtype=np.uint64)
+        arr[0] = np.uint64(first & ((1 << 64) - 1))
+        arr[1:] = d
+        # mod-2^64 cumsum inverts the (possibly wrapped) zigzag diffs exactly
+        return np.cumsum(arr).view(np.int64).astype(dtype)
     raise ValueError(f"unknown codec id {codec}")
 
 
@@ -443,6 +489,17 @@ def decode_blocks_batch(
                 (DICT, n, ndv, dict_min, dbits, ibits,
                  b[pos:pos + db], b[pos + db + 1:])
             )
+        elif codec == DELTA:
+            n, pos = read_uvarint(b, pos)
+            check_n(i, n)
+            if n == 0:
+                raise ValueError("corrupt DELTA block: zero values")
+            first, pos = _read_svarint(b, pos)
+            bits = b[pos]
+            pos += 1
+            if bits > 64 or len(b) != pos + packed_nbytes(n - 1, bits):
+                raise ValueError("corrupt DELTA block")
+            parsed.append((DELTA, n, first, bits, b[pos:]))
         else:
             raise ValueError(f"unknown codec id {codec}")
         if codec != RLE:
@@ -528,6 +585,30 @@ def decode_blocks_batch(
             # cast at DICTIONARY granularity, before the per-token gather
             uniq = uniq.astype(out.dtype, copy=False)
             scatter(docs, uniq[idx + np.repeat(dict_off, ns)])
+        elif codec == DELTA:
+            # unpack all diff planes, interleave each doc's first value at
+            # its segment start, then ONE mod-2^64 cumsum with the
+            # cumsum-at-segment-start subtraction — wraparound cancels, so
+            # the whole-group reconstruction is exact for any int64 values
+            planes = [(parsed[i][3], parsed[i][4], parsed[i][1] - 1, 0)
+                      for i in docs]
+            zz = np.concatenate(_plane_groups(planes))
+            d = (zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))
+            total = int(ns.sum())
+            arr = np.empty(total, dtype=np.uint64)
+            starts = np.cumsum(ns) - ns
+            firsts = np.array(
+                [parsed[i][2] & ((1 << 64) - 1) for i in docs],
+                dtype=np.uint64,
+            )
+            nonstart = np.ones(total, dtype=bool)
+            nonstart[starts] = False
+            arr[starts] = firsts
+            arr[nonstart] = d
+            g = np.cumsum(arr)
+            seg_base = g[starts] - arr[starts]
+            vals = (g - np.repeat(seg_base, ns)).view(np.int64)
+            scatter(docs, vals.astype(out.dtype, copy=False))
         else:  # pragma: no cover
             raise ValueError(f"unknown codec id {codec}")
     return out, offsets
@@ -689,6 +770,8 @@ def codec_sizes(
     n_runs: int,
     max_count: int,
     ndv: int,
+    first_val: int,
+    max_zz_delta: int,
 ) -> dict[int, int]:
     """Exact encoded byte length per codec, from chunk statistics alone.
 
@@ -696,6 +779,11 @@ def codec_sizes(
     encode, v:467-481; ``encode_space_usage`` cost model, v:2744-2762) made
     exact for our wire format: ``codec_sizes(...)[c] == len(encode_with(c, a))``
     for every codec — a tested invariant, not an estimate.
+
+    ``first_val`` is the chunk's first element and ``max_zz_delta`` the max
+    zigzagged successive difference (mod-2^64, matching
+    :func:`_zigzag_diffs_u64`; 0 when n <= 1) — the two stats the DELTA
+    candidate needs.
     """
     if n == 0:
         return {c: 0 for c in INT_CODECS}
@@ -719,5 +807,9 @@ def codec_sizes(
     sizes[DICT] = (
         1 + uvarint_len(n) + uvarint_len(ndv) + uvarint_len(zigzag(min_val)) + 1
         + packed_nbytes(ndv, vbits) + 1 + packed_nbytes(n, _storage_bits(ndv - 1))
+    )
+    sizes[DELTA] = (
+        1 + uvarint_len(n) + uvarint_len(zigzag(first_val)) + 1
+        + packed_nbytes(n - 1, _storage_bits(max_zz_delta))
     )
     return sizes

@@ -67,19 +67,28 @@ def _packed_nbytes(n: np.ndarray, bits: np.ndarray) -> np.ndarray:
     return np.where((n == 0) | (bits == 0), 0, (n * bits + 7) // 8)
 
 
-def _codec_size_matrix(n, minv, maxv, n_runs, max_count, ndv) -> np.ndarray:
+# column order of _codec_size_matrix == this id order (ascending), so argmin
+# ties break toward the lower codec id — the same deterministic rule as the
+# scalar selector
+_SIZE_MATRIX_IDS = np.array(
+    [B.PLAIN, B.RLE, B.BITPACK, B.FOR, B.DICT, B.DELTA], dtype=np.int64
+)
+
+
+def _codec_size_matrix(n, minv, maxv, n_runs, max_count, ndv,
+                       firsts, max_zz) -> np.ndarray:
     """Vectorized :func:`rlv.blocks.codec_sizes` over per-doc stat arrays.
 
-    Column order == codec id order (PLAIN, RLE, BITPACK, FOR, DICT), so
-    ``argmin`` ties break toward the lower codec id — the same deterministic
-    rule as the scalar selector.
+    Domain note: the float64-frexp ``_bitlen`` is exact below 2^53; this
+    matrix runs on the token path (int32 values by schema), where every
+    operand — including the zigzagged first values and deltas — fits.
     """
     zz_min = np.where(minv >= 0, 2 * minv, -2 * minv - 1)
     vrange = maxv - minv
     vbits = _bitlen(vrange)
     cbits = _bitlen(np.maximum(max_count - 1, 0))
     width = np.where((maxv > 2**31 - 1) | (minv < -(2**31)), 8, 4)
-    sizes = np.empty((n.size, 5), dtype=np.int64)
+    sizes = np.empty((n.size, 6), dtype=np.int64)
     sizes[:, 0] = 1 + _uvarint_len(n) + 1 + width * n
     sizes[:, 1] = (
         1 + _uvarint_len(n_runs) + _uvarint_len(zz_min) + 2
@@ -97,6 +106,11 @@ def _codec_size_matrix(n, minv, maxv, n_runs, max_count, ndv) -> np.ndarray:
         1 + _uvarint_len(n) + _uvarint_len(ndv) + _uvarint_len(zz_min) + 1
         + _packed_nbytes(ndv, vbits) + 1
         + _packed_nbytes(n, _bitlen(np.maximum(ndv - 1, 0)))
+    )
+    zz_first = np.where(firsts >= 0, 2 * firsts, -2 * firsts - 1)
+    sizes[:, 5] = (
+        1 + _uvarint_len(n) + _uvarint_len(zz_first) + 1
+        + _packed_nbytes(np.maximum(n - 1, 0), _bitlen(max_zz))
     )
     return sizes
 
@@ -127,6 +141,7 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
             np.zeros(n_docs + 1, np.int64),
             z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
             np.empty(0, np.int64), np.zeros(n_docs + 1, np.int64),
+            z.copy(), z.copy(),
         )
     run_start = np.empty(a.size, dtype=bool)
     run_start[0] = True
@@ -175,13 +190,28 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
     minv[empty] = 0
     maxv[empty] = 0
     maxc[empty] = 0
+    # DELTA stats: per-doc first value + max zigzagged successive diff
+    # (doc-seam pairs zeroed out of the segmented max)
+    firsts = np.zeros(n_docs, dtype=np.int64)
+    firsts[~empty] = a[o[:-1][~empty]]
+    max_zz = np.zeros(n_docs, dtype=np.int64)
+    if a.size > 1:
+        d = np.diff(a.astype(np.int64))
+        zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)
+        seams = o[1:-1] - 1
+        seams = seams[(seams >= 0) & (seams < zz.size)]
+        zz[seams] = np.uint64(0)
+        idx2 = np.minimum(o[:-1], zz.size - 1)
+        seg = np.maximum.reduceat(zz, idx2).astype(np.int64)
+        multi = n_per_doc > 1
+        max_zz[multi] = seg[multi]
     return (run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc,
-            maxc, ndv, distinct_vals, ndv_off)
+            maxc, ndv, distinct_vals, ndv_off, firsts, max_zz)
 
 
 def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
                     run_len, run_val, doc_run_off,
-                    distinct_vals, ndv_off) -> list[bytes]:
+                    distinct_vals, ndv_off, firsts=None, max_zz=None) -> list[bytes]:
     """Serialize every doc's block, vectorized across docs for ALL codecs.
 
     Every packed plane is produced by ``pack_bits_multi`` over the whole
@@ -301,6 +331,26 @@ def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
                 hdr.append(int(ibits[d]))
                 out[d] = bytes(hdr) + payload[offs[j]:offs[j + 1]]
 
+    # ---- DELTA: first value header + one zigzag-diff plane ----
+    base = np.flatnonzero((chosen == B.DELTA) & (n_per_doc > 0))
+    if base.size:
+        dbits = _bitlen(max_zz)
+        if a.size > 1:
+            d_all = np.diff(a.astype(np.int64))
+            zz_all = ((d_all << 1) ^ (d_all >> 63)).astype(np.uint64)
+        else:
+            zz_all = np.empty(0, np.uint64)
+        for docs, bits, payload, offs in plane_groups(
+            base, dbits, n_per_doc - 1,
+            lambda docs, lens: gather(zz_all, o, docs, lens),
+        ):
+            for j, d in enumerate(docs):
+                hdr = bytearray([B.DELTA])
+                write_uvarint(hdr, int(n_per_doc[d]))
+                write_uvarint(hdr, zigzag(int(firsts[d])))
+                hdr.append(bits)
+                out[d] = bytes(hdr) + payload[offs[j]:offs[j + 1]]
+
     # ---- PLAIN: straight fixed-width casts, grouped by width ----
     base = np.flatnonzero((chosen == B.PLAIN) & (n_per_doc > 0))
     if base.size:
@@ -329,13 +379,16 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         a = vals[offs[0]:offs[-1]]
         o = offs - offs[0]
         (run_len, run_val, doc_run_off, n_per_doc, minv, maxv,
-         runs_per_doc, maxc, ndv, distinct_vals, ndv_off) = _batch_doc_stats(a, o)
+         runs_per_doc, maxc, ndv, distinct_vals, ndv_off,
+         firsts, max_zz) = _batch_doc_stats(a, o)
         n_docs = o.size - 1
-        sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc, ndv)
-        chosen = sizes.argmin(axis=1) + 1  # column order == codec ids 1..5
+        sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc,
+                                   ndv, firsts, max_zz)
+        chosen = _SIZE_MATRIX_IDS[sizes.argmin(axis=1)]
         out_blocks = _grouped_encode(
             a, o, n_per_doc, minv, maxv, maxc, chosen,
             run_len, run_val, doc_run_off, distinct_vals, ndv_off,
+            firsts, max_zz,
         )
         enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
         elapsed = time.perf_counter_ns() - t0

@@ -299,7 +299,7 @@ def _sample_worker(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 a = vals[offs[0]:offs[-1]]
                 o = offs - offs[0]
                 (run_len, run_val, _, n_per_doc, minv, maxv, rpd, _, ndv,
-                 _dv, _no) = _batch_doc_stats(a, o)
+                 *_rest) = _batch_doc_stats(a, o)
                 src = np.asarray(tbl.column("source").to_pylist())
                 text_sample = b"|".join(
                     s.encode("utf-8") for s in src[:64].tolist()

@@ -30,7 +30,7 @@ def choose_codec(stats: ChunkStats) -> tuple[int, int]:
         return blocks.PLAIN, 0
     sizes = blocks.codec_sizes(
         stats.n, stats.min_val, stats.max_val, stats.n_runs, stats.max_count,
-        stats.ndv,
+        stats.ndv, stats.first_val, stats.max_zz_delta,
     )
     codec = min(sizes, key=lambda c: (sizes[c], c))
     return codec, sizes[codec]

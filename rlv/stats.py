@@ -21,19 +21,27 @@ from rlv.kernels.bitpack import bits_required
 class ChunkStats:
     """Everything the selector needs, computable in one pass over the chunk."""
 
-    n: int          # token count
-    min_val: int    # 0 when n == 0
+    n: int             # token count
+    min_val: int       # 0 when n == 0
     max_val: int
-    n_runs: int     # count_runs (v:467-481)
-    max_count: int  # longest run
-    ndv: int        # exact distinct values (len(np.unique))
+    n_runs: int        # count_runs (v:467-481)
+    max_count: int     # longest run
+    ndv: int           # exact distinct values (len(np.unique))
+    first_val: int     # first element (DELTA header), 0 when n == 0
+    max_zz_delta: int  # max zigzagged successive diff (DELTA bit width)
 
 
 def chunk_stats(a: np.ndarray) -> ChunkStats:
     a = np.asarray(a)
     if a.size == 0:
-        return ChunkStats(0, 0, 0, 0, 0, 0)
+        return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0)
     counts, values = rle.rle_encode(a)
+    if a.size > 1:
+        from rlv.blocks import _zigzag_diffs_u64
+
+        max_zz = int(_zigzag_diffs_u64(a.astype(np.int64)).max())
+    else:
+        max_zz = 0
     return ChunkStats(
         n=int(a.size),
         min_val=int(a.min()),
@@ -41,6 +49,8 @@ def chunk_stats(a: np.ndarray) -> ChunkStats:
         n_runs=int(counts.size),
         max_count=int(counts.max()),
         ndv=int(np.unique(values).size),
+        first_val=int(a[0]),
+        max_zz_delta=max_zz,
     )
 
 

@@ -55,7 +55,8 @@ def test_codec_sizes_are_exact(xs):
     computation' idea (v:4013-4014, 467-481) made exact."""
     a = arr(xs)
     s = chunk_stats(a)
-    sizes = blocks.codec_sizes(s.n, s.min_val, s.max_val, s.n_runs, s.max_count, s.ndv)
+    sizes = blocks.codec_sizes(s.n, s.min_val, s.max_val, s.n_runs,
+                               s.max_count, s.ndv, s.first_val, s.max_zz_delta)
     for codec, predicted in sizes.items():
         assert predicted == len(blocks.encode_with(codec, a)), blocks.CODEC_NAMES[codec]
 
@@ -67,7 +68,8 @@ def test_auto_selection_minimal_and_within_budget(xs):
     a = arr(xs)
     codec, block = selector.encode_auto(a)
     s = chunk_stats(a)
-    sizes = blocks.codec_sizes(s.n, s.min_val, s.max_val, s.n_runs, s.max_count, s.ndv)
+    sizes = blocks.codec_sizes(s.n, s.min_val, s.max_val, s.n_runs,
+                               s.max_count, s.ndv, s.first_val, s.max_zz_delta)
     if a.size == 0:
         assert block == b""
         return
@@ -96,13 +98,22 @@ def test_selector_picks_sensible_codecs():
     runs = np.repeat(np.array([3, 9, 3, 9], dtype=np.int64), 1000)
     assert selector.encode_auto(runs)[0] == blocks.RLE
 
-    ramp = np.arange(50257, dtype=np.int64)  # strictly increasing: RLE expands
+    # strictly increasing: RLE expands, and constant diffs make DELTA the
+    # clear winner (1-bit zigzag plane vs a 16-bit FOR plane)
+    ramp = np.arange(50257, dtype=np.int64)
     codec, block = selector.encode_auto(ramp)
-    assert codec in (blocks.BITPACK, blocks.FOR)
+    assert codec == blocks.DELTA
+    assert len(block) < len(blocks.encode_with(blocks.FOR, ramp))
     assert len(block) < len(blocks.encode_with(blocks.RLE, ramp))
+    np.testing.assert_array_equal(blocks.decode_block(block, np.int64), ramp)
 
-    shifted = np.arange(10**6, 10**6 + 4096, dtype=np.int64)  # FOR beats bitpack
-    assert selector.encode_auto(shifted)[0] == blocks.FOR
+    # sorted keys with gaps (the table-plane shape): DELTA still wins
+    keys = np.cumsum(np.abs(np.random.default_rng(7).integers(1, 30, 4096)))
+    codec, _ = selector.encode_auto(keys.astype(np.int64))
+    assert codec == blocks.DELTA
+
+    shifted = np.arange(10**6, 10**6 + 4096, dtype=np.int64)
+    assert selector.encode_auto(shifted)[0] == blocks.DELTA  # was FOR pre-DELTA
 
     rng = np.random.default_rng(42)
     low_ndv = rng.choice(np.array([17, 999, 123456, 7]), size=4096).astype(np.int64)
