@@ -1030,6 +1030,16 @@ def compact_blocks(
     file sizes.
     """
     blocks_dir = f"{out_dir}/blocks"
+    if os.path.exists(f"{_split_manifest_path(out_dir)}/table_schema.json"):
+        # table-plane blocks files key rows by (col_name, block_idx); a
+        # naive concat would interleave two splits' identical keys and
+        # silently mis-order decode — refuse rather than corrupt
+        raise ValueError(
+            "compact_blocks does not support table-plane datasets "
+            "(rlv.table_files): merged files would interleave "
+            "(col_name, block_idx) rows; re-encode with fewer, larger "
+            "splits instead"
+        )
     pdf = _read_manifest_pdf(out_dir)
     if pdf is None:
         return {"bins_written": 0, "files_absorbed": 0}

@@ -171,3 +171,12 @@ def test_verify_table_files(spark, orders_dir, tmp_path):
     pq.write_table(tbl, victim, compression="zstd")
     res2 = table_files.verify_table_files(spark, out)
     assert res2["mismatches"] >= 1
+
+
+def test_compact_refuses_table_plane_dataset(spark, orders_dir, tmp_path):
+    """compact_blocks must refuse table-plane datasets: a naive merge would
+    interleave (col_name, block_idx) keys and silently mis-order decode."""
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    with pytest.raises(ValueError, match="table-plane"):
+        engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
