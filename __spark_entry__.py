@@ -783,6 +783,65 @@ def _q_table_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("chunk_id", "col_name", "n_values", "codec_id", "enc_bytes")
 
 
+def _q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank length percentiles per source (p50/p90/p99 of
+    n_tok) — the corpus-profiling facet a training-data pipeline sizes
+    batches and filters outliers with.  percentile_approx would be sketchy
+    in both senses; the nearest-rank definition (value at sorted index
+    floor((n-1)*p/100)) is exact integers on both engines.  One partial+final
+    count per source + one per-source sort of (tiny) length ranks — the sort
+    key cardinality is docs-per-source, never tokens."""
+    from pyspark.sql import Window as W
+
+    df = _token_df(spark, sf_dir).select("source", "n_tok")
+    w = W.partitionBy("source").orderBy("n_tok")
+    ranked = df.withColumn("rn", F.row_number().over(w))
+    counts = df.groupBy("source").agg(F.count("*").alias("cnt"))
+    j = ranked.join(F.broadcast(counts), "source")
+    picks = [
+        F.max(
+            F.expr(
+                f"CASE WHEN rn = (cnt - 1) * {p} div 100 + 1 "
+                "THEN n_tok END"
+            )
+        ).alias(f"p{p}_n_tok")
+        for p in (50, 90, 99)
+    ]
+    return j.groupBy("source").agg(
+        F.max("cnt").alias("n_docs"),
+        *picks,
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+    )
+
+
+def _q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 most frequent tokens per source with exact counts (ties break
+    to the lower token id) — the vocabulary-skew monitor.  The scale shape is
+    the right one: explode -> partial+final count on (source, token) — the
+    shuffle carries one row per DISTINCT (source, token), never per token —
+    then a tiny per-source top-k window."""
+    from pyspark.sql import Window as W
+
+    df = _token_df(spark, sf_dir)
+    freq = (
+        df.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("tok").cast("int").alias("tok"),
+            "n",
+        )
+    )
+
+
 def _q_table_encode_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-column engine on the FILES plane (rlv.table_files): encode
     four `orders` columns — two ints plus two strings as per-block dense
@@ -1122,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
         "table_encode": _q_table_encode,
         "table_encode_files": _q_table_encode_files,
+        "doc_length_stats": _q_doc_length_stats,
+        "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
         "event_sessionize": _q_event_sessionize,
     }
@@ -1740,6 +1801,45 @@ SELECT chunk_id, col_name, CAST(n AS BIGINT) AS n_values,
 FROM sz
 """,
         "table_encode_files": _table_encode_files_oracle(),
+        "doc_length_stats": """
+WITH d AS (
+  SELECT source, CAST(length(text) AS INT) AS n_tok FROM documents
+),
+r AS (
+  SELECT source, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM d
+)
+SELECT source,
+       CAST(max(cnt) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN n_tok END) AS INT)
+         AS p50_n_tok,
+       CAST(max(CASE WHEN rn = (cnt - 1) * 90 // 100 + 1 THEN n_tok END) AS INT)
+         AS p90_n_tok,
+       CAST(max(CASE WHEN rn = (cnt - 1) * 99 // 100 + 1 THEN n_tok END) AS INT)
+         AS p99_n_tok,
+       CAST(min(n_tok) AS INT) AS min_n_tok,
+       CAST(max(n_tok) AS INT) AS max_n_tok
+FROM r GROUP BY source
+""",
+        "token_heavy_hitters": """
+WITH tt AS (
+  SELECT source, unnest(string_split(text, '')) AS ch FROM documents
+),
+t AS (SELECT source, ascii(ch) AS tok FROM tt),
+f AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY source, tok
+),
+r AS (
+  SELECT source, tok, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok ASC) AS rk
+  FROM f
+)
+SELECT source, CAST(rk AS INT) AS rk, CAST(tok AS INT) AS tok, n
+FROM r WHERE rk <= 8
+""",
         "text_quality": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
