@@ -217,7 +217,9 @@ def _zigzag_diffs_u64(a64: np.ndarray) -> np.ndarray:
 def encode_delta(a: np.ndarray) -> bytes:
     """Delta: first value + bit-packed zigzag diffs — the sorted/clustered
     column codec (keys, timestamps); beyond the reference's codec set, priced
-    by the same exact-size selector."""
+    by the same exact-size selector.  Public analog: Parquet's
+    DELTA_BINARY_PACKED (ours is single-block with one fixed bit width so
+    the size stays exactly computable from chunk stats)."""
     a = np.asarray(a)
     if a.size == 0:
         return b""
