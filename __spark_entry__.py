@@ -1001,79 +1001,84 @@ def _codec_size_model_sql(keys: str) -> str:
     """DuckDB CTE chain re-deriving runs + the exact codec-size model over a
     ``seq({keys}, ord, tok)`` relation, keyed by ``keys`` (comma-separated).
     Final relation ``result`` has ({keys}, n_values, n_runs, codec_id,
-    enc_bytes) — the SQL re-implementation of rlv/blocks.py codec_sizes, the
-    same formulas the green `codec_selection`/`table_encode` oracles use."""
+    enc_bytes) — the ONE SQL re-implementation of rlv/blocks.py codec_sizes,
+    shared by the `codec_selection`, `table_encode` and `table_encode_files`
+    oracles (internal CTEs are m_-prefixed so callers' own CTEs never
+    collide).  Assumes values fit int32 (PLAIN priced at width 4), matching
+    every checked table; zigzags are sign-correct for negative values."""
     return f"""
-flagged AS (
+m_flagged AS (
   SELECT {keys}, ord, tok,
          CASE WHEN tok IS DISTINCT FROM
                    lag(tok) OVER (PARTITION BY {keys} ORDER BY ord)
               THEN 1 ELSE 0 END AS f
   FROM seq
 ),
-grp AS (
+m_grp AS (
   SELECT {keys}, ord, tok,
          sum(f) OVER (PARTITION BY {keys} ORDER BY ord) AS g
-  FROM flagged
+  FROM m_flagged
 ),
-runs AS (
+m_runs AS (
   SELECT {keys}, g, tok, CAST(count(*) AS BIGINT) AS cnt
-  FROM grp GROUP BY {keys}, g, tok
+  FROM m_grp GROUP BY {keys}, g, tok
 ),
-doc_runs AS (
+m_doc_runs AS (
   SELECT {keys}, CAST(count(*) AS BIGINT) AS n_runs, max(cnt) AS max_count
-  FROM runs GROUP BY {keys}
+  FROM m_runs GROUP BY {keys}
 ),
-doc_stats AS (
+m_doc_stats AS (
   SELECT {keys}, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
          max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
          arg_min(tok, ord) AS first
   FROM seq GROUP BY {keys}
 ),
-deltas AS (
+m_deltas AS (
   SELECT {keys}, tok - lag(tok) OVER (PARTITION BY {keys} ORDER BY ord) AS d
   FROM seq
 ),
-dstats AS (
+m_dstats AS (
   SELECT {keys},
          COALESCE(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)
            AS maxzz
-  FROM deltas GROUP BY {keys}
+  FROM m_deltas GROUP BY {keys}
 ),
-s AS (
+m_s AS (
   SELECT d.*, r.n_runs, r.max_count, z.maxzz
-  FROM doc_stats d
-  JOIN doc_runs r USING ({keys})
-  JOIN dstats z USING ({keys})
+  FROM m_doc_stats d
+  JOIN m_doc_runs r USING ({keys})
+  JOIN m_dstats z USING ({keys})
 ),
-bits AS (
+m_bits AS (
   SELECT *,
     CASE WHEN maxv - minv = 0 THEN 0 ELSE length(printf('%b', maxv - minv)) END AS vbits,
     CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
     CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
     CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
     CASE WHEN maxzz = 0 THEN 0 ELSE length(printf('%b', maxzz)) END AS dlbits,
-    2 * minv AS zzmin,
+    CASE WHEN minv >= 0 THEN 2 * minv ELSE -2 * minv - 1 END AS zzmin,
     CASE WHEN first >= 0 THEN 2 * first ELSE -2 * first - 1 END AS zzfirst
-  FROM s
+  FROM m_s
 ),
-lens AS (
+m_lens AS (
   SELECT *,
     (length(printf('%b', n)) + 6) // 7 AS ul_n,
     (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
     CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
     CASE WHEN zzfirst = 0 THEN 1 ELSE (length(printf('%b', zzfirst)) + 6) // 7 END AS ul_zf,
     (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
-  FROM bits
+  FROM m_bits
 ),
-sz AS (
+m_sz AS (
   SELECT {keys}, n, n_runs,
     1 + ul_n + 1 + 4 * n AS s_plain,
     1 + ul_r + ul_zz + 2
       + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
       + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END AS s_rle,
-    1 + ul_n + 1
-      + CASE WHEN pbits = 0 THEN 0 ELSE (n * pbits + 7) // 8 END AS s_bitpack,
+    CASE WHEN minv >= 0 THEN
+      1 + ul_n + 1
+        + CASE WHEN pbits = 0 THEN 0 ELSE (n * pbits + 7) // 8 END
+      ELSE 4611686018427387904 END AS s_bitpack,
     1 + ul_n + ul_zz + 1
       + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
     1 + ul_n + ul_ndv + ul_zz + 1
@@ -1081,7 +1086,7 @@ sz AS (
       + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict,
     1 + ul_n + ul_zf + 1
       + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
-  FROM lens
+  FROM m_lens
 ),
 result AS (
   SELECT {keys}, CAST(n AS BIGINT) AS n_values, n_runs,
@@ -1094,7 +1099,7 @@ result AS (
       ELSE 8 END AS INT) AS codec_id,
     CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
       AS enc_bytes
-  FROM sz
+  FROM m_sz
 )"""
 
 
@@ -1237,81 +1242,12 @@ FROM per_doc GROUP BY source
         # lengths, byte-padded bit-packing, argmin with lowest-id tie-break.
         "codec_selection": f"""
 WITH {_TOKS_CTE},
-doc_runs AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs, max(cnt) AS max_count
-  FROM runs GROUP BY doc_id
-),
-doc_stats AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv, max(tok) AS maxv,
-         CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
-         arg_min(tok, pos) AS first
-  FROM tok2 GROUP BY doc_id
-),
-ddeltas AS (
-  SELECT doc_id, tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS d
+seq AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS ord, CAST(tok AS BIGINT) AS tok
   FROM tok2
 ),
-dstats AS (
-  SELECT doc_id,
-         COALESCE(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)
-           AS maxzz
-  FROM ddeltas GROUP BY doc_id
-),
-s AS (
-  SELECT d.doc_id, d.n, d.minv, d.maxv, d.ndv, d.first, r.n_runs,
-         r.max_count, z.maxzz
-  FROM doc_stats d
-  JOIN doc_runs r USING (doc_id)
-  JOIN dstats z USING (doc_id)
-),
-bits AS (
-  SELECT *,
-    CASE WHEN maxv - minv = 0 THEN 0 ELSE length(printf('%b', maxv - minv)) END AS vbits,
-    CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
-    CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
-    CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
-    CASE WHEN maxzz = 0 THEN 0 ELSE length(printf('%b', maxzz)) END AS dlbits,
-    2 * minv AS zzmin,
-    CASE WHEN first >= 0 THEN 2 * first ELSE -2 * first - 1 END AS zzfirst
-  FROM s
-),
-lens AS (
-  SELECT *,
-    (length(printf('%b', n)) + 6) // 7 AS ul_n,
-    (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
-    CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
-    CASE WHEN zzfirst = 0 THEN 1 ELSE (length(printf('%b', zzfirst)) + 6) // 7 END AS ul_zf,
-    (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
-  FROM bits
-),
-sz AS (
-  SELECT doc_id,
-    1 + ul_n + 1 + 4 * n AS s_plain,
-    1 + ul_r + ul_zz + 2
-      + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
-      + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END AS s_rle,
-    1 + ul_n + 1
-      + CASE WHEN pbits = 0 THEN 0 ELSE (n * pbits + 7) // 8 END AS s_bitpack,
-    1 + ul_n + ul_zz + 1
-      + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
-    1 + ul_n + ul_ndv + ul_zz + 1
-      + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
-      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict,
-    1 + ul_n + ul_zf + 1
-      + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
-  FROM lens
-)
-SELECT doc_id,
-  CAST(CASE
-    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
-    WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
-    WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
-    WHEN s_for <= least(s_dict, s_delta) THEN 4
-    WHEN s_dict <= s_delta THEN 5
-    ELSE 8 END AS INT) AS codec_id,
-  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
-    AS enc_bytes
-FROM sz
+{_codec_size_model_sql("doc_id")[1:]}
+SELECT doc_id, codec_id, enc_bytes FROM result
 """,
         "run_length_histogram": f"""
 WITH {_TOKS_CTE}
@@ -1684,7 +1620,7 @@ WHERE a.doc_id < b.doc_id
         # re-run the exact codec-size model (same formulas as codec_selection;
         # every column here is nonnegative, matching the model's zigzag/
         # bitpack assumptions).
-        "table_encode": """
+        "table_encode": f"""
 WITH seq AS (
   SELECT CAST(o_orderkey % 8 AS INT) AS chunk_id, 'o_custkey' AS col_name,
          CAST(o_orderkey AS BIGINT) AS ord, CAST(o_custkey AS BIGINT) AS tok
@@ -1706,99 +1642,8 @@ WITH seq AS (
                                  ORDER BY o_orderpriority) - 1 AS BIGINT)
   FROM orders
 ),
-flagged AS (
-  SELECT chunk_id, col_name, ord, tok,
-         CASE WHEN tok IS DISTINCT FROM
-                   lag(tok) OVER (PARTITION BY chunk_id, col_name ORDER BY ord)
-              THEN 1 ELSE 0 END AS f
-  FROM seq
-),
-grp AS (
-  SELECT chunk_id, col_name, ord, tok,
-         sum(f) OVER (PARTITION BY chunk_id, col_name ORDER BY ord) AS g
-  FROM flagged
-),
-runs AS (
-  SELECT chunk_id, col_name, g, tok, CAST(count(*) AS BIGINT) AS cnt
-  FROM grp GROUP BY chunk_id, col_name, g, tok
-),
-doc_runs AS (
-  SELECT chunk_id, col_name, CAST(count(*) AS BIGINT) AS n_runs,
-         max(cnt) AS max_count
-  FROM runs GROUP BY chunk_id, col_name
-),
-doc_stats AS (
-  SELECT chunk_id, col_name, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
-         max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
-         arg_min(tok, ord) AS first
-  FROM seq GROUP BY chunk_id, col_name
-),
-tdeltas AS (
-  SELECT chunk_id, col_name,
-         tok - lag(tok) OVER (PARTITION BY chunk_id, col_name ORDER BY ord) AS d
-  FROM seq
-),
-dstats AS (
-  SELECT chunk_id, col_name,
-         COALESCE(max(CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END), 0)
-           AS maxzz
-  FROM tdeltas GROUP BY chunk_id, col_name
-),
-s AS (
-  SELECT d.chunk_id, d.col_name, d.n, d.minv, d.maxv, d.ndv, d.first,
-         r.n_runs, r.max_count, z.maxzz
-  FROM doc_stats d
-  JOIN doc_runs r USING (chunk_id, col_name)
-  JOIN dstats z USING (chunk_id, col_name)
-),
-bits AS (
-  SELECT *,
-    CASE WHEN maxv - minv = 0 THEN 0 ELSE length(printf('%b', maxv - minv)) END AS vbits,
-    CASE WHEN max_count - 1 = 0 THEN 0 ELSE length(printf('%b', max_count - 1)) END AS cbits,
-    CASE WHEN ndv - 1 = 0 THEN 0 ELSE length(printf('%b', ndv - 1)) END AS ibits,
-    CASE WHEN maxv = 0 THEN 0 ELSE length(printf('%b', maxv)) END AS pbits,
-    CASE WHEN maxzz = 0 THEN 0 ELSE length(printf('%b', maxzz)) END AS dlbits,
-    2 * minv AS zzmin,
-    CASE WHEN first >= 0 THEN 2 * first ELSE -2 * first - 1 END AS zzfirst
-  FROM s
-),
-lens AS (
-  SELECT *,
-    (length(printf('%b', n)) + 6) // 7 AS ul_n,
-    (length(printf('%b', n_runs)) + 6) // 7 AS ul_r,
-    CASE WHEN zzmin = 0 THEN 1 ELSE (length(printf('%b', zzmin)) + 6) // 7 END AS ul_zz,
-    CASE WHEN zzfirst = 0 THEN 1 ELSE (length(printf('%b', zzfirst)) + 6) // 7 END AS ul_zf,
-    (length(printf('%b', ndv)) + 6) // 7 AS ul_ndv
-  FROM bits
-),
-sz AS (
-  SELECT chunk_id, col_name, n,
-    1 + ul_n + 1 + 4 * n AS s_plain,
-    1 + ul_r + ul_zz + 2
-      + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
-      + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END AS s_rle,
-    1 + ul_n + 1
-      + CASE WHEN pbits = 0 THEN 0 ELSE (n * pbits + 7) // 8 END AS s_bitpack,
-    1 + ul_n + ul_zz + 1
-      + CASE WHEN vbits = 0 THEN 0 ELSE (n * vbits + 7) // 8 END AS s_for,
-    1 + ul_n + ul_ndv + ul_zz + 1
-      + CASE WHEN vbits = 0 THEN 0 ELSE (ndv * vbits + 7) // 8 END
-      + 1 + CASE WHEN ibits = 0 THEN 0 ELSE (n * ibits + 7) // 8 END AS s_dict,
-    1 + ul_n + ul_zf + 1
-      + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
-  FROM lens
-)
-SELECT chunk_id, col_name, CAST(n AS BIGINT) AS n_values,
-  CAST(CASE
-    WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
-    WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
-    WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
-    WHEN s_for <= least(s_dict, s_delta) THEN 4
-    WHEN s_dict <= s_delta THEN 5
-    ELSE 8 END AS INT) AS codec_id,
-  CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
-    AS enc_bytes
-FROM sz
+{_codec_size_model_sql("chunk_id, col_name")[1:]}
+SELECT chunk_id, col_name, n_values, codec_id, enc_bytes FROM result
 """,
         "table_encode_files": _table_encode_files_oracle(),
         "doc_length_stats": """

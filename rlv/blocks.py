@@ -737,7 +737,11 @@ def decode_strings_arrow(block: bytes, symbols: list[bytes] | None = None):
         raise ValueError("corrupt STRDICT block: length plane != payload")
     if idx.size and int(idx.max()) >= ndv:
         raise ValueError("corrupt STRDICT block: index out of range")
-    if int(offs[-1]) < _INT32_MAX:
+    # the GATHERED output (n rows, duplicates included) can overflow int32
+    # offsets even when the dictionary payload is small — size it exactly
+    # and promote to large_binary past the 2 GiB line
+    out_bytes = int(lengths[idx].sum()) if idx.size else 0
+    if int(offs[-1]) < _INT32_MAX and out_bytes < _INT32_MAX:
         dictionary = pa.Array.from_buffers(
             pa.binary(),
             ndv,

@@ -155,11 +155,27 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
     doc_run_off = np.searchsorted(run_starts, o).astype(np.int64)
     runs_per_doc = np.diff(doc_run_off)
     n_per_doc = np.diff(o)
-    # per-doc reductions over runs (== over tokens), empty docs fixed after
-    idx = np.minimum(doc_run_off[:-1], run_val.size - 1)
-    minv = np.minimum.reduceat(run_val, idx).astype(np.int64)
-    maxv = np.maximum.reduceat(run_val, idx).astype(np.int64)
-    maxc = np.maximum.reduceat(run_len, idx).astype(np.int64)
+    # per-doc reductions over runs (== over tokens), segmented over NONEMPTY
+    # docs only: empty docs own no runs, so consecutive nonempty docs' run
+    # offsets partition run_val exactly.  (The earlier index-clamping variant
+    # silently truncated the LAST nonempty doc's segment whenever a batch
+    # ended with empty docs — wrong stats, then a bit-width crash in the
+    # packer.)
+    nonempty_docs = np.flatnonzero(runs_per_doc > 0)
+    minv = np.zeros(n_docs, dtype=np.int64)
+    maxv = np.zeros(n_docs, dtype=np.int64)
+    maxc = np.zeros(n_docs, dtype=np.int64)
+    if nonempty_docs.size:
+        seg_starts = doc_run_off[nonempty_docs]
+        minv[nonempty_docs] = np.minimum.reduceat(
+            run_val, seg_starts
+        ).astype(np.int64)
+        maxv[nonempty_docs] = np.maximum.reduceat(
+            run_val, seg_starts
+        ).astype(np.int64)
+        maxc[nonempty_docs] = np.maximum.reduceat(
+            run_len, seg_starts
+        ).astype(np.int64)
     # exact ndv per doc via ONE direct sort of a (doc, value) composite key over
     # runs (distinct-over-runs == distinct-over-tokens).  A direct int64 sort is
     # ~8x faster than np.lexsort here, and runs <= tokens bounds the work.
@@ -186,14 +202,13 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
         distinct_vals = sv[new].astype(np.int64)
     ndv_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(ndv, out=ndv_off[1:])
-    empty = runs_per_doc == 0
-    minv[empty] = 0
-    maxv[empty] = 0
-    maxc[empty] = 0
-    # DELTA stats: per-doc first value + max zigzagged successive diff
-    # (doc-seam pairs zeroed out of the segmented max)
+    # DELTA stats: per-doc first value + max zigzagged successive diff.
+    # Same nonempty-segment discipline: reduceat starts only at docs with
+    # >= 2 tokens (their o[d] <= zz.size - 1 by construction); the gaps
+    # between such docs hold only zeroed seam pairs, so each segment's max
+    # is exactly the doc's interior max.
     firsts = np.zeros(n_docs, dtype=np.int64)
-    firsts[~empty] = a[o[:-1][~empty]]
+    firsts[nonempty_docs] = a[o[:-1][nonempty_docs]]
     max_zz = np.zeros(n_docs, dtype=np.int64)
     if a.size > 1:
         d = np.diff(a.astype(np.int64))
@@ -201,10 +216,11 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
         seams = o[1:-1] - 1
         seams = seams[(seams >= 0) & (seams < zz.size)]
         zz[seams] = np.uint64(0)
-        idx2 = np.minimum(o[:-1], zz.size - 1)
-        seg = np.maximum.reduceat(zz, idx2).astype(np.int64)
-        multi = n_per_doc > 1
-        max_zz[multi] = seg[multi]
+        multi = np.flatnonzero(n_per_doc > 1)
+        if multi.size:
+            max_zz[multi] = np.maximum.reduceat(
+                zz, o[:-1][multi]
+            ).astype(np.int64)
     return (run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc,
             maxc, ndv, distinct_vals, ndv_off, firsts, max_zz)
 

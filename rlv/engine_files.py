@@ -399,6 +399,9 @@ def _read_sidecar_strings(
     ]
     if not parts:
         return pa.array([], pa.binary())
+    if len({p.type for p in parts}) > 1:
+        # a >2 GiB block decodes as large_binary: promote the whole column
+        parts = [p.cast(pa.large_binary()) for p in parts]
     return pa.concat_arrays(parts)
 
 
@@ -541,7 +544,7 @@ def _make_verify_worker(blocks_dir: str, symbols_hex: tuple[str, ...] | None = N
 
                         want = (
                             src.column("source")
-                            .cast(pa.binary())
+                            .cast(side.type)  # binary, or large_binary >2GiB
                             .combine_chunks()
                         )
                         if order is None:
@@ -731,8 +734,13 @@ def _make_decode_worker(out_dir: str, symbols_hex: tuple[str, ...] | None = None
                             f"holds {len(vals)} values for {len(tbl)} docs"
                         )
                     # Arrow cast binary -> utf8 validates encoding and builds
-                    # the column without a per-row Python decode
-                    source_col = vals.cast(pa.string())
+                    # the column without a per-row Python decode (large
+                    # variants keep 64-bit offsets past 2 GiB)
+                    source_col = vals.cast(
+                        pa.large_string()
+                        if pa.types.is_large_binary(vals.type)
+                        else pa.string()
+                    )
                 out = pa.table(
                     {
                         "doc_id": tbl.column("doc_id"),

@@ -44,11 +44,11 @@ def _long_relation(
     shifting every code past the dictionary.  Same contract as the
     files-plane guard (engine_files._make_split_worker)."""
 
-    def _null_guard(c: str, value_sql: str) -> F.Column:
+    def _null_guard(c: str, value_sql: str, shown: str | None = None) -> F.Column:
         return F.expr(
             f"CASE WHEN assert_true({c} IS NOT NULL, "
-            f"'table_encode: NULL in column {c}; filter or fill before "
-            f"encoding') IS NULL THEN {value_sql} END"
+            f"'table_encode: NULL in column {shown or c}; filter or fill "
+            f"before encoding') IS NULL THEN {value_sql} END"
         ).alias("value")
 
     parts = [
@@ -73,7 +73,7 @@ def _long_relation(
                 "chunk_id",
                 "col_name",
                 "ord",
-                _null_guard("_raw", "_rk"),
+                _null_guard("_raw", "_rk", shown=c),
             )
         )
     out = parts[0]

@@ -380,6 +380,72 @@ def encode_table_files(
     )
 
 
+def _read_dict_sidecar(blocks_path: str) -> dict[tuple[str, int], bytes]:
+    """{(col_name, block_idx): STRDICT dict block} for one blocks file
+    (empty when the dataset has no string columns)."""
+    import pyarrow.parquet as pq
+
+    spath = os.path.join(
+        os.path.dirname(os.path.dirname(blocks_path)),
+        "strings",
+        os.path.basename(blocks_path),
+    )
+    side: dict[tuple[str, int], bytes] = {}
+    if os.path.exists(spath):
+        stbl = pq.read_table(spath).combine_chunks()
+        for name, bi, blob in zip(
+            stbl.column("col_name").to_pylist(),
+            stbl.column("block_idx").to_numpy(),
+            stbl.column("dict_block").to_pylist(),
+        ):
+            side[(name, int(bi))] = blob
+    return side
+
+
+def _decode_split_columns(btbl, side, schema: dict, symbols):
+    """Reconstruct every column of one blocks file as Arrow arrays — the ONE
+    definition of what an encoded split contains, shared by the verify and
+    decode workers (ints as int64, strings as binary).  Raises on corrupt
+    blocks; blocks of a column concatenate in block_idx order."""
+    import pyarrow as pa
+
+    from rlv import blocks as B
+
+    per_col: dict[str, list[tuple[int, bytes, int]]] = {}
+    for name, bi, blob, nv in zip(
+        btbl.column("col_name").to_pylist(),
+        btbl.column("block_idx").to_numpy(),
+        btbl.column("block").to_pylist(),
+        btbl.column("n_values").to_numpy(),
+    ):
+        per_col.setdefault(name, []).append((int(bi), blob, int(nv)))
+    cols: dict[str, pa.Array] = {}
+    for c in schema["int_cols"]:
+        items = sorted(per_col.get(c, []))
+        flat, _ = B.decode_blocks_batch(
+            [b for _, b, _ in items],
+            np.int64,
+            expected=[n for _, _, n in items],
+        )
+        cols[c] = pa.array(flat, pa.int64())
+    for c in schema["str_cols"]:
+        items = sorted(per_col.get(c, []))
+        parts = []
+        for bi, blob, nv in items:
+            codes, _ = B.decode_blocks_batch(
+                [blob], np.int64, expected=[nv]
+            )
+            uniq = B.decode_strings_arrow(side[(c, bi)], symbols)
+            parts.append(uniq.take(pa.array(codes)))
+        if parts and len({p.type for p in parts}) > 1:
+            # a >2 GiB block decodes as large_binary: promote the column
+            parts = [p.cast(pa.large_binary()) for p in parts]
+        cols[c] = (
+            pa.concat_arrays(parts) if parts else pa.array([], pa.binary())
+        )
+    return cols
+
+
 TABLE_VERIFY_SCHEMA = "split_id string, n_rows bigint, mismatches bigint"
 
 
@@ -406,8 +472,6 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from rlv import blocks as B
-
         tune_malloc()
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
@@ -426,80 +490,40 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
                     src.column(order_col).to_numpy(), kind="stable"
                 )
                 n = len(src)
-                btbl = pq.read_table(
-                    os.path.join(blocks_dir, f"{split_id}.parquet")
-                ).combine_chunks()
-                per_col: dict[str, list[tuple[int, bytes, int]]] = {}
-                for name, bi, blob, nv in zip(
-                    btbl.column("col_name").to_pylist(),
-                    btbl.column("block_idx").to_numpy(),
-                    btbl.column("block").to_pylist(),
-                    btbl.column("n_values").to_numpy(),
-                ):
-                    per_col.setdefault(name, []).append(
-                        (int(bi), blob, int(nv))
-                    )
-                spath = os.path.join(
-                    os.path.dirname(blocks_dir),
-                    "strings",
-                    f"{split_id}.parquet",
-                )
-                side: dict[tuple[str, int], bytes] = {}
-                if os.path.exists(spath):
-                    stbl = pq.read_table(spath).combine_chunks()
-                    for name, bi, blob in zip(
-                        stbl.column("col_name").to_pylist(),
-                        stbl.column("block_idx").to_numpy(),
-                        stbl.column("dict_block").to_pylist(),
-                    ):
-                        side[(name, int(bi))] = blob
+                bpath = os.path.join(blocks_dir, f"{split_id}.parquet")
+                btbl = pq.read_table(bpath).combine_chunks()
                 bad = np.zeros(n, dtype=bool)
-                for c in schema["int_cols"]:
-                    items = sorted(per_col.get(c, []))
-                    try:
-                        flat, _ = B.decode_blocks_batch(
-                            [b for _, b, _ in items],
-                            np.int64,
-                            expected=[v for _, _, v in items],
-                        )
-                    except Exception:
-                        bad[:] = True
-                        continue
-                    want = src.column(c).to_numpy().astype(np.int64)[order]
-                    if flat.size != n:
-                        bad[:] = True
-                    else:
-                        bad |= flat != want
-                for c in schema["str_cols"]:
-                    items = sorted(per_col.get(c, []))
-                    try:
-                        parts = []
-                        for bi, blob, nv in items:
-                            codes, _ = B.decode_blocks_batch(
-                                [blob], np.int64, expected=[nv]
-                            )
-                            uniq = B.decode_strings_arrow(
-                                side[(c, bi)], symbols
-                            )
-                            parts.append(uniq.take(pa.array(codes)))
-                        got = (
-                            pa.concat_arrays(parts)
-                            if parts
-                            else pa.array([], pa.binary())
-                        )
-                    except Exception:
-                        bad[:] = True
-                        continue
-                    want = (
-                        src.column(c).cast(pa.binary()).take(pa.array(order))
+                try:
+                    cols = _decode_split_columns(
+                        btbl, _read_dict_sidecar(bpath), schema, symbols
                     )
-                    if len(got) != n:
-                        bad[:] = True
-                    else:
-                        eq = pc.equal(got, want).to_numpy(
-                            zero_copy_only=False
+                except Exception:
+                    # corrupt blocks must report the split, not kill the pass
+                    cols = None
+                    bad[:] = True
+                if cols is not None:
+                    for c in schema["int_cols"]:
+                        got = cols[c].to_numpy()
+                        want = (
+                            src.column(c).to_numpy().astype(np.int64)[order]
                         )
-                        bad |= ~eq
+                        if got.size != n:
+                            bad[:] = True
+                        else:
+                            bad |= got != want
+                    for c in schema["str_cols"]:
+                        got = cols[c]
+                        want = (
+                            src.column(c)
+                            .cast(got.type)  # binary / large_binary >2GiB
+                            .take(pa.array(order))
+                        )
+                        if len(got) != n:
+                            bad[:] = True
+                        else:
+                            bad |= ~pc.equal(got, want).to_numpy(
+                                zero_copy_only=False
+                            )
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
@@ -573,61 +597,19 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from rlv import blocks as B
-
         tune_malloc()
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 path = row["file"]
                 tbl = pq.read_table(path).combine_chunks()
-                names = tbl.column("col_name").to_pylist()
-                bidx = tbl.column("block_idx").to_numpy()
-                blobs = tbl.column("block").to_pylist()
-                nvals = tbl.column("n_values").to_numpy()
-                per_col: dict[str, list[tuple[int, bytes, int]]] = {}
-                for name, bi, blob, nv in zip(names, bidx, blobs, nvals):
-                    per_col.setdefault(name, []).append(
-                        (int(bi), blob, int(nv))
-                    )
-                side = None
-                spath = os.path.join(
-                    os.path.dirname(os.path.dirname(path)),
-                    "strings",
-                    os.path.basename(path),
+                cols = _decode_split_columns(
+                    tbl, _read_dict_sidecar(path), schema, symbols
                 )
-                if os.path.exists(spath):
-                    stbl = pq.read_table(spath).combine_chunks()
-                    side = {}
-                    for name, bi, blob in zip(
-                        stbl.column("col_name").to_pylist(),
-                        stbl.column("block_idx").to_numpy(),
-                        stbl.column("dict_block").to_pylist(),
-                    ):
-                        side[(name, int(bi))] = blob
-                cols: dict[str, pa.Array] = {}
-                for c in schema["int_cols"]:
-                    items = sorted(per_col.get(c, []))
-                    flat, _ = B.decode_blocks_batch(
-                        [b for _, b, _ in items],
-                        np.int64,
-                        expected=[n for _, _, n in items],
-                    )
-                    cols[c] = pa.array(flat, pa.int64())
                 for c in schema["str_cols"]:
-                    items = sorted(per_col.get(c, []))
-                    parts = []
-                    for bi, blob, nv in items:
-                        codes, _ = B.decode_blocks_batch(
-                            [blob], np.int64, expected=[nv]
-                        )
-                        uniq = B.decode_strings_arrow(
-                            side[(c, bi)], symbols
-                        )
-                        parts.append(uniq.take(pa.array(codes)))
-                    cols[c] = (
-                        pa.concat_arrays(parts).cast(pa.string())
-                        if parts
-                        else pa.array([], pa.string())
+                    cols[c] = cols[c].cast(
+                        pa.large_string()
+                        if pa.types.is_large_binary(cols[c].type)
+                        else pa.string()
                     )
                 out = pa.table(cols)
                 final = os.path.join(out_dir, os.path.basename(path))

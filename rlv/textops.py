@@ -27,19 +27,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+_DEFAULT_STAGE_DIRS: list[str] = []
+
+
 def _stage(df: DataFrame, stage_dir: str | None, name: str) -> DataFrame:
     """Materialize ``df`` to scratch parquet and read it back.
 
     The parquet round-trip replaces ``persist(MEMORY_AND_DISK)``: every
     downstream consumer scans a compact columnar file instead of re-running
     the upstream pipeline, and the session holds no cached RDDs afterwards
-    (asserted in tests).  ``stage_dir=None`` creates a fresh temp dir per
-    call; pass an explicit scratch location (e.g. a job-scoped cluster path)
-    to control lifecycle/cleanup."""
+    (asserted in tests).
+
+    ``stage_dir=None`` creates a fresh driver-local temp dir, removed at
+    interpreter exit — valid ONLY under a local master, where driver and
+    executors share the filesystem; on a cluster master this raises, because
+    each executor would write to its own local disk and the read-back would
+    see nothing.  Cluster callers pass ``stage_dir`` on job-scoped shared
+    storage and own its lifecycle."""
     import os
     import tempfile
 
-    base = stage_dir or tempfile.mkdtemp(prefix="rlv_stage_")
+    if stage_dir is None:
+        master = df.sparkSession.conf.get("spark.master", "")
+        if not master.startswith("local"):
+            raise ValueError(
+                "stage_dir is required on a non-local master: the default "
+                "temp dir is driver-local, not a shared filesystem — pass a "
+                "job-scoped scratch path (e.g. on the cluster's object "
+                "store) instead"
+            )
+        base = tempfile.mkdtemp(prefix="rlv_stage_")
+        if not _DEFAULT_STAGE_DIRS:
+            import atexit
+            import shutil
+
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _DEFAULT_STAGE_DIRS
+                ]
+            )
+        _DEFAULT_STAGE_DIRS.append(base)
+    else:
+        base = stage_dir
     path = os.path.join(base, name)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

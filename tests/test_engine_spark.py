@@ -186,3 +186,54 @@ def test_decode_size_guard_catches_corruption(spark, token_df, tmp_path):
         engine.decode_pass(corrupted).collect()
     # and the honest table still decodes
     assert engine.decode_pass(encoded).count() == encoded.count()
+
+
+def test_batch_stats_with_trailing_empty_docs():
+    """Segmented per-doc reductions must not truncate the last nonempty
+    doc's segment when a batch ends with empty docs (review r3: the clamped
+    reduceat dropped the final run/diff, mis-sizing blocks and crashing the
+    bit packer).  Batch results must equal the scalar path exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rlv import blocks as B
+    from rlv import selector
+    from rlv.engine import _batch_doc_stats, _encode_arrow_batches
+    from rlv.stats import chunk_stats
+
+    cases = [
+        [[1, 1, 2, 2, 9], []],                      # max in the final run
+        [[0, 1, 2, 3, 4, 5, 6, 7, 1000000], []],    # max delta at the end
+        [[], [5, 5, 5], [], []],
+        [[3], [], [7, 100000], []],
+    ]
+    for docs in cases:
+        offs = np.zeros(len(docs) + 1, np.int64)
+        np.cumsum([len(d) for d in docs], out=offs[1:])
+        a = (
+            np.concatenate([np.asarray(d, np.int32) for d in docs])
+            if any(len(d) for d in docs)
+            else np.empty(0, np.int32)
+        )
+        r = _batch_doc_stats(a, offs)
+        minv, maxv, max_zz = r[4], r[5], r[12]
+        for i, d in enumerate(docs):
+            s = chunk_stats(np.asarray(d, np.int64))
+            assert (minv[i], maxv[i], max_zz[i]) == (
+                s.min_val, s.max_val, s.max_zz_delta
+            ), (docs, i)
+        tb = pa.table(
+            {
+                "doc_id": [str(i) for i in range(len(docs))],
+                "source": ["s"] * len(docs),
+                "group_id": pa.array(np.zeros(len(docs), np.int32)),
+                "tokens": pa.array(docs, pa.list_(pa.int32())),
+                "n_tok": pa.array([len(d) for d in docs], pa.int32()),
+            }
+        )
+        out = []
+        for b in tb.to_batches():
+            out.extend(_encode_arrow_batches(iter([b])))
+        blobs = pa.Table.from_batches(out).column("block").to_pylist()
+        for i, d in enumerate(docs):
+            assert blobs[i] == selector.encode_auto(np.asarray(d, np.int64))[1]

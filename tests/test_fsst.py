@@ -154,3 +154,21 @@ def test_shared_table_shrinks_chunked_string_blocks():
     # re-chunking moves strings between blocks but the same chunk contents
     # always produce the same bytes (table no longer depends on the chunk)
     assert blocks.encode_strings(chunks[3], symbols) == shared_blocks[3]
+
+
+def test_strdict_promotes_to_large_binary_past_offset_limit(monkeypatch):
+    """A gathered output bigger than the int32 offset limit must come back as
+    large_binary (64-bit offsets), not raise ArrowInvalid — exercised by
+    lowering the threshold rather than allocating 2 GiB."""
+    import pyarrow as pa
+
+    vals = ["alpha", "beta", "alpha", "gamma"] * 10
+    block = blocks.encode_strings(vals)
+    normal = blocks.decode_strings_arrow(block)
+    assert pa.types.is_binary(normal.type)
+    monkeypatch.setattr(blocks, "_INT32_MAX", 16)
+    large = blocks.decode_strings_arrow(block)
+    assert pa.types.is_large_binary(large.type)
+    assert large.to_pylist() == normal.to_pylist() == [
+        v.encode() for v in vals
+    ]
