@@ -141,7 +141,7 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
             np.zeros(n_docs + 1, np.int64),
             z, z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
             np.empty(0, np.int64), np.zeros(n_docs + 1, np.int64),
-            z.copy(), z.copy(),
+            z.copy(), z.copy(), np.empty(0, np.uint64),
         )
     run_start = np.empty(a.size, dtype=bool)
     run_start[0] = True
@@ -211,7 +211,7 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
     firsts[nonempty_docs] = a[o[:-1][nonempty_docs]]
     max_zz = np.zeros(n_docs, dtype=np.int64)
     if a.size > 1:
-        d = np.diff(a.astype(np.int64))
+        d = np.subtract(a[1:], a[:-1], dtype=np.int64)
         zz = ((d << 1) ^ (d >> 63)).astype(np.uint64)
         seams = o[1:-1] - 1
         seams = seams[(seams >= 0) & (seams < zz.size)]
@@ -221,13 +221,16 @@ def _batch_doc_stats(a: np.ndarray, o: np.ndarray):
             max_zz[multi] = np.maximum.reduceat(
                 zz, o[:-1][multi]
             ).astype(np.int64)
+    else:
+        zz = np.empty(0, np.uint64)
     return (run_len, run_val, doc_run_off, n_per_doc, minv, maxv, runs_per_doc,
-            maxc, ndv, distinct_vals, ndv_off, firsts, max_zz)
+            maxc, ndv, distinct_vals, ndv_off, firsts, max_zz, zz)
 
 
 def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
                     run_len, run_val, doc_run_off,
-                    distinct_vals, ndv_off, firsts=None, max_zz=None) -> list[bytes]:
+                    distinct_vals, ndv_off, firsts=None, max_zz=None,
+                    zz_all=None) -> list[bytes]:
     """Serialize every doc's block, vectorized across docs for ALL codecs.
 
     Every packed plane is produced by ``pack_bits_multi`` over the whole
@@ -347,15 +350,12 @@ def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
                 hdr.append(int(ibits[d]))
                 out[d] = bytes(hdr) + payload[offs[j]:offs[j + 1]]
 
-    # ---- DELTA: first value header + one zigzag-diff plane ----
+    # ---- DELTA: first value header + one zigzag-diff plane (zz_all comes
+    # from the stats sweep; its zeroed seam entries are never gathered — a
+    # doc's diff plane is the interior indices o[d]..o[d]+n-2 only) ----
     base = np.flatnonzero((chosen == B.DELTA) & (n_per_doc > 0))
     if base.size:
         dbits = _bitlen(max_zz)
-        if a.size > 1:
-            d_all = np.diff(a.astype(np.int64))
-            zz_all = ((d_all << 1) ^ (d_all >> 63)).astype(np.uint64)
-        else:
-            zz_all = np.empty(0, np.uint64)
         for docs, bits, payload, offs in plane_groups(
             base, dbits, n_per_doc - 1,
             lambda docs, lens: gather(zz_all, o, docs, lens),
@@ -396,7 +396,7 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         o = offs - offs[0]
         (run_len, run_val, doc_run_off, n_per_doc, minv, maxv,
          runs_per_doc, maxc, ndv, distinct_vals, ndv_off,
-         firsts, max_zz) = _batch_doc_stats(a, o)
+         firsts, max_zz, zz_all) = _batch_doc_stats(a, o)
         n_docs = o.size - 1
         sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc,
                                    ndv, firsts, max_zz)
@@ -404,7 +404,7 @@ def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
         out_blocks = _grouped_encode(
             a, o, n_per_doc, minv, maxv, maxc, chosen,
             run_len, run_val, doc_run_off, distinct_vals, ndv_off,
-            firsts, max_zz,
+            firsts, max_zz, zz_all,
         )
         enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
         elapsed = time.perf_counter_ns() - t0
