@@ -61,10 +61,13 @@ DICT = 5
 FSST = 6      # raw FSST blob (one byte payload)
 STRDICT = 7   # string column: dict indices + FSST-compressed dictionary
 DELTA = 8     # svarint first | bits u8 | pack(zigzag(successive diffs))
+NULLW = 10    # validity wrapper: uvarint n_rows | uvarint n_valid
+#               | bitmap ceil(n_rows/8) bytes (LSB-first, 1 = valid)
+#               | inner block over the n_valid non-NULL values
 
 CODEC_NAMES = {0: "empty", PLAIN: "plain", RLE: "rle", BITPACK: "bitpack",
                FOR: "for", DICT: "dict", FSST: "fsst", STRDICT: "strdict",
-               DELTA: "delta"}
+               DELTA: "delta", NULLW: "nullw"}
 
 # Integer codecs the auto-selector considers for a token array, in
 # deterministic tie-break order (lower id wins ties -> identical blocks on
@@ -240,6 +243,136 @@ _ENCODERS = {PLAIN: encode_plain, RLE: encode_rle, BITPACK: encode_bitpack,
 
 def encode_with(codec: int, a: np.ndarray) -> bytes:
     return _ENCODERS[codec](a)
+
+
+# ---------------------------------------------------------------------------
+# Validity (NULL) plane: a bit-packed wrapper around any inner block.
+#
+# The reference's codecs are over TOTAL values (the generic-A section,
+# rl_encoding.v:2145-2486 has no bottom element); real nullable columns add a
+# validity plane orthogonal to value encoding — Arrow's validity-bitmap split,
+# applied per block.  A block with zero NULLs is written WITHOUT the wrapper,
+# so non-null data stays byte-identical to the unwrapped format (and the
+# byte-determinism drills keep their recorded hashes).
+# ---------------------------------------------------------------------------
+
+
+def nullable_overhead(n_rows: int, n_valid: int) -> int:
+    """Exact extra bytes the NULLW wrapper adds around an inner block —
+    priced into the selector and the SQL oracles the same way codec sizes
+    are: ``len(wrap_nullable(m, inner)) == nullable_overhead(...) +
+    len(inner)`` for every mask (tested)."""
+    return 1 + uvarint_len(n_rows) + uvarint_len(n_valid) + (n_rows + 7) // 8
+
+
+def wrap_nullable(validity: np.ndarray, inner: bytes) -> bytes:
+    """NULLW block from a boolean validity mask (True = valid) and the inner
+    block encoding the valid values only.  The caller encodes ``a[validity]``
+    with the auto-selected codec; the wrapper stores where they go."""
+    validity = np.asarray(validity, dtype=bool)
+    n_rows = validity.size
+    n_valid = int(validity.sum())
+    out = bytearray([NULLW])
+    write_uvarint(out, n_rows)
+    write_uvarint(out, n_valid)
+    out += np.packbits(validity, bitorder="little").tobytes()
+    out += inner
+    return bytes(out)
+
+
+def parse_nullable(block: bytes) -> tuple[int, int, np.ndarray, bytes]:
+    """Split a NULLW block into (n_rows, n_valid, validity mask, inner block),
+    validating the bitmap against the declared counts before any payload is
+    touched (corrupt-header discipline of ``decode_blocks_batch``)."""
+    if not block or block[0] != NULLW:
+        raise ValueError("not a NULLW block")
+    pos = 1
+    n_rows, pos = read_uvarint(block, pos)
+    n_valid, pos = read_uvarint(block, pos)
+    nb = (n_rows + 7) // 8
+    if len(block) < pos + nb or n_valid > n_rows:
+        raise ValueError("corrupt NULLW block: truncated bitmap")
+    bitmap = np.frombuffer(block, dtype=np.uint8, count=nb, offset=pos)
+    validity = np.unpackbits(bitmap, count=n_rows, bitorder="little").astype(bool)
+    if int(validity.sum()) != n_valid:
+        raise ValueError("corrupt NULLW block: bitmap popcount != n_valid")
+    return n_rows, n_valid, validity, block[pos + nb:]
+
+
+def decode_nullable_block(block: bytes, dtype=np.int64):
+    """Scalar reference decode: (values with 0 at NULL slots, validity mask).
+    Plain (unwrapped) blocks decode as all-valid."""
+    if len(block) == 0:
+        return np.empty(0, dtype=dtype), np.empty(0, dtype=bool)
+    if block[0] != NULLW:
+        vals = decode_block(block, dtype)
+        return vals, np.ones(vals.size, dtype=bool)
+    n_rows, n_valid, validity, inner = parse_nullable(block)
+    valid_vals = decode_block(inner, dtype)
+    if valid_vals.size != n_valid:
+        raise ValueError("corrupt NULLW block: inner size != n_valid")
+    out = np.zeros(n_rows, dtype=dtype)
+    out[validity] = valid_vals
+    return out, validity
+
+
+def decode_blocks_batch_nullable(
+    blobs, dtype=np.int64, expected=None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched nullable decode: (values, offsets, validity).
+
+    ``offsets`` is row-based (``expected`` rows per doc, NULL slots
+    included); ``values`` holds 0 at NULL slots and ``validity`` marks the
+    real ones.  NULLW wrappers are stripped in one cheap parse pass and the
+    inner blocks ride the ordinary vectorized ``decode_blocks_batch`` —
+    unwrapped blobs pay nothing.
+    """
+    n_docs = len(blobs)
+    expected_arr = (
+        None if expected is None else np.asarray(expected, dtype=np.int64)
+    )
+    inner_blobs = list(blobs)
+    inner_expected = (
+        None if expected_arr is None else expected_arr.copy()
+    )
+    masks: dict[int, np.ndarray] = {}
+    rows_per = np.zeros(n_docs, dtype=np.int64)
+    for i, b in enumerate(blobs):
+        if b is not None and len(b) and b[0] == NULLW:
+            n_rows, n_valid, validity, inner = parse_nullable(bytes(b))
+            if expected_arr is not None and n_rows != int(expected_arr[i]):
+                raise ValueError(
+                    f"corrupt NULLW block: declared {n_rows} rows, expected "
+                    f"{int(expected_arr[i])}"
+                )
+            masks[i] = validity
+            inner_blobs[i] = inner
+            rows_per[i] = n_rows
+            if inner_expected is not None:
+                inner_expected[i] = n_valid
+        elif expected_arr is not None:
+            rows_per[i] = int(expected_arr[i])
+    flat, val_offs = decode_blocks_batch(
+        inner_blobs, dtype, expected=inner_expected
+    )
+    if expected_arr is None:  # row counts only known post-decode
+        val_counts = np.diff(val_offs)
+        for i, m in masks.items():
+            rows_per[i] = m.size
+        no_mask = np.ones(n_docs, dtype=bool)
+        if masks:
+            no_mask[list(masks)] = False
+        rows_per[no_mask] = val_counts[no_mask]
+    if not masks:
+        return flat, val_offs, np.ones(flat.size, dtype=bool)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(rows_per, out=offsets[1:])
+    validity = np.ones(offsets[-1], dtype=bool)
+    for i, m in masks.items():
+        validity[offsets[i]:offsets[i + 1]] = m
+    out = np.zeros(offsets[-1], dtype=dtype)
+    out[validity] = flat
+    return out, offsets, validity
 
 
 # ---------------------------------------------------------------------------

@@ -1038,16 +1038,14 @@ def compact_blocks(
     file sizes.
     """
     blocks_dir = f"{out_dir}/blocks"
-    if os.path.exists(f"{_split_manifest_path(out_dir)}/table_schema.json"):
-        # table-plane blocks files key rows by (col_name, block_idx); a
-        # naive concat would interleave two splits' identical keys and
-        # silently mis-order decode — refuse rather than corrupt
-        raise ValueError(
-            "compact_blocks does not support table-plane datasets "
-            "(rlv.table_files): merged files would interleave "
-            "(col_name, block_idx) rows; re-encode with fewer, larger "
-            "splits instead"
-        )
+    # table-plane datasets (rlv.table_files) key blocks by (split_seq,
+    # col_name, block_idx): the split_seq provenance column keeps every
+    # absorbed split's rows addressable in a merged file, and the manifest
+    # keeps per-member lineage as a {split_seq: pieces} map so verify can
+    # still replay each segment against exactly the rows it encoded
+    is_table = os.path.exists(
+        f"{_split_manifest_path(out_dir)}/table_schema.json"
+    )
     pdf = _read_manifest_pdf(out_dir)
     if pdf is None:
         return {"bins_written": 0, "files_absorbed": 0}
@@ -1094,6 +1092,8 @@ def compact_blocks(
     written = 0
     absorbed = 0
     if bins:
+        import pyarrow.parquet as pq
+
         specs = []
         for bi, bin_ in enumerate(bins):
             sids = [sid for sid, _, _ in bin_]
@@ -1104,7 +1104,14 @@ def compact_blocks(
                     "new_sid": new_sid,
                     "sids": sids,
                     "has_sidecar": bi in sidecar_bins,
-                    "exp_rows": sum(int(by_id[s]["n_docs"]) for s in sids),
+                    # expected MERGED row count from member footers (driver
+                    # metadata only): token-plane files hold one row per doc,
+                    # table-plane one per (split, column, block) — footers
+                    # are the plane-agnostic truth
+                    "exp_rows": sum(
+                        pq.ParquetFile(path).metadata.num_rows
+                        for _, path, _ in bin_
+                    ),
                 }
             )
         tasks_df = spark.createDataFrame(
@@ -1135,9 +1142,21 @@ def compact_blocks(
         now = time.time()
         for s in specs:
             rows = [by_id[sid] for sid in s["sids"]]
-            pieces: list = []
-            for sid in s["sids"]:
-                pieces.extend(json.loads(by_id[sid].get("pieces") or "[]"))
+            if is_table:
+                # per-member lineage map; an already-merged member (dict)
+                # contributes its own segments unchanged
+                pmap: dict = {}
+                for sid in s["sids"]:
+                    parsed = json.loads(by_id[sid].get("pieces") or "[]")
+                    if isinstance(parsed, dict):
+                        pmap.update(parsed)
+                    else:
+                        pmap[sid] = parsed
+                pieces: list | dict = pmap
+            else:
+                pieces = []
+                for sid in s["sids"]:
+                    pieces.extend(json.loads(by_id[sid].get("pieces") or "[]"))
             by_id[s["new_sid"]] = {
                 "split_id": s["new_sid"],
                 "status": "done",
@@ -1154,7 +1173,7 @@ def compact_blocks(
                 "tokens_per_cpu_sec": 0.0,
                 "attempt": 1,
                 "finished_at": now,
-                "pieces": json.dumps(pieces),
+                "pieces": json.dumps(pieces, sort_keys=True),
             }
             for sid in s["sids"]:
                 by_id[sid] = {**by_id[sid], "status": "compacted"}

@@ -13,14 +13,25 @@ only driver IO is parquet footers and the manifest.
 Wire layout under ``out_dir``:
 
 * ``blocks/{split_id}.parquet`` — one row per (column, block):
-  ``(col_name, block_idx, n_values, n_runs, codec_id, enc_bytes,
-  naive_bytes, block)``.  String columns contribute their per-block
-  dense-code stream (codes = rank of the value among the block's sorted
-  distinct values) through the INT codecs — parquet's dictionary-page /
-  data-page split, same as :func:`rlv.table.encode_table_columns`.
+  ``(split_seq, col_name, block_idx, n_values, n_nulls, n_runs, codec_id,
+  enc_bytes, naive_bytes, block)``.  String columns contribute their
+  per-block dense-code stream (codes = rank of the value among the block's
+  sorted distinct VALID values) through the INT codecs — parquet's
+  dictionary-page / data-page split, same as
+  :func:`rlv.table.encode_table_columns`.  A block containing NULLs wraps
+  its chosen block in the NULLW validity bitmap (``rlv.blocks
+  .wrap_nullable``); blocks without NULLs are byte-identical to the
+  unwrapped format.  ``split_seq`` is the originating split id — constant
+  within a freshly-encoded file, and the key that keeps every absorbed
+  split's (col_name, block_idx) rows addressable after
+  :func:`rlv.engine_files.compact_blocks` merges files.
 * ``strings/{split_id}.parquet`` — one row per (string column, block):
-  ``(col_name, block_idx, ndv, raw_bytes, dict_block)`` where ``dict_block``
-  is a STRDICT block of the block's sorted distinct values.
+  ``(split_seq, col_name, block_idx, ndv, raw_bytes, enc_bytes,
+  dict_block)`` where ``dict_block`` is a STRDICT block of the block's
+  sorted distinct valid values.  Dict bytes are accounted separately from
+  ``bytes_out`` (the token plane's sidecar discipline), so the manifest
+  budget ``bytes_out <= naive_rle_bytes`` is structural, not
+  data-dependent.
 * ``manifest/`` — the standard split manifest (resume/idempotency identical
   to the token plane: deterministic split ids, atomic renames, byte-identical
   retries) plus ``table_schema.json`` recording the encoded schema.
@@ -46,7 +57,7 @@ from rlv import engine_files
 TABLE_RESULT_SCHEMA = (
     "split_id string, n_docs bigint, n_tokens bigint, n_runs bigint, "
     "bytes_out bigint, naive_rle_bytes bigint, codec_hist string, "
-    "encode_cpu_ns bigint"
+    "encode_cpu_ns bigint, n_nulls bigint, dict_bytes bigint"
 )
 
 DECODE_RESULT_SCHEMA = "file string, n_rows bigint, n_cols int"
@@ -127,13 +138,14 @@ def _make_table_split_worker(
                     )
                     for p, rgs in by_file.items()
                 ).combine_chunks()
-                for c in read_cols:
-                    if tbl.column(c).null_count:
-                        raise ValueError(
-                            f"split {split_id}: column {c!r} contains NULLs "
-                            "— the codecs store values, not validity; filter "
-                            "or fill before encoding"
-                        )
+                if tbl.column(order_col).null_count:
+                    # NULL data values are represented (validity plane);
+                    # a NULL ORDER key has no position in the sequence at
+                    # all, so the row order would be undefined — refuse
+                    raise ValueError(
+                        f"split {split_id}: order column {order_col!r} "
+                        "contains NULLs — the row order would be undefined"
+                    )
                 n_rows = len(tbl)
                 order = np.argsort(
                     tbl.column(order_col).to_numpy(), kind="stable"
@@ -141,53 +153,90 @@ def _make_table_split_worker(
                 n_blocks = max((n_rows + rows_per_block - 1) // rows_per_block, 1)
                 brows = {
                     k: []
-                    for k in ("col_name", "block_idx", "n_values", "n_runs",
-                              "codec_id", "enc_bytes", "naive_bytes", "block")
+                    for k in ("split_seq", "col_name", "block_idx", "n_values",
+                              "n_nulls", "n_runs", "codec_id", "enc_bytes",
+                              "naive_bytes", "block")
                 }
                 srows = {
                     k: []
-                    for k in ("col_name", "block_idx", "ndv", "raw_bytes",
-                              "dict_block")
+                    for k in ("split_seq", "col_name", "block_idx", "ndv",
+                              "raw_bytes", "enc_bytes", "dict_block")
                 }
                 total_vals = total_runs = bytes_out = naive_total = 0
+                nulls_total = dict_bytes = 0
                 hist: dict[int, int] = {}
 
-                def encode_blocks(col_name: str, vals: np.ndarray) -> None:
+                def emit_block(
+                    col_name: str, bi: int, valid_vals: np.ndarray,
+                    mask: np.ndarray | None,
+                ) -> None:
+                    """One (column, block): auto-select over the VALID values;
+                    a block with NULLs wraps the chosen inner block in the
+                    NULLW validity bitmap (rlv.blocks.wrap_nullable), priced
+                    exactly; a block without NULLs is byte-identical to the
+                    pre-validity format."""
                     nonlocal total_vals, total_runs, bytes_out, naive_total
-                    for bi in range(n_blocks):
-                        a = vals[bi * rows_per_block:(bi + 1) * rows_per_block]
-                        if a.size == 0:
-                            continue
-                        st = chunk_stats(a)
-                        codec, size = selector.choose_codec(st)
-                        blk = B.encode_with(codec, a)
-                        if len(blk) != size:
-                            raise AssertionError(
-                                f"exact-size model broke: {len(blk)} != {size}"
-                            )
-                        naive = B.naive_rle_bytes(st.n_runs)
-                        brows["col_name"].append(col_name)
-                        brows["block_idx"].append(bi)
-                        brows["n_values"].append(int(a.size))
-                        brows["n_runs"].append(int(st.n_runs))
-                        brows["codec_id"].append(int(codec))
-                        brows["enc_bytes"].append(len(blk))
-                        brows["naive_bytes"].append(naive)
-                        brows["block"].append(blk)
-                        total_vals += int(a.size)
-                        total_runs += int(st.n_runs)
-                        bytes_out += len(blk)
-                        naive_total += naive
-                        hist[codec] = hist.get(codec, 0) + 1
+                    nonlocal nulls_total
+                    st = chunk_stats(valid_vals)
+                    codec, size = selector.choose_codec(st)
+                    blk = B.encode_with(codec, valid_vals)
+                    naive = B.naive_rle_bytes(st.n_runs)
+                    if mask is None:
+                        n_vals, n_nulls = valid_vals.size, 0
+                    else:
+                        n_vals = mask.size
+                        n_nulls = int(n_vals - valid_vals.size)
+                        over = B.nullable_overhead(n_vals, valid_vals.size)
+                        blk = B.wrap_nullable(mask, blk)
+                        size += over
+                        # the validity plane is part of this block's budget:
+                        # chosen-inner <= 16 * runs(valid) keeps the sum
+                        # structural (CLAUDE.md invariant 3, extended)
+                        naive += over
+                    if len(blk) != size:
+                        raise AssertionError(
+                            f"exact-size model broke: {len(blk)} != {size}"
+                        )
+                    brows["split_seq"].append(str(split_id))
+                    brows["col_name"].append(col_name)
+                    brows["block_idx"].append(bi)
+                    brows["n_values"].append(int(n_vals))
+                    brows["n_nulls"].append(n_nulls)
+                    brows["n_runs"].append(int(st.n_runs))
+                    brows["codec_id"].append(int(codec))
+                    brows["enc_bytes"].append(len(blk))
+                    brows["naive_bytes"].append(naive)
+                    brows["block"].append(blk)
+                    total_vals += int(n_vals)
+                    total_runs += int(st.n_runs)
+                    nulls_total += n_nulls
+                    bytes_out += len(blk)
+                    naive_total += naive
+                    hist[codec] = hist.get(codec, 0) + 1
 
                 for c in int_cols:
-                    vals = tbl.column(c).to_numpy().astype(np.int64)[order]
-                    encode_blocks(c, vals)
+                    col = tbl.column(c).combine_chunks()
+                    if col.null_count:
+                        mask = col.is_valid().to_numpy(zero_copy_only=False)[order]
+                        vals = (
+                            col.fill_null(0).to_numpy().astype(np.int64)[order]
+                        )
+                    else:
+                        mask = None
+                        vals = col.to_numpy().astype(np.int64)[order]
+                    for bi in range(n_blocks):
+                        sl = slice(bi * rows_per_block, (bi + 1) * rows_per_block)
+                        a = vals[sl]
+                        if a.size == 0:
+                            continue
+                        m = mask[sl] if mask is not None else None
+                        if m is not None and m.all():
+                            m = None
+                        emit_block(c, bi, a if m is None else a[m], m)
                 for c in str_cols:
                     arr = tbl.column(c).cast(pa.binary()).take(
                         pa.array(order)
                     )
-                    code_parts = []
                     for bi in range(n_blocks):
                         ablk = arr.slice(
                             bi * rows_per_block,
@@ -196,30 +245,35 @@ def _make_table_split_worker(
                         )
                         if len(ablk) == 0:
                             continue
-                        codes, dict_block, ndv, raw = _block_string_codes(
-                            ablk, symbols
+                        m = (
+                            ablk.is_valid().to_numpy(zero_copy_only=False)
+                            if ablk.null_count
+                            else None
                         )
+                        codes, dict_block, ndv, raw = _block_string_codes(
+                            ablk.drop_null() if m is not None else ablk,
+                            symbols,
+                        )
+                        srows["split_seq"].append(str(split_id))
                         srows["col_name"].append(c)
                         srows["block_idx"].append(bi)
                         srows["ndv"].append(ndv)
                         srows["raw_bytes"].append(raw)
+                        srows["enc_bytes"].append(len(dict_block))
                         srows["dict_block"].append(dict_block)
-                        bytes_out += len(dict_block)
-                        code_parts.append(codes)
-                    # the code stream goes through the INT selector like any
-                    # other column (it re-blocks to the same boundaries)
-                    encode_blocks(
-                        c,
-                        np.concatenate(code_parts)
-                        if code_parts
-                        else np.empty(0, np.int64),
-                    )
+                        dict_bytes += len(dict_block)
+                        # the dense-code stream (VALID rows only) rides the
+                        # INT selector; NULL positions live in the code
+                        # block's validity wrapper
+                        emit_block(c, bi, codes, m)
                 cpu_ns = time.perf_counter_ns() - t0
                 out = pa.table(
                     {
+                        "split_seq": pa.array(brows["split_seq"], pa.string()),
                         "col_name": pa.array(brows["col_name"], pa.string()),
                         "block_idx": pa.array(brows["block_idx"], pa.int32()),
                         "n_values": pa.array(brows["n_values"], pa.int64()),
+                        "n_nulls": pa.array(brows["n_nulls"], pa.int64()),
                         "n_runs": pa.array(brows["n_runs"], pa.int64()),
                         "codec_id": pa.array(brows["codec_id"], pa.int32()),
                         "enc_bytes": pa.array(brows["enc_bytes"], pa.int64()),
@@ -243,6 +297,9 @@ def _make_table_split_worker(
                     pq.write_table(
                         pa.table(
                             {
+                                "split_seq": pa.array(
+                                    srows["split_seq"], pa.string()
+                                ),
                                 "col_name": pa.array(
                                     srows["col_name"], pa.string()
                                 ),
@@ -252,6 +309,9 @@ def _make_table_split_worker(
                                 "ndv": pa.array(srows["ndv"], pa.int64()),
                                 "raw_bytes": pa.array(
                                     srows["raw_bytes"], pa.int64()
+                                ),
+                                "enc_bytes": pa.array(
+                                    srows["enc_bytes"], pa.int64()
                                 ),
                                 "dict_block": pa.array(
                                     srows["dict_block"], pa.binary()
@@ -275,6 +335,8 @@ def _make_table_split_worker(
                             )
                         ],
                         "encode_cpu_ns": [cpu_ns],
+                        "n_nulls": [nulls_total],
+                        "dict_bytes": [dict_bytes],
                     }
                 )
 
@@ -375,14 +437,22 @@ def encode_table_files(
     ).collect()
     wall = time.perf_counter() - t0
     pieces_of = {s["split_id"]: json.dumps(s["pieces"]) for s in todo}
-    return engine_files._merge_split_manifest(
+    summary = engine_files._merge_split_manifest(
         spark, out_dir, results, wall, len(done), pieces_of
     )
+    # dict sidecar bytes are tracked OUTSIDE bytes_out (the token plane's
+    # sidecar discipline), so bytes_out <= naive_rle_bytes stays structural
+    # for string-heavy tables; n_nulls records the validity-plane mass
+    summary["dict_bytes"] = sum(int(r["dict_bytes"]) for r in results)
+    summary["n_nulls"] = sum(int(r["n_nulls"]) for r in results)
+    return summary
 
 
-def _read_dict_sidecar(blocks_path: str) -> dict[tuple[str, int], bytes]:
-    """{(col_name, block_idx): STRDICT dict block} for one blocks file
-    (empty when the dataset has no string columns)."""
+def _read_dict_sidecar(blocks_path: str) -> dict[tuple[str, str, int], bytes]:
+    """{(split_seq, col_name, block_idx): STRDICT dict block} for one blocks
+    file (empty when the dataset has no string columns).  ``split_seq``
+    disambiguates (col, block) keys in files that absorbed several splits
+    through compaction."""
     import pyarrow.parquet as pq
 
     spath = os.path.join(
@@ -390,23 +460,25 @@ def _read_dict_sidecar(blocks_path: str) -> dict[tuple[str, int], bytes]:
         "strings",
         os.path.basename(blocks_path),
     )
-    side: dict[tuple[str, int], bytes] = {}
+    side: dict[tuple[str, str, int], bytes] = {}
     if os.path.exists(spath):
         stbl = pq.read_table(spath).combine_chunks()
-        for name, bi, blob in zip(
+        for sid, name, bi, blob in zip(
+            stbl.column("split_seq").to_pylist(),
             stbl.column("col_name").to_pylist(),
             stbl.column("block_idx").to_numpy(),
             stbl.column("dict_block").to_pylist(),
         ):
-            side[(name, int(bi))] = blob
+            side[(str(sid), name, int(bi))] = blob
     return side
 
 
-def _decode_split_columns(btbl, side, schema: dict, symbols):
-    """Reconstruct every column of one blocks file as Arrow arrays — the ONE
-    definition of what an encoded split contains, shared by the verify and
-    decode workers (ints as int64, strings as binary).  Raises on corrupt
-    blocks; blocks of a column concatenate in block_idx order."""
+def _decode_split_columns(btbl, side, schema: dict, symbols, split_seq: str):
+    """Reconstruct every column of ONE split's blocks rows as Arrow arrays —
+    the ONE definition of what an encoded split contains, shared by the
+    verify and decode workers (ints as int64, strings as binary; NULLs
+    restored from the NULLW validity wrappers).  Raises on corrupt blocks;
+    blocks of a column concatenate in block_idx order."""
     import pyarrow as pa
 
     from rlv import blocks as B
@@ -419,24 +491,33 @@ def _decode_split_columns(btbl, side, schema: dict, symbols):
         btbl.column("n_values").to_numpy(),
     ):
         per_col.setdefault(name, []).append((int(bi), blob, int(nv)))
-    cols: dict[str, pa.Array] = {}
-    for c in schema["int_cols"]:
-        items = sorted(per_col.get(c, []))
-        flat, _ = B.decode_blocks_batch(
+
+    def _int_array(items):
+        flat, _, valid = B.decode_blocks_batch_nullable(
             [b for _, b, _ in items],
             np.int64,
             expected=[n for _, _, n in items],
         )
-        cols[c] = pa.array(flat, pa.int64())
+        if valid.all():
+            return pa.array(flat, pa.int64())
+        return pa.array(flat, pa.int64(), mask=~valid)
+
+    cols: dict[str, pa.Array] = {}
+    for c in schema["int_cols"]:
+        cols[c] = _int_array(sorted(per_col.get(c, [])))
     for c in schema["str_cols"]:
         items = sorted(per_col.get(c, []))
         parts = []
         for bi, blob, nv in items:
-            codes, _ = B.decode_blocks_batch(
+            codes, _, valid = B.decode_blocks_batch_nullable(
                 [blob], np.int64, expected=[nv]
             )
-            uniq = B.decode_strings_arrow(side[(c, bi)], symbols)
-            parts.append(uniq.take(pa.array(codes)))
+            uniq = B.decode_strings_arrow(side[(split_seq, c, bi)], symbols)
+            if valid.all():
+                idx = pa.array(codes)
+            else:  # a NULL index gathers a NULL value — Arrow take semantics
+                idx = pa.array(codes, pa.int64(), mask=~valid)
+            parts.append(uniq.take(idx))
         if parts and len({p.type for p in parts}) > 1:
             # a >2 GiB block decodes as large_binary: promote the column
             parts = [p.cast(pa.large_binary()) for p in parts]
@@ -446,15 +527,52 @@ def _decode_split_columns(btbl, side, schema: dict, symbols):
     return cols
 
 
+def _split_segments(btbl):
+    """Yield ``(split_seq, rows)`` per absorbed split of one blocks file, in
+    split_seq order — one segment for a freshly-encoded file, several after
+    compaction.  Segment order is the file's RECONSTRUCTION order: decode
+    emits segments sorted by split_seq, and any global order is re-established
+    by sorting on order_col (decoded data)."""
+    import pyarrow.compute as pc
+
+    seqs = sorted(set(btbl.column("split_seq").to_pylist()))
+    for sid in seqs:
+        yield str(sid), btbl.filter(
+            pc.equal(btbl.column("split_seq"), sid)
+        )
+
+
+def _null_safe_neq(got, want) -> np.ndarray:
+    """Row-wise boolean numpy mask: True where the arrays differ under
+    NULL-safe semantics (NULL == NULL, NULL != value)."""
+    import pyarrow.compute as pc
+
+    eq = pc.fill_null(pc.equal(got, want), False)
+    both_null = pc.and_(pc.is_null(got), pc.is_null(want))
+    return ~pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+
+
 TABLE_VERIFY_SCHEMA = "split_id string, n_rows bigint, mismatches bigint"
+
+
+def _pieces_map(split_id: str, pieces_json: str) -> dict[str, list]:
+    """Normalize a manifest ``pieces`` field to {split_seq: pieces}: a plain
+    list means a freshly-encoded split; a dict records the per-member lineage
+    of a compacted file (each absorbed split keeps its OWN pieces, so verify
+    replays every segment against exactly the rows it encoded)."""
+    parsed = json.loads(pieces_json)
+    if isinstance(parsed, dict):
+        return parsed
+    return {split_id: parsed}
 
 
 def _make_table_verify_worker(blocks_dir: str, schema: dict,
                               symbols_hex: tuple[str, ...] | None):
-    """Per-split lineage verify: re-read the split's SOURCE row groups, sort
-    by order_col, decode the blocks file, and compare every column in-task —
-    the token plane's zero-shuffle verify discipline on arbitrary tables.
-    ``mismatches`` counts rows where ANY column differs."""
+    """Per-file lineage verify: for EACH split segment recorded in the blocks
+    file (one, or several after compaction), re-read that split's SOURCE row
+    groups, sort by order_col, decode the segment, and compare every column
+    in-task (NULL-safe) — the token plane's zero-shuffle verify discipline on
+    arbitrary tables.  ``mismatches`` counts rows where ANY column differs."""
     from rlv.util import tune_malloc
 
     symbols = (
@@ -469,66 +587,79 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
 
     def run_verify(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tune_malloc()
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 split_id = str(row["split_id"])
-                pieces = json.loads(row["pieces"])
-                by_file: dict[str, list[int]] = {}
-                for path, rg in pieces:
-                    by_file.setdefault(path, []).append(rg)
-                src = pa.concat_tables(
-                    pq.ParquetFile(p).read_row_groups(
-                        rgs, columns=read_cols, use_threads=False
-                    )
-                    for p, rgs in by_file.items()
-                ).combine_chunks()
-                order = np.argsort(
-                    src.column(order_col).to_numpy(), kind="stable"
-                )
-                n = len(src)
+                pmap = _pieces_map(split_id, str(row["pieces"]))
                 bpath = os.path.join(blocks_dir, f"{split_id}.parquet")
                 btbl = pq.read_table(bpath).combine_chunks()
-                bad = np.zeros(n, dtype=bool)
-                try:
-                    cols = _decode_split_columns(
-                        btbl, _read_dict_sidecar(bpath), schema, symbols
+                side = _read_dict_sidecar(bpath)
+                n_total = 0
+                mismatches = 0
+                seen: set[str] = set()
+                for seq, seg in _split_segments(btbl):
+                    seen.add(seq)
+                    pieces = pmap.get(seq)
+                    by_file: dict[str, list[int]] = {}
+                    for path, rg in pieces or []:
+                        by_file.setdefault(path, []).append(rg)
+                    src = pa.concat_tables(
+                        pq.ParquetFile(p).read_row_groups(
+                            rgs, columns=read_cols, use_threads=False
+                        )
+                        for p, rgs in by_file.items()
+                    ).combine_chunks() if by_file else None
+                    if src is None:
+                        # a segment with no recorded lineage is unverifiable:
+                        # count every one of its rows as a mismatch
+                        import pyarrow.compute as pc
+
+                        seg_rows = seg.filter(
+                            pc.equal(seg.column("col_name"), order_col)
+                        )
+                        mismatches += int(
+                            seg_rows.column("n_values").to_numpy().sum()
+                        )
+                        continue
+                    order = np.argsort(
+                        src.column(order_col).to_numpy(), kind="stable"
                     )
-                except Exception:
-                    # corrupt blocks must report the split, not kill the pass
-                    cols = None
-                    bad[:] = True
-                if cols is not None:
-                    for c in schema["int_cols"]:
-                        got = cols[c].to_numpy()
-                        want = (
-                            src.column(c).to_numpy().astype(np.int64)[order]
+                    n = len(src)
+                    n_total += n
+                    bad = np.zeros(n, dtype=bool)
+                    try:
+                        cols = _decode_split_columns(
+                            seg, side, schema, symbols, seq
                         )
-                        if got.size != n:
-                            bad[:] = True
-                        else:
-                            bad |= got != want
-                    for c in schema["str_cols"]:
-                        got = cols[c]
-                        want = (
-                            src.column(c)
-                            .cast(got.type)  # binary / large_binary >2GiB
-                            .take(pa.array(order))
-                        )
-                        if len(got) != n:
-                            bad[:] = True
-                        else:
-                            bad |= ~pc.equal(got, want).to_numpy(
-                                zero_copy_only=False
-                            )
+                    except Exception:
+                        # corrupt blocks must report, not kill the pass
+                        cols = None
+                        bad[:] = True
+                    if cols is not None:
+                        for c in [*schema["int_cols"], *schema["str_cols"]]:
+                            got = cols[c]
+                            want_col = src.column(c)
+                            if c in schema["str_cols"]:
+                                want_col = want_col.cast(got.type)
+                            else:
+                                want_col = want_col.cast(pa.int64())
+                            want = want_col.take(pa.array(order))
+                            if len(got) != n:
+                                bad[:] = True
+                            else:
+                                bad |= _null_safe_neq(got, want)
+                    mismatches += int(bad.sum())
+                # segments the manifest knows but the file lost are data loss
+                for seq in set(pmap) - seen:
+                    mismatches += 1
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
-                        "n_rows": [n],
-                        "mismatches": [int(bad.sum())],
+                        "n_rows": [n_total],
+                        "mismatches": [mismatches],
                     }
                 )
 
@@ -553,7 +684,7 @@ def verify_table_files(spark: SparkSession, enc_dir: str) -> dict:
                 f"split {rec['split_id']} has no recorded lineage"
             )
         todo.append({"split_id": str(rec["split_id"]),
-                     "pieces": json.dumps(pieces)})
+                     "pieces": json.dumps(pieces, sort_keys=True)})
     if not todo:
         return {"splits": 0, "rows": 0, "mismatches": 0}
     syms = engine_files._load_symbols(enc_dir)
@@ -602,9 +733,17 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 tbl = pq.read_table(path).combine_chunks()
-                cols = _decode_split_columns(
-                    tbl, _read_dict_sidecar(path), schema, symbols
-                )
+                side = _read_dict_sidecar(path)
+                seg_cols = [
+                    _decode_split_columns(seg, side, schema, symbols, seq)
+                    for seq, seg in _split_segments(tbl)
+                ]
+                cols: dict = {}
+                for c in [*schema["int_cols"], *schema["str_cols"]]:
+                    parts = [sc[c] for sc in seg_cols]
+                    if len({p.type for p in parts}) > 1:
+                        parts = [p.cast(pa.large_binary()) for p in parts]
+                    cols[c] = pa.concat_arrays(parts)
                 for c in schema["str_cols"]:
                     cols[c] = cols[c].cast(
                         pa.large_string()

@@ -291,3 +291,80 @@ def test_pack_bits_multi_equals_per_doc(bits, lens, data):
     )
     for i, d in enumerate(docs):
         assert payload[offs[i]:offs[i + 1]] == bitpack.pack_bits(d, bits)
+
+
+# ---------------------------------------------------------------------------
+# Validity (NULL) plane: the NULLW wrapper around any inner block.
+# ---------------------------------------------------------------------------
+
+nullable_docs = st.lists(
+    st.tuples(token_arrays, st.randoms(use_true_random=False)), max_size=6
+)
+
+
+def _mask_for(n, rnd):
+    return np.array([rnd.random() < 0.3 for _ in range(n)], dtype=bool)
+
+
+@given(token_arrays, st.randoms(use_true_random=False))
+def test_nullw_roundtrip_and_exact_overhead(xs, rnd):
+    """wrap_nullable's size is exactly nullable_overhead + inner, and the
+    scalar decode restores values AND validity bit-exactly."""
+    full = arr(xs)
+    valid = _mask_for(full.size, rnd)
+    vals = full[valid]
+    codec, inner = selector.encode_auto(vals)
+    blk = blocks.wrap_nullable(valid, inner)
+    assert len(blk) == blocks.nullable_overhead(full.size, vals.size) + len(inner)
+    out, v2 = blocks.decode_nullable_block(blk, np.int64)
+    np.testing.assert_array_equal(v2, valid)
+    np.testing.assert_array_equal(out[v2], vals)
+    assert (out[~v2] == 0).all()
+
+
+@given(st.lists(st.tuples(token_arrays, st.booleans()), max_size=8),
+       st.randoms(use_true_random=False))
+def test_decode_blocks_batch_nullable_matches_scalar(doc_specs, rnd):
+    """Batched nullable decode == per-doc scalar decode, for any mix of
+    wrapped and unwrapped blobs (including all-NULL and empty docs)."""
+    blobs, expected, want_vals, want_valid = [], [], [], []
+    for xs, use_mask in doc_specs:
+        full = arr(xs)
+        if use_mask and full.size:
+            valid = _mask_for(full.size, rnd)
+            _, inner = selector.encode_auto(full[valid])
+            blobs.append(blocks.wrap_nullable(valid, inner))
+        else:
+            valid = np.ones(full.size, dtype=bool)
+            _, b = selector.encode_auto(full)
+            blobs.append(b)
+        expected.append(full.size)
+        masked = full.copy()
+        masked[~valid] = 0
+        want_vals.append(masked)
+        want_valid.append(valid)
+    flat, offs, validity = blocks.decode_blocks_batch_nullable(
+        blobs, np.int64, expected=expected
+    )
+    assert offs[-1] == sum(expected)
+    for i in range(len(blobs)):
+        np.testing.assert_array_equal(flat[offs[i]:offs[i + 1]], want_vals[i])
+        np.testing.assert_array_equal(
+            validity[offs[i]:offs[i + 1]], want_valid[i]
+        )
+
+
+def test_nullw_corruption_detected():
+    valid = np.array([True, False, True, True], dtype=bool)
+    _, inner = selector.encode_auto(np.array([5, 5, 9], dtype=np.int64))
+    blk = bytearray(blocks.wrap_nullable(valid, inner))
+    # flip a bitmap bit -> popcount no longer matches n_valid
+    blk[3] ^= 0x02
+    import pytest
+
+    with pytest.raises(ValueError, match="NULLW"):
+        blocks.decode_nullable_block(bytes(blk), np.int64)
+    # declared rows != expected budget
+    good = blocks.wrap_nullable(valid, inner)
+    with pytest.raises(ValueError, match="expected"):
+        blocks.decode_blocks_batch_nullable([good], np.int64, expected=[9])

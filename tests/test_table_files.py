@@ -129,17 +129,93 @@ def test_table_files_matches_jvm_table_plane(spark, orders_dir, tmp_path):
         assert r["enc_bytes"] == r["jvm_bytes"], r
 
 
-def test_table_files_null_guard(spark, tmp_path):
+def test_table_files_order_col_null_refused(spark, tmp_path):
+    """NULL data values are represented (validity plane), but a NULL ORDER
+    key has no position in the sequence: still refused loudly."""
     d = str(tmp_path / "nulls")
     spark.createDataFrame(
-        [(1, "a"), (2, None)], "k bigint, s string"
+        [(1, "a"), (None, "b")], "k bigint, s string"
     ).coalesce(1).write.parquet(d)
     files = sorted(glob.glob(f"{d}/*.parquet"))
-    with pytest.raises(Exception, match="NULL"):
+    with pytest.raises(Exception, match="order column"):
         table_files.encode_table_files(
             spark, files, str(tmp_path / "enc"),
             order_col="k", int_cols=["k"], str_cols=["s"], num_tasks=1,
         )
+
+
+def test_table_files_nullable_roundtrip(spark, tmp_path):
+    """The validity plane: nullable int AND string columns round-trip
+    bit-identically (NULLs preserved), verify passes, and blocks without
+    NULLs stay byte-identical to the unwrapped format."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src")
+    (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END"
+            ).alias("custkey_n"),
+            F.expr(
+                "CASE WHEN o_orderkey % 5 = 3 THEN NULL "
+                "ELSE o_orderpriority END"
+            ).alias("pri_n"),
+        )
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    files = sorted(glob.glob(f"{d}/*.parquet"))
+    out = str(tmp_path / "enc")
+    res = table_files.encode_table_files(
+        spark, files, out,
+        order_col="o_orderkey", int_cols=["o_orderkey", "custkey_n"],
+        str_cols=["pri_n"], rows_per_block=1024, num_tasks=2,
+    )
+    assert res["n_nulls"] > 0
+    # order_col has no nulls -> its blocks must be unwrapped (codec id is
+    # the inner one and NULLW never appears for null-free blocks)
+    import pyarrow.parquet as pq
+
+    from rlv import blocks as B
+
+    for f in sorted(glob.glob(f"{out}/blocks/*.parquet")):
+        tbl = pq.read_table(f)
+        for name, nn, blob in zip(
+            tbl.column("col_name").to_pylist(),
+            tbl.column("n_nulls").to_pylist(),
+            tbl.column("block").to_pylist(),
+        ):
+            wrapped = len(blob) > 0 and blob[0] == B.NULLW
+            assert wrapped == (nn > 0), (name, nn)
+    v = table_files.verify_table_files(spark, out)
+    assert v["mismatches"] == 0
+    restored = str(tmp_path / "restored")
+    table_files.decode_table_files(spark, out, restored)
+    src = spark.read.parquet(d)
+    got = spark.read.parquet(restored)
+    assert got.count() == src.count()
+    joined = src.alias("s").join(
+        got.alias("r"), F.col("s.o_orderkey") == F.col("r.o_orderkey")
+    )
+    bad = joined.filter(
+        ~(
+            F.col("s.custkey_n").eqNullSafe(F.col("r.custkey_n"))
+            & F.col("s.pri_n").eqNullSafe(F.col("r.pri_n"))
+        )
+    ).count()
+    assert bad == 0
+    # NULL counts preserved exactly
+    assert (
+        got.filter(F.col("custkey_n").isNull()).count()
+        == src.filter(F.col("custkey_n").isNull()).count()
+    )
+    assert (
+        got.filter(F.col("pri_n").isNull()).count()
+        == src.filter(F.col("pri_n").isNull()).count()
+    )
 
 
 def test_verify_table_files(spark, orders_dir, tmp_path):
@@ -173,10 +249,83 @@ def test_verify_table_files(spark, orders_dir, tmp_path):
     assert res2["mismatches"] >= 1
 
 
-def test_compact_refuses_table_plane_dataset(spark, orders_dir, tmp_path):
-    """compact_blocks must refuse table-plane datasets: a naive merge would
-    interleave (col_name, block_idx) keys and silently mis-order decode."""
+def test_compact_table_plane_dataset(spark, orders_dir, tmp_path):
+    """Table-plane compaction: split_seq provenance keeps every absorbed
+    split's (col_name, block_idx) rows addressable, the manifest records
+    per-member lineage, and verify + decode stay bit-identical after the
+    merge."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
     out = str(tmp_path / "enc")
     _encode(spark, orders_dir, out)
-    with pytest.raises(ValueError, match="table-plane"):
+    before = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    assert len(before) >= 2
+    pre_blocks = {
+        (r["split_seq"], r["col_name"], r["block_idx"]): bytes(r["block"])
+        for r in spark.read.parquet(f"{out}/blocks").collect()
+    }
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    after = sorted(glob.glob(f"{out}/blocks/*.parquet"))
+    assert len(after) < len(before)
+    post_blocks = {
+        (r["split_seq"], r["col_name"], r["block_idx"]): bytes(r["block"])
+        for r in spark.read.parquet(f"{out}/blocks").collect()
+    }
+    assert post_blocks == pre_blocks  # block bytes untouched
+    # sidecars merged alongside, still keyed by split_seq
+    side = pq.read_table(sorted(glob.glob(f"{out}/strings/*.parquet"))[0])
+    assert len(set(side.column("split_seq").to_pylist())) >= 2
+    # per-member lineage: verify replays each segment independently
+    v = table_files.verify_table_files(spark, out)
+    n = spark.read.parquet(orders_dir).count()
+    assert v["mismatches"] == 0 and v["rows"] == n
+    # resume still skips absorbed splits
+    again = _encode(spark, orders_dir, out)
+    assert again["splits_encoded"] == 0
+    # decode of the merged file reconstructs the table bit-identically
+    restored = str(tmp_path / "restored")
+    dec = table_files.decode_table_files(spark, out, restored)
+    assert dec["rows"] == n
+    src = spark.read.parquet(orders_dir)
+    got = spark.read.parquet(restored)
+    bad = (
+        src.alias("s")
+        .join(got.alias("r"), F.col("s.o_orderkey") == F.col("r.o_orderkey"))
+        .filter(
+            (F.col("s.o_custkey") != F.col("r.o_custkey"))
+            | (F.col("s.o_orderstatus") != F.col("r.o_orderstatus"))
+            | (F.col("s.o_orderpriority") != F.col("r.o_orderpriority"))
+        )
+        .count()
+    )
+    assert bad == 0 and got.count() == n
+
+
+def test_compact_table_plane_crash_drill(spark, orders_dir, tmp_path,
+                                         monkeypatch):
+    """Crash after table-plane compaction tasks renamed merged data but
+    BEFORE the manifest flip: originals stay live (verify green), the rerun
+    completes idempotently."""
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    n = spark.read.parquet(orders_dir).count()
+
+    real_write = engine_files._write_manifest_pdf
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before manifest flip")
+
+    monkeypatch.setattr(engine_files, "_write_manifest_pdf", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
         engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    monkeypatch.setattr(engine_files, "_write_manifest_pdf", real_write)
+    # originals are still the live set and verify green
+    v = table_files.verify_table_files(spark, out)
+    assert v["mismatches"] == 0 and v["rows"] == n
+    # rerun completes and the merged dataset still verifies + decodes
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    v2 = table_files.verify_table_files(spark, out)
+    assert v2["mismatches"] == 0 and v2["rows"] == n
