@@ -167,6 +167,25 @@ def _local_path(uri: str) -> str:
     return unquote(uri) if "%" in uri else uri
 
 
+def _plan_batch_files(files: list[str], split_target_bytes: int) -> list[dict]:
+    """Plan a micro-batch's splits PER FILE, never across files.
+
+    A streaming replay (fresh checkpoint, driver failover past the offset
+    log) can re-deliver the same files grouped into DIFFERENT micro-batches;
+    batch-wide LPT planning would then cut different split boundaries, mint
+    new split_ids, and re-encode rows the manifest already holds — duplicate
+    data.  Per-file planning makes every split id a pure function of its
+    file, so any re-batching replays the identical split set and the
+    manifest's resume check dedups it.  The per-file split count is itself
+    deterministic (file bytes / ``split_target_bytes``), the per-file
+    equivalent of a fixed scan-task size."""
+    splits: list[dict] = []
+    for f in sorted(files):
+        k = max(1, -(-os.path.getsize(f) // split_target_bytes))
+        splits.extend(engine_files.plan_splits_for_files([f], k))
+    return splits
+
+
 def encode_stream(
     spark: SparkSession,
     input_dir: str,
@@ -176,6 +195,7 @@ def encode_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     schema=None,
+    split_target_bytes: int = 16 * 1024 * 1024,
 ):
     """Start (and, with ``available_now``, run to completion) the streaming
     encode of ``input_dir`` into ``out_dir``.
@@ -185,12 +205,16 @@ def encode_stream(
     without it the schema is inferred from files already present, which
     raises if there are none yet.
 
+    Splits are planned PER FILE (``_plan_batch_files``) so replayed files
+    produce identical split ids no matter how micro-batches regroup them —
+    the manifest layer of the exactly-once story depends on it.
+    ``num_tasks`` is retained for API compatibility; parallelism follows the
+    split count (file bytes / ``split_target_bytes``).
+
     Returns the StreamingQuery (already awaited when ``available_now``).
     """
     if checkpoint_dir is None:
         checkpoint_dir = f"{out_dir}/_stream_checkpoint"
-    if num_tasks is None:
-        num_tasks = 4 * spark.sparkContext.defaultParallelism
     if schema is None:
         try:
             schema = spark.read.parquet(input_dir).schema
@@ -216,8 +240,102 @@ def encode_stream(
             )
         if not files:
             return
-        splits = engine_files.plan_splits_for_files(files, num_tasks)
+        splits = _plan_batch_files(files, split_target_bytes)
         engine_files.encode_splits(spark, splits, out_dir, resume=True)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+    return q
+
+
+def table_encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    order_col: str,
+    int_cols: list[str],
+    str_cols: list[str] = (),
+    rows_per_block: int = 4096,
+    checkpoint_dir: str | None = None,
+    num_tasks: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    schema=None,
+    fsst_symbols: list[bytes] | None = None,
+    split_target_bytes: int = 16 * 1024 * 1024,
+):
+    """Continuous ingest for ARBITRARY (int|string)-column tables: parquet
+    files landing in ``input_dir`` are encoded per column into a
+    :mod:`rlv.table_files` dataset as they arrive.
+
+    Same exactly-once layering as :func:`encode_stream` — the streaming
+    checkpoint assigns files to micro-batches exactly once, the table
+    manifest skips done splits on replay, and blocks are byte-deterministic,
+    so at-least-once execution yields exactly-once output.  Splits are
+    planned PER FILE (``_plan_batch_files``), which matters MORE here than
+    on the token plane: table blocks are cut from a split's sorted row set,
+    so batch-composition-dependent split boundaries would not merely mint
+    duplicate split ids — they would encode different blocks for the same
+    rows.  The recorded ``table_schema.json`` guards against a restart with
+    different columns (``encode_table_files``' schema check fails the batch
+    loudly).
+    """
+    from rlv import table_files
+
+    if checkpoint_dir is None:
+        checkpoint_dir = f"{out_dir}/_table_stream_checkpoint"
+    if num_tasks is None:
+        num_tasks = 4 * spark.sparkContext.defaultParallelism
+    if schema is None:
+        try:
+            schema = spark.read.parquet(input_dir).schema
+        except Exception as e:
+            raise ValueError(
+                f"cannot infer the stream schema from {input_dir!r} (empty or "
+                "unreadable landing directory); pass schema= to start the "
+                "stream before the first file arrives"
+            ) from e
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        files = [
+            _local_path(r[0])
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        files = [f for f in files if f]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            # the checkpoint is about to mark these consumed; skipping them
+            # silently would be permanent data loss, so fail the batch
+            raise FileNotFoundError(
+                f"table stream batch {batch_id}: source files missing: "
+                f"{missing[:3]}"
+            )
+        if not files:
+            return
+        table_files.encode_table_files(
+            spark,
+            sorted(files),
+            out_dir,
+            order_col=order_col,
+            int_cols=list(int_cols),
+            str_cols=list(str_cols),
+            rows_per_block=rows_per_block,
+            num_tasks=num_tasks,
+            resume=True,
+            fsst_symbols=fsst_symbols,
+            splits=_plan_batch_files(files, split_target_bytes),
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

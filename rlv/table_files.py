@@ -354,6 +354,7 @@ def encode_table_files(
     num_tasks: int | None = None,
     resume: bool = True,
     fsst_symbols: list[bytes] | None = None,
+    splits: list[dict] | None = None,
 ) -> dict:
     """Encode an arbitrary (int|string)-column parquet table per column on
     the files plane.  ``order_col`` must totally order the rows of each split
@@ -406,7 +407,8 @@ def encode_table_files(
             with open(tmp, "w") as f:
                 json.dump([s.hex() for s in fsst_symbols], f)
             os.replace(tmp, engine_files._symbols_path(out_dir))
-    splits = engine_files.plan_splits_for_files(list(input_files), num_tasks)
+    if splits is None:
+        splits = engine_files.plan_splits_for_files(list(input_files), num_tasks)
     done = engine_files.done_splits(spark, out_dir) if resume else set()
     todo = [s for s in splits if s["split_id"] not in done]
     if not todo:

@@ -250,3 +250,72 @@ def test_chunked_runs_stream_restart_is_exactly_once(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{out}/runs").collect()
     )
     assert again == first
+
+
+def test_table_encode_stream_two_arrivals_and_restart(spark, tmp_path):
+    """Table-plane streaming ingest: an orders-shaped table streams into a
+    rlv.table_files dataset across two arrivals; a restart (fresh checkpoint,
+    same out_dir) re-encodes nothing thanks to the split manifest; the final
+    dataset verifies bit-identical against its lineage."""
+    import glob
+    import os
+    import shutil as sh
+
+    from rlv import table_files
+
+    base = tmp_path / "tstream"
+    all_dir = str(base / "all")
+    (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(all_dir)
+    )
+    files = sorted(glob.glob(f"{all_dir}/part-*.parquet"))
+    assert len(files) == 3
+    d = str(base / "landing")
+    os.makedirs(d)
+    out = str(base / "enc")
+    kw = dict(
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_custkey"],
+        str_cols=["o_orderstatus"],
+        rows_per_block=2048,
+        num_tasks=2,
+    )
+
+    # first arrival
+    sh.copy(files[0], d)
+    sh.copy(files[1], d)
+    streaming.table_encode_stream(spark, d, out, **kw)
+    m1 = engine_files._read_manifest_pdf(out)
+    rows1 = int(m1["n_docs"].sum())
+    assert rows1 > 0
+
+    # second arrival: only the new file's splits are encoded
+    sh.copy(files[2], d)
+    streaming.table_encode_stream(spark, d, out, **kw)
+    m2 = engine_files._read_manifest_pdf(out)
+    assert int(m2["n_docs"].sum()) > rows1
+    assert (m2["attempt"] == 1).all()  # nothing re-encoded
+
+    # restart drill: wipe the CHECKPOINT (not the dataset) -> the stream
+    # replays every file, the manifest skips them all
+    sh.rmtree(f"{out}/_table_stream_checkpoint")
+    streaming.table_encode_stream(spark, d, out, **kw)
+    m3 = engine_files._read_manifest_pdf(out)
+    assert (m3["attempt"] == 1).all()
+    assert int(m3["n_docs"].sum()) == int(m2["n_docs"].sum())
+
+    # end state verifies bit-identical against recorded lineage
+    v = table_files.verify_table_files(spark, out)
+    assert v["mismatches"] == 0
+    assert v["rows"] == spark.read.parquet(d).count()
+
+    # a restart with DIFFERENT columns must fail loudly, not corrupt
+    bad_kw = dict(kw)
+    bad_kw["str_cols"] = []
+    sh.rmtree(f"{out}/_table_stream_checkpoint")
+    with pytest.raises(Exception, match="different table schema"):
+        streaming.table_encode_stream(spark, d, out, **bad_kw)
