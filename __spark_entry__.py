@@ -842,36 +842,124 @@ def _q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_files_global_blocks(
+    spark: SparkSession, src_table, out: str, **encode_kw
+) -> DataFrame:
+    """Encode ``src_table`` (a pyarrow Table, already sorted by the order
+    column) on the files plane with ROW-GROUP-ALIGNED blocks, then re-key the
+    written blocks relation by GLOBAL block ordinal.
+
+    The temp input is written with ``row_group_size == rows_per_block``, so
+    every block is exactly one row group of the globally-sorted file; a
+    split's blocks (ascending order-col within the split) are its row groups
+    in ascending rg index, so ``(split, block_idx) -> sorted(rgs)[block_idx]``
+    maps each block to the file-global ordinal.  The result is identical for
+    ANY ``num_tasks`` — the split-count-independence the contract queries
+    run at num_tasks > 1 to demonstrate."""
+    import pyarrow.parquet as pq
+
+    from rlv import engine_files
+    from rlv import table_files as TF
+
+    src_path = f"{out}/_src.parquet"
+    rows_per_block = encode_kw["rows_per_block"]
+    pq.write_table(src_table, src_path, row_group_size=rows_per_block)
+    TF.encode_table_files(spark, [src_path], out, **encode_kw)
+    mpdf = engine_files._read_manifest_pdf(out)
+    rows = []
+    for rec in mpdf.to_dict("records"):
+        import json as _json
+
+        rgs = sorted(rg for _, rg in _json.loads(rec["pieces"]))
+        for bi, rg in enumerate(rgs):
+            rows.append((str(rec["split_id"]), bi, rg))
+    gmap = spark.createDataFrame(rows, "split_seq string, block_idx int, gblock int")
+    return (
+        spark.read.parquet(f"{out}/blocks")
+        .withColumn("block_idx", F.col("block_idx").cast("int"))
+        .join(F.broadcast(gmap), ["split_seq", "block_idx"])
+        .drop("block_idx")
+        .withColumnRenamed("gblock", "block_idx")
+    )
+
+
 def _q_table_encode_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-column engine on the FILES plane (rlv.table_files): encode
     four `orders` columns — two ints plus two strings as per-block dense
-    codes — through the zero-shuffle pyarrow data plane (single split, 2048
-    rows/block, ordered by o_orderkey), then return the written blocks
-    relation.  The oracle rebuilds every (block, column) sequence with SQL
-    windows and re-runs the exact codec-size model, so the files plane's
-    per-column selection + exact sizes are checked end to end against
-    independently derived SQL — the same bar the JVM plane's `table_encode`
-    already clears."""
+    codes — through the zero-shuffle pyarrow data plane (num_tasks=4 splits,
+    2048 rows/block, ordered by o_orderkey), then return the blocks relation
+    re-keyed by GLOBAL block ordinal (`_table_files_global_blocks`), so the
+    result is independent of how many splits the planner cut.  The oracle
+    rebuilds every (block, column) sequence with SQL windows and re-runs the
+    exact codec-size model, so the files plane's per-column selection +
+    exact sizes are checked end to end against independently derived SQL —
+    the same bar the JVM plane's `table_encode` already clears."""
     _ensure_shipped(spark)
     import tempfile
 
-    from rlv import table_files as TF
+    import pyarrow.parquet as pq
 
     out = tempfile.mkdtemp(prefix="rlv_tf_q_")
-    TF.encode_table_files(
-        spark,
-        [f"{sf_dir}/orders.parquet"],
-        out,
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+    ).sort_by("o_orderkey")
+    blocks = _table_files_global_blocks(
+        spark, src, out,
         order_col="o_orderkey",
         int_cols=["o_orderkey", "o_custkey"],
         str_cols=["o_orderstatus", "o_orderpriority"],
         rows_per_block=2048,
-        num_tasks=1,
+        num_tasks=4,
     )
-    return spark.read.parquet(f"{out}/blocks").select(
+    return blocks.select(
         F.col("block_idx").cast("int").alias("block_idx"),
         "col_name",
         "n_values",
+        "n_runs",
+        F.col("codec_id").cast("int").alias("codec_id"),
+        "enc_bytes",
+    )
+
+
+def _q_table_encode_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validity (NULL) plane, oracle-checked end to end: a nullable int
+    column (o_custkey NULLed where o_orderkey % 7 = 0) and a nullable string
+    column (o_orderpriority NULLed where o_orderkey % 5 = 3) encode through
+    the files plane; blocks containing NULLs carry the bit-packed NULLW
+    validity wrapper, priced exactly.  The oracle recomputes per-block
+    null counts, the inner codec selection over the VALID values, and the
+    wrapper overhead — so the whole validity plane (selection + exact wrapped
+    sizes) is independently derived in SQL.  Runs at num_tasks=2 with the
+    same global block re-key as `table_encode_files`."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix="rlv_tfn_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    blocks = _table_files_global_blocks(
+        spark, src, out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n"],
+        str_cols=["pri_n"],
+        rows_per_block=2048,
+        num_tasks=2,
+    )
+    return blocks.select(
+        F.col("block_idx").cast("int").alias("block_idx"),
+        "col_name",
+        "n_values",
+        "n_nulls",
         "n_runs",
         F.col("codec_id").cast("int").alias("codec_id"),
         "enc_bytes",
@@ -997,22 +1085,85 @@ FROM a
 """
 
 
-def _codec_size_model_sql(keys: str) -> str:
+def _codec_size_model_sql(keys: str, nullable: bool = False) -> str:
     """DuckDB CTE chain re-deriving runs + the exact codec-size model over a
     ``seq({keys}, ord, tok)`` relation, keyed by ``keys`` (comma-separated).
     Final relation ``result`` has ({keys}, n_values, n_runs, codec_id,
     enc_bytes) — the ONE SQL re-implementation of rlv/blocks.py codec_sizes,
-    shared by the `codec_selection`, `table_encode` and `table_encode_files`
-    oracles (internal CTEs are m_-prefixed so callers' own CTEs never
-    collide).  Assumes values fit int32 (PLAIN priced at width 4), matching
-    every checked table; zigzags are sign-correct for negative values."""
-    return f"""
+    shared by the `codec_selection`, `table_encode`, `table_encode_files`
+    and `table_encode_nullable` oracles (internal CTEs are m_-prefixed so
+    callers' own CTEs never collide).  Assumes values fit int32 (PLAIN
+    priced at width 4), matching every checked table; zigzags are
+    sign-correct for negative values.
+
+    With ``nullable=True``, ``seq.tok`` may be NULL: stats and codec sizes
+    run over the VALID rows only, ``result`` gains ``n_nulls``, ``n_values``
+    counts ALL rows, and blocks with NULLs price the NULLW wrapper
+    (rlv.blocks.nullable_overhead: 1 + uvarint(n_rows) + uvarint(n_valid) +
+    ceil(n_rows/8)) on top of the chosen inner size.  Every checked key must
+    have >= 1 valid row (the engine's all-NULL block path is pytest-covered
+    instead)."""
+    src = "m_seqv" if nullable else "seq"
+    prelude = (
+        f"""
+m_tot AS (
+  SELECT {keys}, CAST(count(*) AS BIGINT) AS n_tot,
+         CAST(count(tok) AS BIGINT) AS n_val
+  FROM seq GROUP BY {keys}
+),
+m_seqv AS (SELECT * FROM seq WHERE tok IS NOT NULL),"""
+        if nullable
+        else ""
+    )
+    if nullable:
+        wrap = (
+            "CASE WHEN t.n_val < t.n_tot THEN "
+            "1 + (length(printf('%b', t.n_tot)) + 6) // 7 "
+            "+ CASE WHEN t.n_val = 0 THEN 1 "
+            "       ELSE (length(printf('%b', t.n_val)) + 6) // 7 END "
+            "+ (t.n_tot + 7) // 8 ELSE 0 END"
+        )
+        result_cte = f"""
+m_res0 AS (
+  SELECT m_sz.*, t.n_tot, t.n_val, {wrap} AS m_wrap
+  FROM m_sz JOIN m_tot t USING ({keys})
+),
+result AS (
+  SELECT {keys}, CAST(n_tot AS BIGINT) AS n_values,
+    CAST(n_tot - n_val AS BIGINT) AS n_nulls, n_runs,
+    CAST(CASE
+      WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
+      WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
+      WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
+      WHEN s_for <= least(s_dict, s_delta) THEN 4
+      WHEN s_dict <= s_delta THEN 5
+      ELSE 8 END AS INT) AS codec_id,
+    CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) + m_wrap
+      AS BIGINT) AS enc_bytes
+  FROM m_res0
+)"""
+    else:
+        result_cte = f"""
+result AS (
+  SELECT {keys}, CAST(n AS BIGINT) AS n_values, n_runs,
+    CAST(CASE
+      WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
+      WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
+      WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
+      WHEN s_for <= least(s_dict, s_delta) THEN 4
+      WHEN s_dict <= s_delta THEN 5
+      ELSE 8 END AS INT) AS codec_id,
+    CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
+      AS enc_bytes
+  FROM m_sz
+)"""
+    return f"""{prelude}
 m_flagged AS (
   SELECT {keys}, ord, tok,
          CASE WHEN tok IS DISTINCT FROM
                    lag(tok) OVER (PARTITION BY {keys} ORDER BY ord)
               THEN 1 ELSE 0 END AS f
-  FROM seq
+  FROM {src}
 ),
 m_grp AS (
   SELECT {keys}, ord, tok,
@@ -1031,11 +1182,11 @@ m_doc_stats AS (
   SELECT {keys}, CAST(count(*) AS BIGINT) AS n, min(tok) AS minv,
          max(tok) AS maxv, CAST(count(DISTINCT tok) AS BIGINT) AS ndv,
          arg_min(tok, ord) AS first
-  FROM seq GROUP BY {keys}
+  FROM {src} GROUP BY {keys}
 ),
 m_deltas AS (
   SELECT {keys}, tok - lag(tok) OVER (PARTITION BY {keys} ORDER BY ord) AS d
-  FROM seq
+  FROM {src}
 ),
 m_dstats AS (
   SELECT {keys},
@@ -1087,20 +1238,43 @@ m_sz AS (
     1 + ul_n + ul_zf + 1
       + CASE WHEN dlbits = 0 THEN 0 ELSE ((n - 1) * dlbits + 7) // 8 END AS s_delta
   FROM m_lens
+),{result_cte}"""
+
+
+def _table_encode_nullable_oracle() -> str:
+    # Same global 2048-row blocking as table_encode_files; the string
+    # column's dense codes rank the VALID values only (DuckDB orders NULLS
+    # LAST, so valid ranks are unaffected by the NULL rows we mask out).
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 2048 AS INT)
+           AS block_idx
+  FROM orders
 ),
-result AS (
-  SELECT {keys}, CAST(n AS BIGINT) AS n_values, n_runs,
-    CAST(CASE
-      WHEN s_plain <= least(s_rle, s_bitpack, s_for, s_dict, s_delta) THEN 1
-      WHEN s_rle <= least(s_bitpack, s_for, s_dict, s_delta) THEN 2
-      WHEN s_bitpack <= least(s_for, s_dict, s_delta) THEN 3
-      WHEN s_for <= least(s_dict, s_delta) THEN 4
-      WHEN s_dict <= s_delta THEN 5
-      ELSE 8 END AS INT) AS codec_id,
-    CAST(least(s_plain, s_rle, s_bitpack, s_for, s_dict, s_delta) AS BIGINT)
-      AS enc_bytes
-  FROM m_sz
-)"""
+seq AS (
+  SELECT block_idx, 'o_orderkey' AS col_name,
+         CAST(o_orderkey AS BIGINT) AS ord, CAST(o_orderkey AS BIGINT) AS tok
+  FROM base
+  UNION ALL
+  SELECT block_idx, 'custkey_n', CAST(o_orderkey AS BIGINT),
+         CAST(custkey_n AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT block_idx, 'pri_n', CAST(o_orderkey AS BIGINT),
+         CASE WHEN pri_n IS NULL THEN NULL
+              ELSE CAST(dense_rank() OVER (PARTITION BY block_idx
+                                           ORDER BY pri_n) - 1 AS BIGINT) END
+  FROM base
+),
+{_codec_size_model_sql("block_idx, col_name", nullable=True)[1:]}
+SELECT block_idx, col_name, n_values, n_nulls, n_runs, codec_id, enc_bytes
+FROM result
+"""
 
 
 def _table_encode_files_oracle() -> str:
@@ -1186,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_pairs": _q_minhash_neardup_pairs,
         "table_encode": _q_table_encode,
         "table_encode_files": _q_table_encode_files,
+        "table_encode_nullable": _q_table_encode_nullable,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -1646,6 +1821,7 @@ WITH seq AS (
 SELECT chunk_id, col_name, n_values, codec_id, enc_bytes FROM result
 """,
         "table_encode_files": _table_encode_files_oracle(),
+        "table_encode_nullable": _table_encode_nullable_oracle(),
         "doc_length_stats": """
 WITH d AS (
   SELECT source, CAST(length(text) AS INT) AS n_tok FROM documents
