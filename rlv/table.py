@@ -22,6 +22,7 @@ same co-location, no extra exchange after AQE coalesces.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,42 +39,44 @@ def _long_relation(
     """(chunk_id, col_name, ord, value): every column's values as one long
     relation, strings replaced by their within-chunk dense-rank codes.
 
-    NULLs fail loudly (assert_true at execution): the codecs store values,
-    not validity — a NULL string would otherwise take dense-rank code 0
-    (Spark nulls-first) while the dictionary holds no NULL entry, silently
-    shifting every code past the dictionary.  Same contract as the
-    files-plane guard (engine_files._make_split_worker)."""
+    NULL data values stay NULL here and become the block's validity plane
+    downstream (``wrap_nullable``).  String codes dense-rank the VALID
+    values only (``asc_nulls_last`` keeps NULL rows out of ranks 0..ndv-1 —
+    Spark's default nulls-first would silently shift every code), and a NULL
+    string yields a NULL code.  A NULL ORDER key has no position in the
+    sequence at all and fails loudly."""
 
-    def _null_guard(c: str, value_sql: str, shown: str | None = None) -> F.Column:
+    def _order_guard() -> F.Column:
         return F.expr(
-            f"CASE WHEN assert_true({c} IS NOT NULL, "
-            f"'table_encode: NULL in column {shown or c}; filter or fill "
-            f"before encoding') IS NULL THEN {value_sql} END"
-        ).alias("value")
+            f"CASE WHEN assert_true({order_col} IS NOT NULL, "
+            f"'table_encode: NULL in order column {order_col}; the row "
+            f"order would be undefined') IS NULL "
+            f"THEN CAST({order_col} AS LONG) END"
+        ).alias("ord")
 
     parts = [
         df.select(
             F.col(chunk_col).cast("int").alias("chunk_id"),
             F.lit(c).alias("col_name"),
-            F.col(order_col).cast("long").alias("ord"),
-            _null_guard(c, f"CAST({c} AS LONG)"),
+            _order_guard(),
+            F.col(c).cast("long").alias("value"),
         )
         for c in int_cols
     ]
     for c in str_cols:
-        w = Window.partitionBy(F.col(chunk_col)).orderBy(F.col(c))
+        w = Window.partitionBy(F.col(chunk_col)).orderBy(
+            F.col(c).asc_nulls_last()
+        )
         parts.append(
             df.select(
                 F.col(chunk_col).cast("int").alias("chunk_id"),
                 F.lit(c).alias("col_name"),
-                F.col(order_col).cast("long").alias("ord"),
-                F.col(c).alias("_raw"),
-                (F.dense_rank().over(w) - 1).cast("long").alias("_rk"),
-            ).select(
-                "chunk_id",
-                "col_name",
-                "ord",
-                _null_guard("_raw", "_rk", shown=c),
+                _order_guard(),
+                F.when(
+                    F.col(c).isNull(), F.lit(None).cast("long")
+                ).otherwise(
+                    (F.dense_rank().over(w) - 1).cast("long")
+                ).alias("value"),
             )
         )
     out = parts[0]
@@ -124,14 +127,17 @@ def encode_table_columns(
             "chunk_id",
             "block_idx",
             "col_name",
-            # int codecs are int32-valued; a bigint outside the range must
+            # VALID values only — NULL slots live in the validity plane; the
+            # int codecs are int32-valued, so a bigint outside the range must
             # FAIL (non-ANSI CAST would silently wrap and corrupt blocks)
             F.expr(
-                "transform(sv, x -> CASE WHEN assert_true("
+                "transform(filter(sv, x -> x.value IS NOT NULL), "
+                "x -> CASE WHEN assert_true("
                 "x.value BETWEEN -2147483648 AND 2147483647, "
                 "'table_encode: value outside int32 range') IS NULL "
                 "THEN CAST(x.value AS INT) END)"
             ).alias("tokens"),
+            F.expr("transform(sv, x -> x.value IS NOT NULL)").alias("valid"),
         )
     )
     doc = grouped.select(
@@ -143,15 +149,61 @@ def encode_table_columns(
         "tokens",
         F.size("tokens").alias("n_tok"),
     )
-    enc = engine.encode_pass(doc)
-    return enc.select(
+    validity = grouped.select(
+        F.concat_ws(
+            "#", F.col("chunk_id"), F.col("block_idx"), F.col("col_name")
+        ).alias("doc_id"),
+        "valid",
+    )
+    enc = engine.encode_pass(doc).join(validity, "doc_id")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _wrap_nullable(block: pd.Series, valid: pd.Series) -> pd.Series:
+        # block-level rows (one per rows_per_block values), Arrow-batched;
+        # null-free blocks pass through byte-identical
+        import numpy as np
+
+        from rlv import blocks as B
+
+        out = []
+        for b, v in zip(block, valid):
+            m = np.asarray(v, dtype=bool)
+            out.append(
+                bytes(b) if m.all() else B.wrap_nullable(m, bytes(b))
+            )
+        return pd.Series(out)
+
+    wrapped = enc.select(
         F.split("doc_id", "#")[0].cast("int").alias("chunk_id"),
         F.split("doc_id", "#")[1].cast("int").alias("block_idx"),
         F.col("source").alias("col_name"),
-        F.col("n_tok").cast("bigint").alias("n_values"),
+        F.size("valid").cast("bigint").alias("n_values"),
+        F.expr("size(filter(valid, x -> NOT x))").cast("bigint").alias(
+            "n_nulls"
+        ),
         "n_runs",
         "codec_id",
-        "enc_bytes",
+        F.col("enc_bytes").alias("_inner_bytes"),
+        F.col("naive_bytes").alias("_inner_naive"),
+        _wrap_nullable(F.col("block"), F.col("valid")).alias("block"),
+    )
+    # the NULLW wrapper's exact overhead rides both the size and the budget
+    # (CLAUDE.md invariant 3, extended — same accounting as the files plane)
+    return wrapped.select(
+        "chunk_id",
+        "block_idx",
+        "col_name",
+        "n_values",
+        "n_nulls",
+        "n_runs",
+        "codec_id",
+        F.octet_length("block").cast("bigint").alias("enc_bytes"),
+        (
+            F.col("_inner_naive")
+            + (F.octet_length("block") - F.col("_inner_bytes"))
+        ).alias("naive_bytes"),
         "block",
     )
 
@@ -186,12 +238,9 @@ def encode_table_dicts(
 
         tune_malloc()
         chunk_id, col_name = key
-        if pdf["value"].isnull().any():
-            raise ValueError(
-                f"table_encode: NULL in string column {col_name!r} (chunk "
-                f"{chunk_id}); filter or fill before encoding"
-            )
-        uniq = sorted(set(pdf["value"]))
+        # NULLs carry no dictionary entry: codes index the VALID values and
+        # NULL rows live in the code block's validity plane
+        uniq = sorted(set(pdf["value"].dropna()))
         block = B.encode_strings(uniq)
         return pd.DataFrame(
             {
@@ -225,7 +274,8 @@ def decode_table_column(enc_rows, dict_rows=None) -> dict[int, list]:
     """Driver-side decode helper (tests / spot checks, not a data path):
     {chunk_id: values} for ONE column's rows from
     :func:`encode_table_columns` (+ matching :func:`encode_table_dicts` rows
-    to map string codes back through the dictionary)."""
+    to map string codes back through the dictionary).  NULLW-wrapped blocks
+    decode with their validity restored (``None`` at NULL slots)."""
     import numpy as np
 
     from rlv import blocks as B
@@ -241,11 +291,16 @@ def decode_table_column(enc_rows, dict_rows=None) -> dict[int, list]:
         enc_rows, key=lambda r: (int(r["chunk_id"]), int(r["block_idx"]))
     )
     for r in ordered:  # blocks of one chunk concatenate in block order
-        vals = B.decode_block(bytes(r["block"]), np.int32)
+        vals, valid = B.decode_nullable_block(bytes(r["block"]), np.int64)
         cid = int(r["chunk_id"])
         if cid in dicts:
             uniq = dicts[cid]
-            out.setdefault(cid, []).extend(uniq[int(v)] for v in vals)
+            out.setdefault(cid, []).extend(
+                uniq[int(v)] if ok else None
+                for v, ok in zip(vals, valid)
+            )
         else:
-            out.setdefault(cid, []).extend(int(v) for v in vals)
+            out.setdefault(cid, []).extend(
+                int(v) if ok else None for v, ok in zip(vals, valid)
+            )
     return out

@@ -122,16 +122,40 @@ def test_int64_overflow_fails_loudly(spark):
         ).collect()
 
 
-def test_table_encode_null_string_raises(spark):
-    """NULL strings must fail loudly, not shift dense-rank codes past the
-    dictionary (ADVICE r2: mirror the files-plane guard)."""
-    df = spark.createDataFrame(
-        [(0, 1, "a"), (0, 2, None)], "chunk int, k long, s string"
-    )
+def test_table_encode_nullable_roundtrip(spark):
+    """The JVM plane's validity plane: NULL ints and strings round-trip
+    exactly (None restored at NULL slots), null-free blocks stay unwrapped,
+    and the budget invariant holds with the wrapper priced in."""
+    rows = [
+        (0, i,
+         None if i % 7 == 0 else i // 10,
+         None if i % 5 == 3 else f"s{i % 4}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "chunk int, k long, v long, s string")
     enc = table.encode_table_columns(
-        df, chunk_col="chunk", order_col="k", int_cols=["k"], str_cols=["s"]
+        df, chunk_col="chunk", order_col="k", int_cols=["k", "v"],
+        str_cols=["s"],
+    ).collect()
+    dicts = table.encode_table_dicts(
+        df, chunk_col="chunk", str_cols=["s"]
+    ).collect()
+    src = sorted(rows)
+    for r in enc:
+        assert r["enc_bytes"] <= r["naive_bytes"], r
+        wrapped = len(r["block"]) and bytes(r["block"])[0] == blocks.NULLW
+        assert wrapped == (r["n_nulls"] > 0), r
+    v_rows = [r for r in enc if r["col_name"] == "v"]
+    decoded = table.decode_table_column(v_rows)
+    assert decoded[0] == [r[2] for r in src]
+    s_rows = [r for r in enc if r["col_name"] == "s"]
+    decoded_s = table.decode_table_column(s_rows, dicts)
+    assert decoded_s[0] == [r[3] for r in src]
+    # NULL order key still fails loudly
+    bad = spark.createDataFrame(
+        [(0, None, 1)], "chunk int, k long, v long"
     )
-    with pytest.raises(Exception, match="NULL"):
-        enc.collect()
-    with pytest.raises(Exception, match="NULL"):
-        table.encode_table_dicts(df, chunk_col="chunk", str_cols=["s"]).collect()
+    with pytest.raises(Exception, match="order column"):
+        table.encode_table_columns(
+            bad, chunk_col="chunk", order_col="k", int_cols=["v"]
+        ).collect()
