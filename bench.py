@@ -31,6 +31,11 @@ real multi-hour 100 TB job):
 * `scaling_weak`: N cores on 1x input vs 4N cores on 4x input — equal
   per-core work, the shape of scaling a real cluster out; efficiency =
   per-core throughput ratio.
+
+`delta_ab` records the DELTA codec's cost/benefit IN-ARTIFACT: the same
+headline job with the DELTA candidate masked out of the selector, at full
+width and at 1 core — so the codec's wall-clock cost and its density gain
+are measured numbers, not attributions.
 """
 
 from __future__ import annotations
@@ -83,12 +88,15 @@ def _ensure_x4_table(tok_path: str) -> str:
     return x4
 
 
-def _timed_file_encode(spark, tok_path: str, cpus: int, repeats=None, tag="") -> dict:
+def _timed_file_encode(spark, tok_path: str, cpus: int, repeats=None, tag="",
+                       disable_codecs=()) -> dict:
     """Best-of-N full encode job (plan + read + encode + write + manifest).
 
     More repeats at small widths: this host has multi-second noise episodes,
     and a small-cpus run is both longer and the denominator of the scaling
     ratio.  All raw times are reported for transparency.
+    ``disable_codecs`` feeds the selector candidate mask — the DELTA on/off
+    A/B legs run through exactly the same job with only the mask changed.
     """
     from rlv import engine_files
 
@@ -101,7 +109,8 @@ def _timed_file_encode(spark, tok_path: str, cpus: int, repeats=None, tag="") ->
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         summary = engine_files.encode_files_dataset(
-            spark, tok_path, out, num_tasks=4 * cpus, resume=False
+            spark, tok_path, out, num_tasks=4 * cpus, resume=False,
+            disable_codecs=disable_codecs,
         )
         wall = time.perf_counter() - t0
         if i == 0:
@@ -113,6 +122,27 @@ def _timed_file_encode(spark, tok_path: str, cpus: int, repeats=None, tag="") ->
             best = summary
     best["all_times"] = times
     return best
+
+
+def _delta_ab(on: dict, off: dict) -> dict:
+    """In-artifact DELTA cost: identical jobs, selector mask the only
+    difference.  ``delta_cost_pct`` is the wall-clock the DELTA candidate
+    costs (stats + encode of the docs it wins); ``density_gain_pct`` what it
+    buys."""
+    return {
+        "on_sec": round(on["wall_sec"], 3),
+        "off_sec": round(off["wall_sec"], 3),
+        "delta_cost_pct": round(
+            100 * (on["wall_sec"] - off["wall_sec"]) / off["wall_sec"], 2
+        ),
+        "bytes_per_token_on": round(on["bytes_out"] / on["tokens"], 4),
+        "bytes_per_token_off": round(off["bytes_out"] / off["tokens"], 4),
+        "density_gain_pct": round(
+            100 * (1 - on["bytes_out"] / off["bytes_out"]), 2
+        ),
+        "times_on": on["all_times"],
+        "times_off": off["all_times"],
+    }
 
 
 def main() -> None:
@@ -186,6 +216,16 @@ def main() -> None:
                 float(np.percentile(cpu, 90) / cpu.mean()), 3
             )
 
+        # DELTA on/off A/B at full width: same job, selector mask the only
+        # difference (VERDICT r3 task #1 — the codec's cost as a recorded
+        # number, not a narrative)
+        s_off = _timed_file_encode(
+            spark, tok_path, CPUS, repeats=REPEATS, tag="nd_",
+            disable_codecs=("delta",),
+        )
+        queries["encode_nodelta"] = round(s_off["wall_sec"], 3)
+        extra["delta_ab"] = {f"{CPUS}cpu": _delta_ab(s_big, s_off)}
+
         # contended leg of the scaling story runs in this same full-width
         # session, over the x4 table
         x4_path = _ensure_x4_table(tok_path)
@@ -239,6 +279,19 @@ def main() -> None:
     finally:
         spark_lo.stop()
     _x4_session(one, 0)
+    # DELTA A/B at ONE core (the single-thread kernel cost, no scheduling in
+    # the denominator), in its own session like every small-width leg
+    sp1 = session.make_session(one, app="rlv-bench-ab1")
+    try:
+        ab1_on = _timed_file_encode(sp1, tok_path, one, repeats=2, tag="ab1on_")
+        ab1_off = _timed_file_encode(
+            sp1, tok_path, one, repeats=2, tag="ab1off_",
+            disable_codecs=("delta",),
+        )
+    finally:
+        sp1.stop()
+    extra["delta_ab"]["1cpu"] = _delta_ab(ab1_on, ab1_off)
+    queries["encode_delta_on_1cpu"] = round(ab1_on["wall_sec"], 3)
     if mid > lo:
         _x4_session(mid, 1)
 

@@ -386,49 +386,80 @@ def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
     return out
 
 
-def _encode_arrow_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    tune_malloc()
-    for batch in it:
-        t0 = time.perf_counter_ns()
-        tb = pa.table(batch)
-        offs, vals = _list_offsets_values(tb.column("tokens"))
-        a = vals[offs[0]:offs[-1]]
-        o = offs - offs[0]
-        (run_len, run_val, doc_run_off, n_per_doc, minv, maxv,
-         runs_per_doc, maxc, ndv, distinct_vals, ndv_off,
-         firsts, max_zz, zz_all) = _batch_doc_stats(a, o)
-        n_docs = o.size - 1
-        sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc, maxc,
-                                   ndv, firsts, max_zz)
-        chosen = _SIZE_MATRIX_IDS[sizes.argmin(axis=1)]
-        out_blocks = _grouped_encode(
-            a, o, n_per_doc, minv, maxv, maxc, chosen,
-            run_len, run_val, doc_run_off, distinct_vals, ndv_off,
-            firsts, max_zz, zz_all,
+def _make_encode_arrow_batches(disable_codecs: tuple[int, ...] = ()):
+    """Encode-batch closure with an optional candidate mask.
+
+    ``disable_codecs`` removes codec ids from the selector's candidate set
+    (their size-matrix column becomes +inf) — the bench's DELTA on/off A/B
+    lever, also useful to pin a dataset to a codec subset.  RLE cannot be
+    disabled: the naive-RLE budget invariant (chosen <= 16*runs) is proved
+    via RLE always being a candidate."""
+    if B.RLE in disable_codecs:
+        raise ValueError(
+            "RLE cannot be disabled: the size budget invariant needs it "
+            "as a candidate"
         )
-        enc_bytes = np.fromiter((len(b) for b in out_blocks), np.int64, n_docs)
-        elapsed = time.perf_counter_ns() - t0
-        total = max(int(n_per_doc.sum()), 1)
-        encode_ns = (n_per_doc * elapsed) // total
-        yield pa.record_batch(
-            [
-                tb.column("doc_id").combine_chunks(),
-                tb.column("source").combine_chunks(),
-                tb.column("group_id").combine_chunks(),
-                pa.array(n_per_doc.astype(np.int32), type=pa.int32()),
-                pa.array(runs_per_doc, type=pa.int64()),
-                pa.array(np.where(n_per_doc == 0, 0, chosen).astype(np.int32),
-                         type=pa.int32()),
-                pa.array(out_blocks, type=pa.binary()),
-                pa.array(enc_bytes, type=pa.int64()),
-                pa.array(16 * runs_per_doc, type=pa.int64()),
-                pa.array(encode_ns.astype(np.int64), type=pa.int64()),
-            ],
-            names=[
-                "doc_id", "source", "group_id", "n_tok", "n_runs", "codec_id",
-                "block", "enc_bytes", "naive_bytes", "encode_ns",
-            ],
-        )
+    disabled_cols = [
+        int(np.flatnonzero(_SIZE_MATRIX_IDS == c)[0])
+        for c in disable_codecs
+    ]
+
+    def _encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_malloc()
+        for batch in it:
+            t0 = time.perf_counter_ns()
+            tb = pa.table(batch)
+            offs, vals = _list_offsets_values(tb.column("tokens"))
+            a = vals[offs[0]:offs[-1]]
+            o = offs - offs[0]
+            (run_len, run_val, doc_run_off, n_per_doc, minv, maxv,
+             runs_per_doc, maxc, ndv, distinct_vals, ndv_off,
+             firsts, max_zz, zz_all) = _batch_doc_stats(a, o)
+            n_docs = o.size - 1
+            sizes = _codec_size_matrix(n_per_doc, minv, maxv, runs_per_doc,
+                                       maxc, ndv, firsts, max_zz)
+            for col in disabled_cols:
+                sizes[:, col] = _HUGE
+            chosen = _SIZE_MATRIX_IDS[sizes.argmin(axis=1)]
+            out_blocks = _grouped_encode(
+                a, o, n_per_doc, minv, maxv, maxc, chosen,
+                run_len, run_val, doc_run_off, distinct_vals, ndv_off,
+                firsts, max_zz, zz_all,
+            )
+            enc_bytes = np.fromiter(
+                (len(b) for b in out_blocks), np.int64, n_docs
+            )
+            elapsed = time.perf_counter_ns() - t0
+            total = max(int(n_per_doc.sum()), 1)
+            encode_ns = (n_per_doc * elapsed) // total
+            yield pa.record_batch(
+                [
+                    tb.column("doc_id").combine_chunks(),
+                    tb.column("source").combine_chunks(),
+                    tb.column("group_id").combine_chunks(),
+                    pa.array(n_per_doc.astype(np.int32), type=pa.int32()),
+                    pa.array(runs_per_doc, type=pa.int64()),
+                    pa.array(
+                        np.where(n_per_doc == 0, 0, chosen).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(out_blocks, type=pa.binary()),
+                    pa.array(enc_bytes, type=pa.int64()),
+                    pa.array(16 * runs_per_doc, type=pa.int64()),
+                    pa.array(encode_ns.astype(np.int64), type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "source", "group_id", "n_tok", "n_runs",
+                    "codec_id", "block", "enc_bytes", "naive_bytes",
+                    "encode_ns",
+                ],
+            )
+
+    return _encode_batches
+
+
+# default instance: full candidate set (the hot path everywhere)
+_encode_arrow_batches = _make_encode_arrow_batches()
 
 
 def _make_runs_batches(cap: int | None, normalize: bool = False):

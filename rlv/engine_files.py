@@ -114,13 +114,27 @@ def plan_splits_for_files(files: list[str], num_tasks: int) -> list[dict]:
     return splits
 
 
+def _resolve_codec_ids(disable_codecs) -> tuple[int, ...]:
+    """Codec names or ids -> ids (for the selector candidate mask)."""
+    from rlv import blocks as B
+
+    by_name = {v: k for k, v in B.CODEC_NAMES.items()}
+    out = []
+    for c in disable_codecs or ():
+        out.append(int(by_name[c]) if isinstance(c, str) else int(c))
+    return tuple(out)
+
+
 def _make_split_worker(
     out_blocks_dir: str,
     string_cols: tuple[str, ...] = (),
     fsst_symbols_hex: tuple[str, ...] | None = None,
+    disable_codecs: tuple[int, ...] = (),
 ):
-    from rlv.engine import _encode_arrow_batches
+    from rlv.engine import _make_encode_arrow_batches
     from rlv.util import tune_malloc
+
+    _encode_arrow_batches = _make_encode_arrow_batches(tuple(disable_codecs))
 
     symbols = (
         [bytes.fromhex(h) for h in fsst_symbols_hex]
@@ -1208,6 +1222,7 @@ def encode_files_dataset(
     resume: bool = True,
     string_cols: tuple[str, ...] = (),
     fsst_symbols: list[bytes] | None = None,
+    disable_codecs=(),
 ) -> dict:
     """Full resumable encode over a parquet directory, python-native data plane.
 
@@ -1224,7 +1239,7 @@ def encode_files_dataset(
     splits = plan_splits(input_dir, num_tasks)
     return encode_splits(
         spark, splits, out_dir, resume=resume, string_cols=string_cols,
-        fsst_symbols=fsst_symbols,
+        fsst_symbols=fsst_symbols, disable_codecs=disable_codecs,
     )
 
 
@@ -1247,9 +1262,14 @@ def encode_splits(
     resume: bool = True,
     string_cols: tuple[str, ...] = (),
     fsst_symbols: list[bytes] | None = None,
+    disable_codecs=(),
 ) -> dict:
     """Encode an explicit split list (shared by the batch directory walk and
-    the streaming micro-batch path)."""
+    the streaming micro-batch path).
+
+    ``disable_codecs`` (codec ids or names, e.g. ``("delta",)``) removes
+    candidates from the auto-selector — the bench's codec-cost A/B lever.
+    RLE is not removable (budget invariant)."""
     blocks_dir = f"{out_dir}/blocks"
     os.makedirs(blocks_dir, exist_ok=True)
     if string_cols and set(string_cols) != {"source"}:
@@ -1300,6 +1320,7 @@ def encode_splits(
                 if fsst_symbols is not None
                 else None
             ),
+            disable_codecs=_resolve_codec_ids(disable_codecs),
         ),
         RESULT_SCHEMA,
     ).collect()

@@ -35,6 +35,14 @@ N_FEATURES = 8
 
 SUPPORTED_KINDS = {"image", "audio", "video"}
 
+# Recorded golden for the real image branch (`pip install rlv[media]`): the
+# stdlib-built 8x8 grayscale gradient PNG (tests/test_multimodal._tiny_png,
+# column x holds pixel value (x*32) % 256) must decode to exactly these
+# column means.  Pinned here so the contract survives environments where
+# Pillow is absent — the conditional test asserts against THIS vector when
+# Pillow exists, and the seam raises explicitly when it does not.
+REFERENCE_PNG_FEATURES = tuple((x * 32 % 256) / 255.0 for x in range(8))
+
 
 def _real_image_features(payload: bytes) -> "np.ndarray | None":
     """Real image decode IF Pillow is importable here (optional dependency —

@@ -74,6 +74,25 @@ def _stage(df: DataFrame, stage_dir: str | None, name: str) -> DataFrame:
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
+
+def cleanup_stages() -> int:
+    """Remove every default-staged scratch dir created so far.
+
+    ``_stage(stage_dir=None)`` leaves each staged relation on local disk
+    until interpreter exit (the Spark cache stays empty, but the disk does
+    not) — a long-lived service session batching many corpora should call
+    this after consuming each op's result.  Returns the number of dirs
+    removed.  Only safe once the results built from the staged relations
+    are fully materialized (collected or written): the staged parquet IS
+    the lazy DataFrame's source."""
+    import shutil
+
+    n = len(_DEFAULT_STAGE_DIRS)
+    for d in _DEFAULT_STAGE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _DEFAULT_STAGE_DIRS.clear()
+    return n
+
 POLY_MOD = 4_294_967_296  # 2^32: poly-31 rolling hash stays exact in int64
 
 # Rolling polynomial hash over the characters of a string column:
@@ -200,6 +219,19 @@ def simhash_neardup_pairs(
     pipelines should pass a cap AND monitor :func:`simhash_bucket_stats`.
     """
     banded = _simhash_banded(docs, bits, bands)
+    if max_bucket is None:
+        # the recall/cost tradeoff must be visible: an uncapped run pair-
+        # expands O(bucket^2) on a hot band bucket (mass-duplicated
+        # boilerplate).  Detecting the hot bucket up front would cost an
+        # extra corpus pass, so warn at call time instead.
+        import warnings
+
+        warnings.warn(
+            "simhash_neardup_pairs: max_bucket=None runs an UNCAPPED bucket "
+            "self-join — a hot band bucket expands O(bucket^2) pairs at "
+            "corpus scale; pass max_bucket and monitor simhash_bucket_stats",
+            stacklevel=2,
+        )
     if max_bucket is not None:
         # the banded relation feeds both the size count and the join side:
         # stage it (4 small rows per doc) so the simhash agg runs once and

@@ -464,3 +464,29 @@ def test_string_cols_rejects_nulls(spark, tmp_path):
         engine_files.encode_files_dataset(
             spark, d, out, num_tasks=2, string_cols=("source",)
         )
+
+
+def test_disable_codecs_ab_lever(spark, tok_dir, tmp_path):
+    """The selector candidate mask behind the bench's DELTA on/off A/B:
+    disabling DELTA yields a dataset with no DELTA blocks, still verifying
+    bit-identical and within budget; disabling RLE is refused."""
+    from rlv import blocks as B
+
+    out = str(tmp_path / "enc_nodelta")
+    engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=4, disable_codecs=("delta",)
+    )
+    ids = {
+        int(r["codec_id"])
+        for r in spark.read.parquet(f"{out}/blocks").select("codec_id").distinct().collect()
+    }
+    assert B.DELTA not in ids
+    v = engine_files.verify_files_dataset(spark, tok_dir, out)
+    assert v["mismatches"] == 0
+    pdf = engine_files._read_manifest_pdf(out)
+    assert (pdf["bytes_out"] <= pdf["naive_rle_bytes"]).all()
+    with pytest.raises(Exception, match="RLE"):
+        engine_files.encode_files_dataset(
+            spark, tok_dir, str(tmp_path / "x"), num_tasks=2,
+            disable_codecs=("rle",),
+        )

@@ -95,8 +95,14 @@ def test_real_image_decode_seam():
         feats = multimodal._decode_payload("image", png, fake=False)
         assert feats.shape == (multimodal.N_FEATURES,)
         assert feats.dtype == np.float32
+        # the RECORDED golden (rlv.multimodal.REFERENCE_PNG_FEATURES) pins
+        # the real branch's contract; recompute it independently here too
         expected = np.array(
             [(x * 32 % 256) / 255.0 for x in range(8)], dtype=np.float32
+        )
+        assert np.allclose(
+            expected, np.asarray(multimodal.REFERENCE_PNG_FEATURES,
+                                 dtype=np.float32)
         )
         assert np.allclose(feats, expected, atol=1e-6)
     else:

@@ -266,3 +266,36 @@ def test_simhash_neardup_uncapped_default_superset(docs):
         for r in textops.simhash_neardup_pairs(docs).collect()
     }
     assert capped <= full
+
+
+def test_cleanup_stages_removes_staged_dirs(spark, docs):
+    """A long-lived service session can reclaim the scratch disk the staged
+    near-dup relations use: after the consuming action, cleanup_stages()
+    removes every default-staged dir (ADVICE r3 #1)."""
+    import glob
+    import tempfile
+
+    textops.cleanup_stages()  # isolate from earlier tests in the session
+    before = set(glob.glob(f"{tempfile.gettempdir()}/rlv_stage_*"))
+    textops.simhash_neardup_pairs(docs, max_bucket=64).collect()
+    during = set(glob.glob(f"{tempfile.gettempdir()}/rlv_stage_*"))
+    assert len(during - before) >= 1  # the op staged something
+    removed = textops.cleanup_stages()
+    assert removed >= 1
+    after = set(glob.glob(f"{tempfile.gettempdir()}/rlv_stage_*"))
+    assert after - before == set()
+
+
+def test_simhash_uncapped_warns(docs):
+    """The uncapped bucket self-join makes its O(bucket^2) cost visible
+    (ADVICE r3 #3)."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        textops.simhash_neardup_pairs(docs)
+        assert any("UNCAPPED" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        textops.simhash_neardup_pairs(docs, max_bucket=64)
+        assert not any("UNCAPPED" in str(x.message) for x in w)
