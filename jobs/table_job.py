@@ -5,7 +5,7 @@ Cluster:
         --input s3://bucket/orders --output s3://bucket/enc \
         --order-col o_orderkey --int-cols o_orderkey,o_custkey \
         --str-cols o_orderstatus,o_orderpriority [--rows-per-block 4096] \
-        [--tasks N] [--no-resume] [--verify]
+        [--tasks N] [--no-resume] [--verify] [--compact-target BYTES]
     spark-submit ... jobs/table_job.py decode --input s3://bucket/enc \
         --output s3://bucket/restored
 
@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--compact-target", type=int, default=None,
+                    help="after encode (+verify), bin-pack blocks files up "
+                         "to this many bytes and merge each bin as one "
+                         "Spark task (split_seq provenance keeps every "
+                         "absorbed split addressable)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -91,6 +96,14 @@ def main(argv=None) -> int:
             res = table_files.verify_table_files(spark, args.output)
             summary["verify_rows"] = res["rows"]
             summary["verify_mismatches"] = res["mismatches"]
+        if args.compact_target and not summary.get("verify_mismatches"):
+            from rlv import engine_files
+
+            c = engine_files.compact_blocks(
+                spark, args.output, target_bytes=args.compact_target
+            )
+            summary["compact_bins"] = c["bins_written"]
+            summary["compact_absorbed"] = c["files_absorbed"]
     else:
         summary = table_files.decode_table_files(
             spark, args.input, args.output
