@@ -1009,6 +1009,98 @@ def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
+    pairs, min doc_id as representative — the dedup decision a pipeline acts
+    on (keep `is_keeper`, drop the rest).  Spark runs min-label propagation
+    to fixpoint (staged per round); the oracle computes true components with
+    a recursive CTE, so the iterative algorithm's FIXPOINT — not a fixed
+    round count — is what gets hash-checked."""
+    pairs = _q_minhash_neardup_pairs(spark, sf_dir)
+    return textops.neardup_components(_docs(spark, sf_dir), pairs)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 50 lowest-md5(doc_id) docs per
+    source — the reproducible eval-split operator (hash-rank, not random, so
+    membership is engine- and retry-independent)."""
+    return textops.stratified_sample(_docs(spark, sf_dir), per_stratum=50)
+
+
+def _q_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 token BIGRAMS per source with exact counts (ties to the lower
+    pair) — the order-2 vocabulary monitor next to `token_heavy_hitters`.
+    Same scale shape: the shuffle carries one row per distinct (source, t1,
+    t2), never per token."""
+    from pyspark.sql import Window as W
+
+    df = _token_df(spark, sf_dir)
+    bi = df.select(
+        "source",
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark — an empty/1-token doc must
+            # contribute no bigrams, not a reversed pair of nulls
+            F.expr(
+                "CASE WHEN size(tokens) < 2 THEN "
+                "CAST(array() AS array<struct<t1:int,t2:int>>) "
+                "ELSE transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(tokens[i - 1] AS t1, tokens[i] AS t2)) END"
+            )
+        ).alias("b"),
+    ).select("source", "b.t1", "b.t2")
+    freq = bi.groupBy("source", "t1", "t2").agg(F.count("*").alias("n"))
+    w = W.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("t1").asc(), F.col("t2").asc()
+    )
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("t1").cast("int").alias("t1"),
+            F.col("t2").cast("int").alias("t2"),
+            "n",
+        )
+    )
+
+
+# MinHash-LSH candidate pairs, factored so the connected-components oracle
+# can reuse the identical pair derivation as a CTE prefix.
+_MINHASH_PAIRS_CTES = """sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         substr(text, CAST(i AS INT), 5) AS s
+  FROM documents, unnest(generate_series(1, length(text) - 4)) t(i)
+  WHERE length(text) >= 5
+),
+mins AS (
+  SELECT doc_id,
+         min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
+         min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
+         min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mins
+),
+keep AS (
+  SELECT band_idx, band_hash FROM bands
+  GROUP BY band_idx, band_hash HAVING count(*) <= 64
+),
+b2 AS (
+  SELECT bands.* FROM bands JOIN keep USING (band_idx, band_hash)
+)"""
+
+_MINHASH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM b2 a JOIN b2 b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id"""
+
+
 def _hexbyte(h: str, i: int) -> str:
     """DuckDB SQL: i-th byte (0-based) of hex digest string ``h``."""
     p = "strpos('0123456789abcdef', {c}) - 1"
@@ -1365,6 +1457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
         "event_sessionize": _q_event_sessionize,
+        "neardup_clusters": _q_neardup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "bigram_heavy_hitters": _q_bigram_heavy_hitters,
     }
 
 
@@ -1757,38 +1852,64 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS frame_bytes
 FROM documents
 """,
-        "minhash_neardup_pairs": """
-WITH sh AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         substr(text, CAST(i AS INT), 5) AS s
-  FROM documents, unnest(generate_series(1, length(text) - 4)) t(i)
-  WHERE length(text) >= 5
+        "minhash_neardup_pairs": (
+            f"WITH {_MINHASH_PAIRS_CTES}\n{_MINHASH_PAIRS_SELECT}"
+        ),
+        # true connected components via a recursive CTE — the oracle for the
+        # ITERATIVE Spark propagation, checking its fixpoint, not its rounds
+        "neardup_clusters": f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+pr AS ({_MINHASH_PAIRS_SELECT}),
+e AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pr
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pr
 ),
-mins AS (
-  SELECT doc_id,
-         min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
-         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3,
-         min(md5('4' || s)) AS h4, min(md5('5' || s)) AS h5,
-         min(md5('6' || s)) AS h6, min(md5('7' || s)) AS h7
-  FROM sh GROUP BY doc_id
+ids AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM ids
+  UNION
+  SELECT e.a, w.label FROM walk w JOIN e ON w.node = e.b
 ),
-bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS band_hash FROM mins
-  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mins
-  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mins
-  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mins
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
+         AS is_keeper
+FROM lab
+""",
+        "stratified_sample": """
+WITH r AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS stratum,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
 ),
-keep AS (
-  SELECT band_idx, band_hash FROM bands
-  GROUP BY band_idx, band_hash HAVING count(*) <= 64
-),
-b2 AS (
-  SELECT bands.* FROM bands JOIN keep USING (band_idx, band_hash)
+rk AS (
+  SELECT doc_id, stratum,
+         row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS rk
+  FROM r
 )
-SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-FROM b2 a JOIN b2 b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-WHERE a.doc_id < b.doc_id
+SELECT doc_id, stratum, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 50
+""",
+        "bigram_heavy_hitters": """
+WITH b AS (
+  SELECT source, ascii(substr(text, CAST(i AS INT), 1)) AS t1,
+         ascii(substr(text, CAST(i AS INT) + 1, 1)) AS t2
+  FROM documents, unnest(generate_series(1, length(text) - 1)) s(i)
+  WHERE length(text) >= 2
+),
+f AS (
+  SELECT source, t1, t2, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY source, t1, t2
+),
+r AS (
+  SELECT source, t1, t2, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, t1 ASC, t2 ASC) AS rk
+  FROM f
+)
+SELECT source, CAST(rk AS INT) AS rk, CAST(t1 AS INT) AS t1,
+       CAST(t2 AS INT) AS t2, n
+FROM r WHERE rk <= 8
 """,
         # SQL re-implementation of the per-column encode: rebuild each
         # (chunk, column) sequence with windows, re-derive runs/stats, and

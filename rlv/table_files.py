@@ -67,6 +67,28 @@ def _schema_path(out_dir: str) -> str:
     return f"{out_dir}/manifest/table_schema.json"
 
 
+_INT_TYPE_ALIASES = {"int8", "int16", "int32", "int64",
+                     "uint8", "uint16", "uint32"}
+
+
+def _int_col_types(input_files: list[str], int_cols: list[str]) -> dict:
+    """{col: arrow type alias} from the first file's footer (driver metadata
+    only).  Unknown/wider types record as int64 — the engine's internal
+    width; uint64 would not fit the int64 value plane and records as int64
+    too (values above 2^63-1 are refused at encode by the int64 cast)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(input_files[0]).schema_arrow
+    out = {}
+    for c in int_cols:
+        try:
+            t = str(sch.field(c).type)
+        except KeyError:
+            t = "int64"
+        out[c] = t if t in _INT_TYPE_ALIASES else "int64"
+    return out
+
+
 def _load_table_schema(out_dir: str) -> dict | None:
     path = _schema_path(out_dir)
     if not os.path.exists(path):
@@ -379,6 +401,10 @@ def encode_table_files(
         "int_cols": list(int_cols),
         "str_cols": list(str_cols),
         "rows_per_block": int(rows_per_block),
+        # source dtypes (from the first file's footer) so decode restores
+        # the ORIGINAL column widths — an int32 column must come back
+        # int32, not the engine's internal int64
+        "int_col_types": _int_col_types(list(input_files), list(int_cols)),
     }
     existing = _load_table_schema(out_dir)
     if existing is not None and existing != schema:
@@ -746,6 +772,13 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
                     if len({p.type for p in parts}) > 1:
                         parts = [p.cast(pa.large_binary()) for p in parts]
                     cols[c] = pa.concat_arrays(parts)
+                # restore recorded source widths (pre-r4 datasets have no
+                # record and keep the internal int64)
+                col_types = schema.get("int_col_types") or {}
+                for c in schema["int_cols"]:
+                    alias = col_types.get(c, "int64")
+                    if alias != "int64":
+                        cols[c] = cols[c].cast(pa.type_for_alias(alias))
                 for c in schema["str_cols"]:
                     cols[c] = cols[c].cast(
                         pa.large_string()

@@ -722,3 +722,107 @@ def ivf_cells(emb: DataFrame, k: int = 8) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("cell").cast("int").alias("cell"))
     )
+
+
+def neardup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    stage_dir: str | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs: connected components with the
+    min doc_id as the cluster representative — the operator a dedup pipeline
+    actually acts on (keep one doc per component, drop the rest).
+
+    ``pairs`` is any near-dup pair relation (``minhash_neardup_pairs``,
+    ``simhash_neardup_pairs``, ...) with columns (doc_id_a, doc_id_b);
+    ``docs`` supplies the full id universe so singletons cluster as
+    themselves.  Returns (doc_id, cluster_id, is_keeper) for EVERY doc.
+
+    Algorithm: iterative min-label propagation to FIXPOINT — each round
+    every node takes the min label among itself and its neighbors; staged
+    to scratch parquet per round (bounded lineage, no cached RDDs).  Rounds
+    needed = graph diameter; near-dup graphs are short-diameter (cliques of
+    boilerplate + small chains), and the bucket caps upstream bound the
+    component sizes.  At 10^12 docs the same loop runs with the edges
+    bucketed by label (alternating large-star/small-star halves the
+    diameter per round); the fixpoint semantics — and the DuckDB
+    recursive-CTE oracle — are unchanged.
+    """
+    ids = docs.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
+    half = pairs.select(
+        F.col("doc_id_a").cast("string").alias("a"),
+        F.col("doc_id_b").cast("string").alias("b"),
+    )
+    edges = _stage(
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct(),
+        stage_dir,
+        "cc_edges",
+    )
+    labels = _stage(
+        ids.withColumn("label", F.col("doc_id")), stage_dir, "cc_labels"
+    )
+    for it in range(max_iters):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("doc_id"), "label")
+        new = (
+            labels.select("doc_id", "label")
+            .union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        new = _stage(new, stage_dir, f"cc_labels_{it}")
+        changed = (
+            new.join(
+                labels.select("doc_id", F.col("label").alias("old")),
+                "doc_id",
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} rounds — "
+            "the pair graph has a longer path than any near-dup structure "
+            "should; check the upstream bucket caps"
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0)
+        .cast("int")
+        .alias("is_keeper"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, per_stratum: int = 50, stratum_col: str = "source"
+) -> DataFrame:
+    """Deterministic stratified sampling: the ``per_stratum`` docs with the
+    LOWEST md5(doc_id) per stratum — the reproducible eval-split / debugging
+    sample every training pipeline needs.  Hash-rank, not random: the same
+    corpus always yields the same sample on any engine (the oracle recomputes
+    it bit-for-bit), and resuming/retrying cannot change membership.
+
+    Scale shape: one partial+final rank per stratum over hash keys — the
+    window cardinality is docs-per-stratum; no data-dependent skew (md5 is
+    uniform)."""
+    from pyspark.sql import Window as W
+
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("stratum").orderBy("h", "doc_id")
+        ))
+        .filter(F.col("rk") <= per_stratum)
+        .select("doc_id", "stratum", F.col("rk").cast("int").alias("rk"))
+    )

@@ -329,3 +329,37 @@ def test_compact_table_plane_crash_drill(spark, orders_dir, tmp_path,
     assert res["bins_written"] >= 1
     v2 = table_files.verify_table_files(spark, out)
     assert v2["mismatches"] == 0 and v2["rows"] == n
+
+
+def test_decode_restores_source_int_widths(spark, tmp_path):
+    """An int32 (or int16) source column must decode back at its ORIGINAL
+    width, not the engine's internal int64 (r4: source dtypes recorded in
+    table_schema.json)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    import os
+
+    os.makedirs(d)
+    tbl = pa.table(
+        {
+            "k": pa.array(range(100), pa.int32()),
+            "v16": pa.array([i % 7 for i in range(100)], pa.int16()),
+            "v64": pa.array([i * 10 for i in range(100)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet")
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "v16", "v64"], rows_per_block=64,
+        num_tasks=1,
+    )
+    restored = str(tmp_path / "dec")
+    table_files.decode_table_files(spark, out, restored)
+    got = pq.read_table(restored)
+    assert str(got.schema.field("k").type) == "int32"
+    assert str(got.schema.field("v16").type) == "int16"
+    assert str(got.schema.field("v64").type) == "int64"
+    assert got.sort_by("k").equals(tbl)

@@ -299,3 +299,37 @@ def test_simhash_uncapped_warns(docs):
         warnings.simplefilter("always")
         textops.simhash_neardup_pairs(docs, max_bucket=64)
         assert not any("UNCAPPED" in str(x.message) for x in w)
+
+
+def test_neardup_components_chain_converges_to_fixpoint(spark):
+    """A 6-node chain (diameter 5) forces multiple propagation rounds: every
+    node must still end with the component-min label — the fixpoint, not a
+    fixed round count.  Singletons cluster as themselves."""
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(8)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(5)],  # d0-...-d5 chain
+        "doc_id_a string, doc_id_b string",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in textops.neardup_components(docs, pairs).collect()
+    }
+    for i in range(6):
+        assert out[f"d{i}"] == ("d0", 1 if i == 0 else 0)
+    assert out["d6"] == ("d6", 1) and out["d7"] == ("d7", 1)
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    a = textops.stratified_sample(docs, per_stratum=5).collect()
+    b = textops.stratified_sample(docs, per_stratum=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per = Counter(r["stratum"] for r in a)
+    assert all(v <= 5 for v in per.values())
+    assert all(1 <= r["rk"] <= 5 for r in a)
