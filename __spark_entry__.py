@@ -1065,6 +1065,122 @@ def _q_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — the time-series operator Spark's DataFrame API lacks:
+    for every 'click' event, the latest 'purchase' event by the SAME user at
+    or before its timestamp.  Implemented as the union-piggyback composition
+    (tag both streams, one window sort per user, last_value(...) ignoring
+    nulls) — one shuffle on user_id, no range-explosion join; the oracle is
+    DuckDB's NATIVE `ASOF JOIN`, so the composition is checked against a
+    first-class implementation.  The build side is deduped to one row per
+    (user, ts) (max event_id) so the as-of pick is deterministic on ties."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    probe = ev.filter(F.col("event_type") == "click")
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.max(F.struct("event_id", "cents")).alias("m"))
+        .select(
+            "user_id",
+            "us",
+            F.col("m.event_id").alias("b_event_id"),
+            F.col("m.cents").alias("b_cents"),
+        )
+    )
+    tagged = probe.select(
+        "user_id", "us", F.lit(0).alias("is_b"), "event_id",
+        F.lit(None).cast("long").alias("b_event_id"),
+        F.lit(None).cast("long").alias("b_cents"),
+    ).unionByName(
+        build.select(
+            "user_id", "us", F.lit(1).alias("is_b"),
+            F.lit(None).cast("long").alias("event_id"),
+            "b_event_id", "b_cents",
+        )
+    )
+    # within a user: time order; at equal ts the build row sorts FIRST so a
+    # probe at the same instant sees it (ASOF's <= semantics)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("is_b").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "user_id", "us", "is_b", "event_id",
+        F.last("b_event_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last("b_cents", ignorenulls=True).over(w).alias("asof_cents"),
+    )
+    # a click with no prior purchase yields the -1 sentinel (NULL-free
+    # contract output: the driver's sorted-value hash needs total ordering)
+    return carried.filter(F.col("is_b") == 0).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("us").alias("click_us"),
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).cast("long").alias(
+            "asof_event_id"
+        ),
+        F.coalesce(F.col("asof_cents"), F.lit(-1)).cast("long").alias(
+            "asof_cents"
+        ),
+    )
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the LLM-pretraining batch-assembly operator: docs
+    of each source stream (doc_id order) into fixed 2048-token packs by the
+    greedy running total; each doc records its pack and start offset (a doc
+    longer than the window spans packs — the consumer slices).  Exact
+    integers end to end: pack_id = floor(prefix_sum / 2048).  Scale shape:
+    one window cumsum per source over doc COUNTS (never tokens), map-side
+    partial everything."""
+    from pyspark.sql import Window as W
+
+    cap = 2048
+    df = _token_df(spark, sf_dir).select("doc_id", "source", "n_tok")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = df.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.expr(f"CAST((cum - n_tok) div {cap} AS BIGINT)").alias("pack_id"),
+        F.expr(f"CAST((cum - n_tok) % {cap} AS BIGINT)").alias("pack_offset"),
+    )
+
+
+def _q_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage analytics over the encoded corpus: per (source, codec) doc
+    counts, encoded bytes, and token mass — what a 100 TB operator dashboards
+    to see WHERE each codec wins.  The oracle re-runs the full SQL size
+    model and aggregates the same way, so the rollup is checked through the
+    selector itself."""
+    df = engine.with_group_id(_token_df(spark, sf_dir), 16)
+    enc = engine.encode_pass(df)
+    return (
+        enc.filter(F.col("n_tok") > 0)
+        .groupBy("source", "codec_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("n_tokens"),
+        )
+        .select(
+            "source", F.col("codec_id").cast("int").alias("codec_id"),
+            "n_docs", "enc_bytes", "n_tokens",
+        )
+    )
+
+
 # MinHash-LSH candidate pairs, factored so the connected-components oracle
 # can reuse the identical pair derivation as a CTE prefix.
 _MINHASH_PAIRS_CTES = """sh AS (
@@ -1460,6 +1576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_neardup_clusters,
         "stratified_sample": _q_stratified_sample,
         "bigram_heavy_hitters": _q_bigram_heavy_hitters,
+        "event_asof_join": _q_event_asof_join,
+        "sequence_pack": _q_sequence_pack,
+        "codec_mix": _q_codec_mix,
     }
 
 
@@ -1889,6 +2008,58 @@ rk AS (
   FROM r
 )
 SELECT doc_id, stratum, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 50
+""",
+        # the oracle is DuckDB's NATIVE ASOF JOIN — the Spark union-window
+        # composition is checked against a first-class implementation
+        "event_asof_join": """
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id, event_type,
+         epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+probe AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'click'),
+build AS (
+  SELECT user_id, us, max(event_id) AS b_event_id,
+         arg_max(cents, event_id) AS b_cents
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, us
+)
+SELECT p.event_id, p.user_id, p.us AS click_us,
+       CAST(COALESCE(b.b_event_id, -1) AS BIGINT) AS asof_event_id,
+       CAST(COALESCE(b.b_cents, -1) AS BIGINT) AS asof_cents
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.us >= b.us
+""",
+        "sequence_pack": """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, source, n_tok,
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+       CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset
+FROM c
+""",
+        "codec_mix": f"""
+WITH {_TOKS_CTE},
+seq AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS ord, CAST(tok AS BIGINT) AS tok
+  FROM tok2
+),
+{_codec_size_model_sql("doc_id")[1:]},
+src AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents)
+SELECT s.source, r.codec_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r.enc_bytes) AS BIGINT) AS enc_bytes,
+       CAST(sum(r.n_values) AS BIGINT) AS n_tokens
+FROM result r JOIN src s USING (doc_id)
+GROUP BY s.source, r.codec_id
 """,
         "bigram_heavy_hitters": """
 WITH b AS (
