@@ -386,18 +386,29 @@ def _grouped_encode(a, o, n_per_doc, minv, maxv, maxc, chosen,
     return out
 
 
-def _make_encode_arrow_batches(disable_codecs: tuple[int, ...] = ()):
+def _make_encode_arrow_batches(disable_codecs: tuple[int, ...] = (),
+                               passthrough: tuple[str, ...] = ()):
     """Encode-batch closure with an optional candidate mask.
 
     ``disable_codecs`` removes codec ids from the selector's candidate set
     (their size-matrix column becomes +inf) — the bench's DELTA on/off A/B
     lever, also useful to pin a dataset to a codec subset.  RLE cannot be
     disabled: the naive-RLE budget invariant (chosen <= 16*runs) is proved
-    via RLE always being a candidate."""
+    via RLE always being a candidate.
+
+    ``passthrough`` columns ride the batch untouched into the output (e.g.
+    the table plane's per-block validity arrays) — carrying them beats a
+    downstream self-join that would re-run the upstream aggregation."""
     if B.RLE in disable_codecs:
         raise ValueError(
             "RLE cannot be disabled: the size budget invariant needs it "
             "as a candidate"
+        )
+    bad = [c for c in disable_codecs if c not in _SIZE_MATRIX_IDS]
+    if bad:
+        raise ValueError(
+            f"disable_codecs: ids {bad} are not selector candidates; "
+            f"valid ids: {_SIZE_MATRIX_IDS.tolist()}"
         )
     disabled_cols = [
         int(np.flatnonzero(_SIZE_MATRIX_IDS == c)[0])
@@ -447,11 +458,12 @@ def _make_encode_arrow_batches(disable_codecs: tuple[int, ...] = ()):
                     pa.array(enc_bytes, type=pa.int64()),
                     pa.array(16 * runs_per_doc, type=pa.int64()),
                     pa.array(encode_ns.astype(np.int64), type=pa.int64()),
+                    *[tb.column(c).combine_chunks() for c in passthrough],
                 ],
                 names=[
                     "doc_id", "source", "group_id", "n_tok", "n_runs",
                     "codec_id", "block", "enc_bytes", "naive_bytes",
-                    "encode_ns",
+                    "encode_ns", *passthrough,
                 ],
             )
 
@@ -788,10 +800,21 @@ def _apply_plan(df: DataFrame, loads, num_partitions: int) -> DataFrame:
     )
 
 
-def encode_pass(df: DataFrame) -> DataFrame:
-    """Token table (+group_id) -> encoded blocks + per-doc metrics."""
-    cols = ["doc_id", "tokens", "n_tok", "source", "group_id"]
-    return df.select(*cols).mapInArrow(_encode_arrow_batches, ENCODED_SCHEMA)
+def encode_pass(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Token table (+group_id) -> encoded blocks + per-doc metrics.
+
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged (their DDL is taken from ``df``'s schema)."""
+    cols = ["doc_id", "tokens", "n_tok", "source", "group_id", *passthrough]
+    schema = ENCODED_SCHEMA + "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    fn = (
+        _encode_arrow_batches
+        if not passthrough
+        else _make_encode_arrow_batches(passthrough=tuple(passthrough))
+    )
+    return df.select(*cols).mapInArrow(fn, schema)
 
 
 def decode_pass(encoded: DataFrame, check_sizes: bool = True) -> DataFrame:

@@ -115,13 +115,21 @@ def plan_splits_for_files(files: list[str], num_tasks: int) -> list[dict]:
 
 
 def _resolve_codec_ids(disable_codecs) -> tuple[int, ...]:
-    """Codec names or ids -> ids (for the selector candidate mask)."""
+    """Codec names or ids -> ids (for the selector candidate mask).  Only
+    selector CANDIDATES are maskable; typos and non-candidate codecs
+    (strdict, fsst, nullw, ...) fail with the valid set spelled out."""
     from rlv import blocks as B
 
-    by_name = {v: k for k, v in B.CODEC_NAMES.items()}
+    valid = {B.CODEC_NAMES[c]: c for c in B.INT_CODECS}
     out = []
     for c in disable_codecs or ():
-        out.append(int(by_name[c]) if isinstance(c, str) else int(c))
+        cid = valid.get(c) if isinstance(c, str) else int(c)
+        if cid not in B.INT_CODECS:
+            raise ValueError(
+                f"disable_codecs: {c!r} is not a selector candidate; "
+                f"valid: {sorted(valid)} (or ids {list(B.INT_CODECS)})"
+            )
+        out.append(int(cid))
     return tuple(out)
 
 
@@ -1106,8 +1114,19 @@ def compact_blocks(
     written = 0
     absorbed = 0
     if bins:
-        import pyarrow.parquet as pq
+        if is_table:
+            # table-plane blocks files hold one row per (split, column,
+            # block) — the manifest doesn't know that count, so read the
+            # member FOOTERS (thread-pooled; still metadata-only IO)
+            from concurrent.futures import ThreadPoolExecutor
 
+            import pyarrow.parquet as pq
+
+            paths = [p for bin_ in bins for _, p, _ in bin_]
+            with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+                rows_of = dict(zip(paths, ex.map(
+                    lambda p: pq.ParquetFile(p).metadata.num_rows, paths
+                )))
         specs = []
         for bi, bin_ in enumerate(bins):
             sids = [sid for sid, _, _ in bin_]
@@ -1118,13 +1137,12 @@ def compact_blocks(
                     "new_sid": new_sid,
                     "sids": sids,
                     "has_sidecar": bi in sidecar_bins,
-                    # expected MERGED row count from member footers (driver
-                    # metadata only): token-plane files hold one row per doc,
-                    # table-plane one per (split, column, block) — footers
-                    # are the plane-agnostic truth
-                    "exp_rows": sum(
-                        pq.ParquetFile(path).metadata.num_rows
-                        for _, path, _ in bin_
+                    # token plane: one blocks row per doc, so the manifest's
+                    # n_docs IS the expected merged row count (no file IO)
+                    "exp_rows": (
+                        sum(rows_of[p] for _, p, _ in bin_)
+                        if is_table
+                        else sum(int(by_id[s]["n_docs"]) for s in sids)
                     ),
                 }
             )

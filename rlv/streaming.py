@@ -167,6 +167,35 @@ def _local_path(uri: str) -> str:
     return unquote(uri) if "%" in uri else uri
 
 
+def _check_split_target(out_dir: str, split_target_bytes: int) -> None:
+    """Pin the per-file planning granularity to the DATASET: a restart with
+    a different ``split_target_bytes`` would cut different split boundaries
+    for replayed files, mint new split ids, and double-encode past the
+    manifest's resume check — so the first stream records the value and
+    every later stream must match it."""
+    import json
+
+    mdir = os.path.join(out_dir, "manifest")
+    path = os.path.join(mdir, "stream_plan.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            rec = json.load(f)
+        if int(rec.get("split_target_bytes", -1)) != int(split_target_bytes):
+            raise ValueError(
+                f"{path} records split_target_bytes="
+                f"{rec.get('split_target_bytes')}; restarting with "
+                f"{split_target_bytes} would re-plan replayed files into "
+                "different splits and double-encode — resume with the "
+                "recorded value"
+            )
+        return
+    os.makedirs(mdir, exist_ok=True)
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump({"split_target_bytes": int(split_target_bytes)}, f)
+    os.replace(tmp, path)
+
+
 def _plan_batch_files(files: list[str], split_target_bytes: int) -> list[dict]:
     """Plan a micro-batch's splits PER FILE, never across files.
 
@@ -215,6 +244,7 @@ def encode_stream(
     """
     if checkpoint_dir is None:
         checkpoint_dir = f"{out_dir}/_stream_checkpoint"
+    _check_split_target(out_dir, split_target_bytes)
     if schema is None:
         try:
             schema = spark.read.parquet(input_dir).schema
@@ -297,6 +327,7 @@ def table_encode_stream(
         checkpoint_dir = f"{out_dir}/_table_stream_checkpoint"
     if num_tasks is None:
         num_tasks = 4 * spark.sparkContext.defaultParallelism
+    _check_split_target(out_dir, split_target_bytes)
     if schema is None:
         try:
             schema = spark.read.parquet(input_dir).schema

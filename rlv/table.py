@@ -148,14 +148,11 @@ def encode_table_columns(
         F.lit(0).alias("group_id"),
         "tokens",
         F.size("tokens").alias("n_tok"),
-    )
-    validity = grouped.select(
-        F.concat_ws(
-            "#", F.col("chunk_id"), F.col("block_idx"), F.col("col_name")
-        ).alias("doc_id"),
         "valid",
     )
-    enc = engine.encode_pass(doc).join(validity, "doc_id")
+    # validity rides the encode batch as a passthrough column — a rejoin on
+    # doc_id would re-run the whole long-relation aggregation a second time
+    enc = engine.encode_pass(doc, passthrough=("valid",))
 
     from pyspark.sql.functions import pandas_udf
 

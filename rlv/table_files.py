@@ -74,8 +74,8 @@ _INT_TYPE_ALIASES = {"int8", "int16", "int32", "int64",
 def _int_col_types(input_files: list[str], int_cols: list[str]) -> dict:
     """{col: arrow type alias} from the first file's footer (driver metadata
     only).  Unknown/wider types record as int64 — the engine's internal
-    width; uint64 would not fit the int64 value plane and records as int64
-    too (values above 2^63-1 are refused at encode by the int64 cast)."""
+    width; uint64 records as int64 too, and a uint64 VALUE above 2^63-1
+    fails the worker's checked Arrow cast loudly (never numpy-wraps)."""
     import pyarrow.parquet as pq
 
     sch = pq.ParquetFile(input_files[0]).schema_arrow
@@ -237,15 +237,15 @@ def _make_table_split_worker(
                     hist[codec] = hist.get(codec, 0) + 1
 
                 for c in int_cols:
-                    col = tbl.column(c).combine_chunks()
+                    # CHECKED Arrow cast: a uint64 value past int64 range
+                    # raises here instead of numpy-wrapping to a negative
+                    col = tbl.column(c).combine_chunks().cast(pa.int64())
                     if col.null_count:
                         mask = col.is_valid().to_numpy(zero_copy_only=False)[order]
-                        vals = (
-                            col.fill_null(0).to_numpy().astype(np.int64)[order]
-                        )
+                        vals = col.fill_null(0).to_numpy()[order]
                     else:
                         mask = None
-                        vals = col.to_numpy().astype(np.int64)[order]
+                        vals = col.to_numpy()[order]
                     for bi in range(n_blocks):
                         sl = slice(bi * rows_per_block, (bi + 1) * rows_per_block)
                         a = vals[sl]
@@ -476,11 +476,14 @@ def encode_table_files(
     return summary
 
 
-def _read_dict_sidecar(blocks_path: str) -> dict[tuple[str, str, int], bytes]:
+def _read_dict_sidecar(
+    blocks_path: str, default_seq: str
+) -> dict[tuple[str, str, int], bytes]:
     """{(split_seq, col_name, block_idx): STRDICT dict block} for one blocks
     file (empty when the dataset has no string columns).  ``split_seq``
     disambiguates (col, block) keys in files that absorbed several splits
-    through compaction."""
+    through compaction; a pre-r4 sidecar without the column keys everything
+    under ``default_seq``."""
     import pyarrow.parquet as pq
 
     spath = os.path.join(
@@ -491,8 +494,13 @@ def _read_dict_sidecar(blocks_path: str) -> dict[tuple[str, str, int], bytes]:
     side: dict[tuple[str, str, int], bytes] = {}
     if os.path.exists(spath):
         stbl = pq.read_table(spath).combine_chunks()
+        seqs = (
+            stbl.column("split_seq").to_pylist()
+            if "split_seq" in stbl.column_names
+            else [default_seq] * len(stbl)
+        )
         for sid, name, bi, blob in zip(
-            stbl.column("split_seq").to_pylist(),
+            seqs,
             stbl.column("col_name").to_pylist(),
             stbl.column("block_idx").to_numpy(),
             stbl.column("dict_block").to_pylist(),
@@ -555,19 +563,37 @@ def _decode_split_columns(btbl, side, schema: dict, symbols, split_seq: str):
     return cols
 
 
-def _split_segments(btbl):
+def _split_segments(btbl, default_seq: str):
     """Yield ``(split_seq, rows)`` per absorbed split of one blocks file, in
     split_seq order — one segment for a freshly-encoded file, several after
     compaction.  Segment order is the file's RECONSTRUCTION order: decode
     emits segments sorted by split_seq, and any global order is re-established
-    by sorting on order_col (decoded data)."""
+    by sorting on order_col (decoded data).  A pre-r4 blocks file has no
+    split_seq column and is exactly one segment: ``default_seq`` (its own
+    split id) names it."""
     import pyarrow.compute as pc
 
+    if "split_seq" not in btbl.column_names:
+        yield str(default_seq), btbl
+        return
     seqs = sorted(set(btbl.column("split_seq").to_pylist()))
     for sid in seqs:
         yield str(sid), btbl.filter(
             pc.equal(btbl.column("split_seq"), sid)
         )
+
+
+def _segment_rows(seg) -> int:
+    """Row count of one blocks segment: the max over columns of the summed
+    per-block n_values (every encoded column covers all rows, so any column
+    gives the answer; max is robust to a partially-written segment)."""
+    per_col: dict[str, int] = {}
+    for name, nv in zip(
+        seg.column("col_name").to_pylist(),
+        seg.column("n_values").to_numpy(),
+    ):
+        per_col[name] = per_col.get(name, 0) + int(nv)
+    return max(per_col.values(), default=0)
 
 
 def _null_safe_neq(got, want) -> np.ndarray:
@@ -624,11 +650,11 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
                 pmap = _pieces_map(split_id, str(row["pieces"]))
                 bpath = os.path.join(blocks_dir, f"{split_id}.parquet")
                 btbl = pq.read_table(bpath).combine_chunks()
-                side = _read_dict_sidecar(bpath)
+                side = _read_dict_sidecar(bpath, split_id)
                 n_total = 0
                 mismatches = 0
                 seen: set[str] = set()
-                for seq, seg in _split_segments(btbl):
+                for seq, seg in _split_segments(btbl, split_id):
                     seen.add(seq)
                     pieces = pmap.get(seq)
                     by_file: dict[str, list[int]] = {}
@@ -643,14 +669,7 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
                     if src is None:
                         # a segment with no recorded lineage is unverifiable:
                         # count every one of its rows as a mismatch
-                        import pyarrow.compute as pc
-
-                        seg_rows = seg.filter(
-                            pc.equal(seg.column("col_name"), order_col)
-                        )
-                        mismatches += int(
-                            seg_rows.column("n_values").to_numpy().sum()
-                        )
+                        mismatches += _segment_rows(seg)
                         continue
                     order = np.argsort(
                         src.column(order_col).to_numpy(), kind="stable"
@@ -680,9 +699,15 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
                             else:
                                 bad |= _null_safe_neq(got, want)
                     mismatches += int(bad.sum())
-                # segments the manifest knows but the file lost are data loss
+                # segments the manifest knows but the file lost are data
+                # loss: count every row their recorded lineage says they
+                # held (source footers — cheap in-task metadata)
                 for seq in set(pmap) - seen:
-                    mismatches += 1
+                    for path, rg in pmap[seq]:
+                        mismatches += (
+                            pq.ParquetFile(path).metadata.row_group(rg)
+                            .num_rows
+                        )
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
@@ -760,11 +785,12 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
                 tbl = pq.read_table(path).combine_chunks()
-                side = _read_dict_sidecar(path)
+                side = _read_dict_sidecar(path, file_sid)
                 seg_cols = [
                     _decode_split_columns(seg, side, schema, symbols, seq)
-                    for seq, seg in _split_segments(tbl)
+                    for seq, seg in _split_segments(tbl, file_sid)
                 ]
                 cols: dict = {}
                 for c in [*schema["int_cols"], *schema["str_cols"]]:

@@ -490,3 +490,12 @@ def test_disable_codecs_ab_lever(spark, tok_dir, tmp_path):
             spark, tok_dir, str(tmp_path / "x"), num_tasks=2,
             disable_codecs=("rle",),
         )
+
+
+def test_disable_codecs_rejects_non_candidates(spark, tok_dir, tmp_path):
+    for bad in ("fsst", "strdict", "delt", 6, 99):
+        with pytest.raises((ValueError, KeyError), match="candidate"):
+            engine_files.encode_files_dataset(
+                spark, tok_dir, str(tmp_path / "x"), num_tasks=2,
+                disable_codecs=(bad,),
+            )

@@ -319,3 +319,22 @@ def test_table_encode_stream_two_arrivals_and_restart(spark, tmp_path):
     sh.rmtree(f"{out}/_table_stream_checkpoint")
     with pytest.raises(Exception, match="different table schema"):
         streaming.table_encode_stream(spark, d, out, **bad_kw)
+
+
+def test_stream_split_target_pinned_to_dataset(spark, landing, tmp_path):
+    """Restarting a stream with a different split_target_bytes would cut
+    different split boundaries for replayed files and double-encode — the
+    dataset records the value and a mismatched restart fails loudly."""
+    d, files = landing
+    import os
+
+    for f in files:
+        if not os.path.exists(os.path.join(d, os.path.basename(f))):
+            shutil.copy(f, d)
+    out = str(tmp_path / "enc_tgt")
+    streaming.encode_stream(spark, d, out, num_tasks=4)
+    with pytest.raises(ValueError, match="split_target_bytes"):
+        streaming.encode_stream(
+            spark, d, out, checkpoint_dir=str(tmp_path / "cp_tgt"),
+            num_tasks=4, split_target_bytes=32 * 1024 * 1024,
+        )
