@@ -1009,6 +1009,43 @@ def _q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _q_table_encode_nullable_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALIDITY plane on the JVM table plane (rlv.table): the same
+    nullable derivation as `table_encode_nullable`, chunked by
+    o_orderkey % 4 with one block per chunk, so BOTH planes' NULL handling
+    is independently SQL-gated (the files plane's gate alone would leave
+    the JVM wrapper path pytest-only)."""
+    _ensure_shipped(spark)
+    from rlv import table as T
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("chunk", F.expr("CAST(o_orderkey % 4 AS INT)"))
+        .withColumn(
+            "custkey_n",
+            F.expr("CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END"),
+        )
+        .withColumn(
+            "pri_n",
+            F.expr(
+                "CASE WHEN o_orderkey % 5 = 3 THEN NULL "
+                "ELSE o_orderpriority END"
+            ),
+        )
+    )
+    enc = T.encode_table_columns(
+        orders,
+        chunk_col="chunk",
+        order_col="o_orderkey",
+        int_cols=["custkey_n"],
+        str_cols=["pri_n"],
+    )
+    return enc.select(
+        "chunk_id", "col_name", "n_values", "n_nulls", "n_runs",
+        F.col("codec_id").cast("int").alias("codec_id"), "enc_bytes",
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1569,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_encode": _q_table_encode,
         "table_encode_files": _q_table_encode_files,
         "table_encode_nullable": _q_table_encode_nullable,
+        "table_encode_nullable_jvm": _q_table_encode_nullable_jvm,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2114,6 +2152,30 @@ SELECT chunk_id, col_name, n_values, codec_id, enc_bytes FROM result
 """,
         "table_encode_files": _table_encode_files_oracle(),
         "table_encode_nullable": _table_encode_nullable_oracle(),
+        "table_encode_nullable_jvm": f"""
+WITH base AS (
+  SELECT CAST(o_orderkey % 4 AS INT) AS chunk_id, o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+),
+seq AS (
+  SELECT chunk_id, 'custkey_n' AS col_name,
+         CAST(o_orderkey AS BIGINT) AS ord, CAST(custkey_n AS BIGINT) AS tok
+  FROM base
+  UNION ALL
+  SELECT chunk_id, 'pri_n', CAST(o_orderkey AS BIGINT),
+         CASE WHEN pri_n IS NULL THEN NULL
+              ELSE CAST(dense_rank() OVER (PARTITION BY chunk_id
+                                           ORDER BY pri_n) - 1 AS BIGINT) END
+  FROM base
+),
+{_codec_size_model_sql("chunk_id, col_name", nullable=True)[1:]}
+SELECT chunk_id, col_name, n_values, n_nulls, n_runs, codec_id, enc_bytes
+FROM result
+""",
         "doc_length_stats": """
 WITH d AS (
   SELECT source, CAST(length(text) AS INT) AS n_tok FROM documents
