@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     ap.add_argument("--shared-fsst", action="store_true",
                     help="with --encode-strings: train one corpus FSST table "
                          "via the sampling pass and share it across chunks")
+    ap.add_argument("--disable-codecs", default="",
+                    help="comma-separated codec names to mask out of the "
+                         "auto-selector (e.g. 'delta'); RLE is not maskable")
     args = ap.parse_args(argv)
     if args.compact_target and args.mode != "files":
         ap.error("--compact-target requires --mode files")
@@ -59,6 +62,8 @@ def main(argv=None) -> int:
         ap.error("--encode-strings/--shared-fsst require --mode files")
     if args.shared_fsst and not args.encode_strings:
         ap.error("--shared-fsst requires --encode-strings")
+    if args.disable_codecs and args.mode != "files":
+        ap.error("--disable-codecs requires --mode files")
 
     from pyspark.sql import SparkSession
 
@@ -82,6 +87,9 @@ def main(argv=None) -> int:
             spark, args.input, args.output, num_tasks=args.tasks, resume=resume,
             string_cols=("source",) if args.encode_strings else (),
             fsst_symbols=symbols,
+            disable_codecs=tuple(
+                c for c in args.disable_codecs.split(",") if c
+            ),
         )
     else:
         tok = spark.read.parquet(args.input)
