@@ -1046,6 +1046,43 @@ def _q_table_encode_nullable_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown into the ENCODED format: a range scan over an
+    encoded table decodes only blocks whose zone map ([min_val, max_val]
+    over valid values) intersects the range — the block-skipping read path.
+    The checkable facet is exactness: the pruned scan must return precisely
+    the rows a plain SQL WHERE returns (NULLs excluded, BETWEEN
+    semantics), on a NULLABLE column."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_zm_q_")
+    import pyarrow.parquet as pq
+
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey", int_cols=["o_orderkey", "custkey_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files(spark, out, "custkey_n", 100, 499)
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("custkey_n").cast("bigint").alias("custkey_n"),
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1607,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_encode_files": _q_table_encode_files,
         "table_encode_nullable": _q_table_encode_nullable,
         "table_encode_nullable_jvm": _q_table_encode_nullable_jvm,
+        "zonemap_scan": _q_zonemap_scan,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2152,6 +2190,12 @@ SELECT chunk_id, col_name, n_values, codec_id, enc_bytes FROM result
 """,
         "table_encode_files": _table_encode_files_oracle(),
         "table_encode_nullable": _table_encode_nullable_oracle(),
+        "zonemap_scan": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS custkey_n
+FROM orders
+WHERE o_orderkey % 7 != 0 AND o_custkey BETWEEN 100 AND 499
+""",
         "table_encode_nullable_jvm": f"""
 WITH base AS (
   SELECT CAST(o_orderkey % 4 AS INT) AS chunk_id, o_orderkey,

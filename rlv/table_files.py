@@ -14,7 +14,9 @@ Wire layout under ``out_dir``:
 
 * ``blocks/{split_id}.parquet`` — one row per (column, block):
   ``(split_seq, col_name, block_idx, n_values, n_nulls, n_runs, codec_id,
-  enc_bytes, naive_bytes, block)``.  String columns contribute their
+  enc_bytes, naive_bytes, min_val, max_val, block)``.  ``min_val``/
+  ``max_val`` are the block's zone map over its VALID values (r4) — the
+  block-skipping statistic :func:`scan_table_files` prunes on.  String columns contribute their
   per-block dense-code stream (codes = rank of the value among the block's
   sorted distinct VALID values) through the INT codecs — parquet's
   dictionary-page / data-page split, same as
@@ -177,7 +179,7 @@ def _make_table_split_worker(
                     k: []
                     for k in ("split_seq", "col_name", "block_idx", "n_values",
                               "n_nulls", "n_runs", "codec_id", "enc_bytes",
-                              "naive_bytes", "block")
+                              "naive_bytes", "min_val", "max_val", "block")
                 }
                 srows = {
                     k: []
@@ -228,6 +230,11 @@ def _make_table_split_worker(
                     brows["codec_id"].append(int(codec))
                     brows["enc_bytes"].append(len(blk))
                     brows["naive_bytes"].append(naive)
+                    # zone map over the VALID values (meaningless for an
+                    # all-NULL block: n_runs == 0 marks it) — the pruned
+                    # scan's min/max block-skipping statistic
+                    brows["min_val"].append(int(st.min_val))
+                    brows["max_val"].append(int(st.max_val))
                     brows["block"].append(blk)
                     total_vals += int(n_vals)
                     total_runs += int(st.n_runs)
@@ -302,6 +309,8 @@ def _make_table_split_worker(
                         "naive_bytes": pa.array(
                             brows["naive_bytes"], pa.int64()
                         ),
+                        "min_val": pa.array(brows["min_val"], pa.int64()),
+                        "max_val": pa.array(brows["max_val"], pa.int64()),
                         "block": pa.array(brows["block"], pa.binary()),
                     }
                 )
@@ -867,3 +876,182 @@ def decode_table_files(
         "files": len(rows),
         "rows": sum(int(r["n_rows"]) for r in rows),
     }
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan: predicate pushdown into the ENCODED format.  Blocks
+# whose [min_val, max_val] cannot intersect the predicate range are never
+# decoded — the standard columnar block-skipping read path, over our own
+# blocks relation instead of parquet pages.
+# ---------------------------------------------------------------------------
+
+_SPARK_TYPE_OF_ALIAS = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint",
+}
+
+
+def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
+    """Driver-side pruning estimate from block METADATA only (a column-
+    pruned read of the blocks files — no block payload is touched):
+    {blocks_total, blocks_matching, rows_total, rows_in_matching}."""
+    import pyarrow.parquet as pq
+
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    total = match = rows = rows_m = 0
+    for sid in live["split_id"].astype(str):
+        t = pq.read_table(
+            os.path.join(enc_dir, "blocks", f"{sid}.parquet"),
+            columns=["col_name", "n_values", "n_runs", "min_val", "max_val"],
+            filters=[("col_name", "=", col)],
+        )
+        nv = t.column("n_values").to_numpy()
+        nr = t.column("n_runs").to_numpy()
+        mn = t.column("min_val").to_numpy()
+        mx = t.column("max_val").to_numpy()
+        keep = (nr > 0) & (mx >= lo) & (mn <= hi)
+        total += len(t)
+        match += int(keep.sum())
+        rows += int(nv.sum())
+        rows_m += int(nv[keep].sum())
+    return {
+        "blocks_total": total,
+        "blocks_matching": match,
+        "rows_total": rows,
+        "rows_in_matching": rows_m,
+    }
+
+
+def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
+    from rlv.util import tune_malloc
+
+    order_col = schema["order_col"]
+
+    def run_scan(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                # zone maps exist from r4 on; the required columns double as
+                # the format check (a pre-zone-map file fails loudly here)
+                btbl = pq.read_table(
+                    path,
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_runs", "min_val", "max_val",
+                             "block"],
+                    filters=[("col_name", "in", [order_col, col])],
+                ).combine_chunks()
+                outs_k: list[np.ndarray] = []
+                outs_v: list[np.ndarray] = []
+                for seq, seg in _split_segments(btbl, file_sid):
+                    per: dict[str, dict[int, tuple]] = {order_col: {},
+                                                        col: {}}
+                    for name, bi, nv, nr, mn, mx, blob in zip(
+                        seg.column("col_name").to_pylist(),
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
+                        seg.column("block").to_pylist(),
+                    ):
+                        per[name][int(bi)] = (
+                            int(nv), int(nr), int(mn), int(mx), blob
+                        )
+                    # ZONE-MAP PRUNE: only blocks whose valid-value range
+                    # can intersect [lo, hi] are ever decoded
+                    survivors = sorted(
+                        bi
+                        for bi, (nv, nr, mn, mx, _) in per[col].items()
+                        if nr > 0 and mx >= lo and mn <= hi
+                    )
+                    if not survivors:
+                        continue
+                    vals, voffs, vvalid = B.decode_blocks_batch_nullable(
+                        [per[col][bi][4] for bi in survivors],
+                        np.int64,
+                        expected=[per[col][bi][0] for bi in survivors],
+                    )
+                    keys, koffs, _ = B.decode_blocks_batch_nullable(
+                        [per[order_col][bi][4] for bi in survivors],
+                        np.int64,
+                        expected=[per[order_col][bi][0] for bi in survivors],
+                    )
+                    if not np.array_equal(voffs, koffs):  # pragma: no cover
+                        raise ValueError(
+                            f"column {col!r} and order blocks disagree on "
+                            "row counts — corrupt dataset"
+                        )
+                    m = vvalid & (vals >= lo) & (vals <= hi)
+                    outs_k.append(keys[m])
+                    outs_v.append(vals[m])
+                k = (
+                    np.concatenate(outs_k) if outs_k
+                    else np.empty(0, np.int64)
+                )
+                v = (
+                    np.concatenate(outs_v) if outs_v
+                    else np.empty(0, np.int64)
+                )
+                yield pd.DataFrame({order_col: k, col: v})
+
+    return run_scan
+
+
+def scan_table_files(
+    spark: SparkSession, enc_dir: str, col: str, lo: int, hi: int
+):
+    """Pruned range scan over an encoded table: rows where ``lo <= col <=
+    hi`` (NULLs excluded, SQL BETWEEN semantics), returned as
+    ``(order_col, col)`` at their recorded source widths.
+
+    One task per live blocks file, zero shuffle; within each task only the
+    blocks whose zone map intersects the range are decoded — on a sorted or
+    clustered column the scan touches O(selectivity) of the data, the same
+    block-skipping a warehouse gets from parquet page stats, here served by
+    OUR metadata so the payload format never needs parquet's reader.
+    :func:`zonemap_stats` reports the pruning ratio from metadata alone.
+    Int columns only (string zone maps would need order statistics the
+    dictionary sidecar does not record — by design: dense codes are
+    per-block ranks)."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["int_cols"]:
+        raise ValueError(
+            f"{col!r} is not an int column of this dataset "
+            f"(int_cols={schema['int_cols']}); zone maps cover int columns"
+        )
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    order_col = schema["order_col"]
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    out = tasks_df.mapInPandas(
+        _make_scan_worker(schema, col, int(lo), int(hi)),
+        f"{order_col} bigint, {col} bigint",
+    )
+    types = schema.get("int_col_types") or {}
+    from pyspark.sql import functions as F
+
+    return out.select(
+        F.col(order_col).cast(
+            _SPARK_TYPE_OF_ALIAS.get(types.get(order_col, "int64"), "bigint")
+        ).alias(order_col),
+        F.col(col).cast(
+            _SPARK_TYPE_OF_ALIAS.get(types.get(col, "int64"), "bigint")
+        ).alias(col),
+    )

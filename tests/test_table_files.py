@@ -363,3 +363,48 @@ def test_decode_restores_source_int_widths(spark, tmp_path):
     assert str(got.schema.field("v16").type) == "int16"
     assert str(got.schema.field("v64").type) == "int64"
     assert got.sort_by("k").equals(tbl)
+
+
+def test_zonemap_pruned_scan(spark, tmp_path):
+    """Zone-map predicate pushdown: a range scan on a clustered column
+    decodes only the blocks whose [min, max] intersects the range, excludes
+    NULLs (SQL BETWEEN semantics), and returns exactly the filter result at
+    the recorded source widths."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 20000
+    ck = [None if i % 11 == 0 else (i // 100) for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            # clustered (k//100) with every 11th row NULL
+            "band_n": pa.array(ck, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=4096)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "band_n"], rows_per_block=1024,
+        num_tasks=2,
+    )
+    lo, hi = 40, 44  # rows 4000..4499 minus NULLs
+    st = table_files.zonemap_stats(out, "band_n", lo, hi)
+    # the clustered column must prune hard: 5 bands ~= 500 rows of 20000
+    assert st["blocks_matching"] < st["blocks_total"] // 3, st
+    got = table_files.scan_table_files(spark, out, "band_n", lo, hi)
+    assert dict(got.dtypes) == {"k": "bigint", "band_n": "int"}
+    rows = sorted((r["k"], r["band_n"]) for r in got.collect())
+    want = sorted(
+        (i, ck[i]) for i in range(n)
+        if ck[i] is not None and lo <= ck[i] <= hi
+    )
+    assert rows == want and len(rows) > 0
+    # a non-int column is refused with the valid set named
+    with pytest.raises(ValueError, match="int column"):
+        table_files.scan_table_files(spark, out, "nope", 0, 1)
