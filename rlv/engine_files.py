@@ -1077,19 +1077,50 @@ def compact_blocks(
         path = os.path.join(blocks_dir, f"{rec['split_id']}.parquet")
         if os.path.exists(path):
             infos.append((str(rec["split_id"]), path, os.path.getsize(path)))
-    # first-fit-decreasing by size, binned SEPARATELY for splits with and
-    # without string sidecars (a resumed dataset can legitimately hold both;
-    # a mixed merged file could not reconstruct its string column) — only
-    # bins with >= 2 files are worth rewriting
+    # first-fit-decreasing by size, binned SEPARATELY per (has-sidecar,
+    # schema-signature) class: a resumed dataset can legitimately hold both
+    # plain and string-encoded splits (a mixed merged file could not
+    # reconstruct its string column), and a pre-r4 table dataset resumed
+    # with r4 code holds blocks files with and without split_seq/zone-map
+    # columns (pa.concat_tables would refuse a mixed bin mid-task — binning
+    # by footer schema keeps each generation compacting within itself).
+    # Only bins with >= 2 files are worth rewriting.
     strings_dir = f"{out_dir}/strings"
     def _has_sidecar(sid: str) -> bool:
         return os.path.exists(os.path.join(strings_dir, f"{sid}.parquet"))
 
+    rows_of: dict[str, int] = {}
+    sig_of: dict[str, tuple] = {}
+    if is_table and infos:
+        # table-plane blocks files hold one row per (split, column, block)
+        # — the manifest doesn't know that count, so read member FOOTERS
+        # (thread-pooled; metadata-only IO); the same pass records each
+        # file's column signature for generation-aware binning
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def footer(p: str) -> tuple[int, tuple]:
+            f = pq.ParquetFile(p)
+            return f.metadata.num_rows, tuple(f.schema_arrow.names)
+
+        paths = [p for _, p, _ in infos]
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+            for p, (nr, names) in zip(paths, ex.map(footer, paths)):
+                rows_of[p] = nr
+                sig_of[p] = names
+
     bins: list[list[tuple[str, str, int]]] = []
     sidecar_bins: set[int] = set()
-    for klass in (False, True):
+    classes = sorted(
+        {(_has_sidecar(sid), sig_of.get(path, ())) for sid, path, _ in infos}
+    )
+    for klass in classes:
         class_infos = sorted(
-            (i for i in infos if _has_sidecar(i[0]) == klass),
+            (
+                i for i in infos
+                if (_has_sidecar(i[0]), sig_of.get(i[1], ())) == klass
+            ),
             key=lambda x: -x[2],
         )
         class_bins: list[list[tuple[str, str, int]]] = []
@@ -1107,26 +1138,13 @@ def compact_blocks(
                 loads.append(info[2])
         for b in class_bins:
             if len(b) >= 2:
-                if klass:
+                if klass[0]:
                     sidecar_bins.add(len(bins))
                 bins.append(b)
     by_id = {str(r["split_id"]): r for r in pdf.to_dict("records")}
     written = 0
     absorbed = 0
     if bins:
-        if is_table:
-            # table-plane blocks files hold one row per (split, column,
-            # block) — the manifest doesn't know that count, so read the
-            # member FOOTERS (thread-pooled; still metadata-only IO)
-            from concurrent.futures import ThreadPoolExecutor
-
-            import pyarrow.parquet as pq
-
-            paths = [p for bin_ in bins for _, p, _ in bin_]
-            with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
-                rows_of = dict(zip(paths, ex.map(
-                    lambda p: pq.ParquetFile(p).metadata.num_rows, paths
-                )))
         specs = []
         for bi, bin_ in enumerate(bins):
             sids = [sid for sid, _, _ in bin_]
@@ -1261,6 +1279,32 @@ def encode_files_dataset(
     )
 
 
+def _check_codec_mask(out_dir: str, ids: tuple[int, ...]) -> None:
+    """Pin the selector candidate mask to the DATASET: a resume with a
+    different ``disable_codecs`` would encode the remaining splits under a
+    different selector policy — mixed codec regimes, and retried splits no
+    longer byte-reproducible without the unrecorded flag.  Same discipline
+    as the FSST-table and stream-plan pins."""
+    path = f"{_split_manifest_path(out_dir)}/codec_mask.json"
+    want = sorted(int(i) for i in ids)
+    if os.path.exists(path):
+        with open(path) as f:
+            rec = json.load(f)
+        if sorted(rec.get("disabled_codec_ids", [])) != want:
+            raise ValueError(
+                f"{path} records disabled_codec_ids="
+                f"{rec.get('disabled_codec_ids')}; resuming with {want} "
+                "would mix selector policies across splits — resume with "
+                "the recorded mask or encode into a fresh out_dir"
+            )
+        return
+    os.makedirs(_split_manifest_path(out_dir), exist_ok=True)
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump({"disabled_codec_ids": want}, f)
+    os.replace(tmp, path)
+
+
 def _symbols_path(out_dir: str) -> str:
     return f"{_split_manifest_path(out_dir)}/fsst_symbols.json"
 
@@ -1290,6 +1334,7 @@ def encode_splits(
     RLE is not removable (budget invariant)."""
     blocks_dir = f"{out_dir}/blocks"
     os.makedirs(blocks_dir, exist_ok=True)
+    _check_codec_mask(out_dir, _resolve_codec_ids(disable_codecs))
     if string_cols and set(string_cols) != {"source"}:
         raise ValueError(
             f"string_cols={string_cols!r}: the token-table schema has exactly "

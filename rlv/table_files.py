@@ -710,13 +710,22 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
                     mismatches += int(bad.sum())
                 # segments the manifest knows but the file lost are data
                 # loss: count every row their recorded lineage says they
-                # held (source footers — cheap in-task metadata)
+                # held (source footers, opened once per file).  Reporting
+                # the loss must never itself crash — sources may have been
+                # archived after a passing verify, so an unreadable footer
+                # degrades to counting one mismatch per lost piece
                 for seq in set(pmap) - seen:
+                    lost_by_file: dict[str, list[int]] = {}
                     for path, rg in pmap[seq]:
-                        mismatches += (
-                            pq.ParquetFile(path).metadata.row_group(rg)
-                            .num_rows
-                        )
+                        lost_by_file.setdefault(path, []).append(rg)
+                    for path, rgs in lost_by_file.items():
+                        try:
+                            meta = pq.ParquetFile(path).metadata
+                            mismatches += sum(
+                                meta.row_group(rg).num_rows for rg in rgs
+                            )
+                        except Exception:
+                            mismatches += len(rgs)
                 yield pd.DataFrame(
                     {
                         "split_id": [split_id],
@@ -891,12 +900,29 @@ _SPARK_TYPE_OF_ALIAS = {
 }
 
 
+def _require_int_col(enc_dir: str, col: str) -> dict:
+    """Load the table schema and validate ``col`` is a zone-mapped int
+    column — shared by the scan and its stats sibling so both fail the same
+    way on typos and string columns (whose per-block dense-rank codes carry
+    meaningless min/max for value predicates)."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["int_cols"]:
+        raise ValueError(
+            f"{col!r} is not an int column of this dataset "
+            f"(int_cols={schema['int_cols']}); zone maps cover int columns"
+        )
+    return schema
+
+
 def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
     """Driver-side pruning estimate from block METADATA only (a column-
     pruned read of the blocks files — no block payload is touched):
     {blocks_total, blocks_matching, rows_total, rows_in_matching}."""
     import pyarrow.parquet as pq
 
+    _require_int_col(enc_dir, col)
     live = engine_files.live_splits(enc_dir)
     if live is None:
         raise FileNotFoundError(f"no manifest at {enc_dir}")
@@ -939,14 +965,39 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # zone maps exist from r4 on; the required columns double as
-                # the format check (a pre-zone-map file fails loudly here)
+                # phase 1 — METADATA only (no payload column): the zone-map
+                # predicate runs as parquet filters, so pruned blocks never
+                # materialize their bytes; zone maps exist from r4 on and
+                # the required columns double as the format check
+                meta = pq.read_table(
+                    path,
+                    columns=["split_seq", "block_idx", "n_values"],
+                    filters=[
+                        ("col_name", "=", col), ("n_runs", ">", 0),
+                        ("max_val", ">=", lo), ("min_val", "<=", hi),
+                    ],
+                ).combine_chunks()
+                if len(meta) == 0:
+                    yield pd.DataFrame(
+                        dict(zip(out_names,
+                                 [np.empty(0, np.int64)] * len(out_names)))
+                    )
+                    continue
+                surviving_idx = sorted(
+                    set(meta.column("block_idx").to_pylist())
+                )
+                # phase 2 — payloads for SURVIVING block ordinals only (the
+                # in-filter over-reads a block_idx that survives in one
+                # segment but not another; segments prune exactly below)
                 btbl = pq.read_table(
                     path,
                     columns=["split_seq", "col_name", "block_idx",
                              "n_values", "n_runs", "min_val", "max_val",
                              "block"],
-                    filters=[("col_name", "in", [order_col, col])],
+                    filters=[
+                        ("col_name", "in", [order_col, col]),
+                        ("block_idx", "in", surviving_idx),
+                    ],
                 ).combine_chunks()
                 outs_k: list[np.ndarray] = []
                 outs_v: list[np.ndarray] = []
@@ -965,8 +1016,6 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
                         per[name][int(bi)] = (
                             int(nv), int(nr), int(mn), int(mx), blob
                         )
-                    # ZONE-MAP PRUNE: only blocks whose valid-value range
-                    # can intersect [lo, hi] are ever decoded
                     survivors = sorted(
                         bi
                         for bi, (nv, nr, mn, mx, _) in per[col].items()
@@ -979,30 +1028,33 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
                         np.int64,
                         expected=[per[col][bi][0] for bi in survivors],
                     )
-                    keys, koffs, _ = B.decode_blocks_batch_nullable(
-                        [per[order_col][bi][4] for bi in survivors],
-                        np.int64,
-                        expected=[per[order_col][bi][0] for bi in survivors],
-                    )
-                    if not np.array_equal(voffs, koffs):  # pragma: no cover
-                        raise ValueError(
-                            f"column {col!r} and order blocks disagree on "
-                            "row counts — corrupt dataset"
-                        )
                     m = vvalid & (vals >= lo) & (vals <= hi)
-                    outs_k.append(keys[m])
-                    outs_v.append(vals[m])
-                k = (
-                    np.concatenate(outs_k) if outs_k
-                    else np.empty(0, np.int64)
-                )
-                v = (
-                    np.concatenate(outs_v) if outs_v
-                    else np.empty(0, np.int64)
-                )
-                yield pd.DataFrame({order_col: k, col: v})
+                    if col == order_col:
+                        # scanning the sort key itself: one output column
+                        outs_k.append(vals[m])
+                    else:
+                        keys, koffs, _ = B.decode_blocks_batch_nullable(
+                            [per[order_col][bi][4] for bi in survivors],
+                            np.int64,
+                            expected=[
+                                per[order_col][bi][0] for bi in survivors
+                            ],
+                        )
+                        if not np.array_equal(voffs, koffs):
+                            raise ValueError(
+                                f"column {col!r} and order blocks disagree "
+                                "on row counts — corrupt dataset"
+                            )
+                        outs_k.append(keys[m])
+                        outs_v.append(vals[m])
+                arrays = [
+                    np.concatenate(o) if o else np.empty(0, np.int64)
+                    for o in ([outs_k, outs_v][:len(out_names)])
+                ]
+                yield pd.DataFrame(dict(zip(out_names, arrays)))
 
-    return run_scan
+    out_names = [order_col] if col == order_col else [order_col, col]
+    return run_scan, out_names
 
 
 def scan_table_files(
@@ -1010,10 +1062,13 @@ def scan_table_files(
 ):
     """Pruned range scan over an encoded table: rows where ``lo <= col <=
     hi`` (NULLs excluded, SQL BETWEEN semantics), returned as
-    ``(order_col, col)`` at their recorded source widths.
+    ``(order_col, col)`` — or just ``(order_col,)`` when the scanned column
+    IS the sort key — at their recorded source widths.
 
-    One task per live blocks file, zero shuffle; within each task only the
-    blocks whose zone map intersects the range are decoded — on a sorted or
+    One task per live blocks file, zero shuffle.  The zone-map predicate
+    runs as PARQUET FILTERS on a payload-free metadata read first, so
+    pruned blocks are neither decoded NOR materialized from disk; only
+    surviving block ordinals' payloads are fetched — on a sorted or
     clustered column the scan touches O(selectivity) of the data, the same
     block-skipping a warehouse gets from parquet page stats, here served by
     OUR metadata so the payload format never needs parquet's reader.
@@ -1021,14 +1076,7 @@ def scan_table_files(
     Int columns only (string zone maps would need order statistics the
     dictionary sidecar does not record — by design: dense codes are
     per-block ranks)."""
-    schema = _load_table_schema(enc_dir)
-    if schema is None:
-        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    if col not in schema["int_cols"]:
-        raise ValueError(
-            f"{col!r} is not an int column of this dataset "
-            f"(int_cols={schema['int_cols']}); zone maps cover int columns"
-        )
+    schema = _require_int_col(enc_dir, col)
     live = engine_files.live_splits(enc_dir)
     if live is None:
         raise FileNotFoundError(f"no manifest at {enc_dir}")
@@ -1040,18 +1088,18 @@ def scan_table_files(
     tasks_df = spark.createDataFrame(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
+    worker, out_names = _make_scan_worker(schema, col, int(lo), int(hi))
     out = tasks_df.mapInPandas(
-        _make_scan_worker(schema, col, int(lo), int(hi)),
-        f"{order_col} bigint, {col} bigint",
+        worker, ", ".join(f"{c} bigint" for c in out_names)
     )
     types = schema.get("int_col_types") or {}
     from pyspark.sql import functions as F
 
     return out.select(
-        F.col(order_col).cast(
-            _SPARK_TYPE_OF_ALIAS.get(types.get(order_col, "int64"), "bigint")
-        ).alias(order_col),
-        F.col(col).cast(
-            _SPARK_TYPE_OF_ALIAS.get(types.get(col, "int64"), "bigint")
-        ).alias(col),
+        *[
+            F.col(c).cast(
+                _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint")
+            ).alias(c)
+            for c in out_names
+        ]
     )

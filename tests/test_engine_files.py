@@ -499,3 +499,20 @@ def test_disable_codecs_rejects_non_candidates(spark, tok_dir, tmp_path):
                 spark, tok_dir, str(tmp_path / "x"), num_tasks=2,
                 disable_codecs=(bad,),
             )
+
+
+def test_codec_mask_pinned_to_dataset(spark, tok_dir, tmp_path):
+    """Resuming an encode with a different disable_codecs mask would mix
+    selector policies across splits — the dataset records the mask and a
+    mismatched resume fails loudly."""
+    out = str(tmp_path / "enc_mask")
+    engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=4, disable_codecs=("delta",)
+    )
+    with pytest.raises(ValueError, match="disabled_codec_ids"):
+        engine_files.encode_files_dataset(spark, tok_dir, out, num_tasks=4)
+    # same mask resumes cleanly
+    again = engine_files.encode_files_dataset(
+        spark, tok_dir, out, num_tasks=4, disable_codecs=("delta",)
+    )
+    assert again["splits_encoded"] == 0

@@ -408,3 +408,30 @@ def test_zonemap_pruned_scan(spark, tmp_path):
     # a non-int column is refused with the valid set named
     with pytest.raises(ValueError, match="int column"):
         table_files.scan_table_files(spark, out, "nope", 0, 1)
+
+
+def test_zonemap_scan_on_order_column(spark, tmp_path):
+    """Scanning the sort key itself — the primary zone-map case (perfectly
+    clustered) — returns one column and prunes almost everything."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 10000
+    tbl = pa.table({"k": pa.array(range(n), pa.int32())})
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=2048)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k"], rows_per_block=512, num_tasks=2,
+    )
+    st = table_files.zonemap_stats(out, "k", 1000, 1099)
+    assert st["blocks_matching"] <= 2 and st["blocks_total"] >= 18
+    got = table_files.scan_table_files(spark, out, "k", 1000, 1099)
+    assert got.columns == ["k"] and dict(got.dtypes) == {"k": "int"}
+    assert sorted(r["k"] for r in got.collect()) == list(range(1000, 1100))
+    with pytest.raises(ValueError, match="int column"):
+        table_files.zonemap_stats(out, "typo", 0, 1)
