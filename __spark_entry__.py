@@ -1083,6 +1083,52 @@ def _q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonemap_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection scan over the encoded format: the zone-map range predicate
+    prunes blocks, then ONLY the projected columns' payloads are fetched —
+    including a nullable STRING column gathered through its per-block
+    dictionary sidecar.  The checkable facet: (predicate pushdown ×
+    column pruning × NULL preservation) must equal a plain SQL
+    SELECT-WHERE, exactly."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_zmp_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE o_orderkey % 1000 END AS total_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL "
+        "     ELSE o_orderpriority END AS pri_s "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n", "total_n"],
+        str_cols=["pri_s"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files(
+        spark, out, "custkey_n", 100, 499,
+        columns=["o_orderkey", "pri_s", "total_n"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("pri_s").alias("pri_s"),
+        F.col("total_n").cast("bigint").alias("total_n"),
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1645,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_encode_nullable": _q_table_encode_nullable,
         "table_encode_nullable_jvm": _q_table_encode_nullable_jvm,
         "zonemap_scan": _q_zonemap_scan,
+        "zonemap_scan_project": _q_zonemap_scan_project,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2193,6 +2240,15 @@ SELECT chunk_id, col_name, n_values, codec_id, enc_bytes FROM result
         "zonemap_scan": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        CAST(o_custkey AS BIGINT) AS custkey_n
+FROM orders
+WHERE o_orderkey % 7 != 0 AND o_custkey BETWEEN 100 AND 499
+""",
+        "zonemap_scan_project": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CASE WHEN o_orderkey % 5 = 3 THEN NULL
+            ELSE o_orderpriority END AS pri_s,
+       CASE WHEN o_orderkey % 3 = 1 THEN NULL
+            ELSE CAST(o_orderkey % 1000 AS BIGINT) END AS total_n
 FROM orders
 WHERE o_orderkey % 7 != 0 AND o_custkey BETWEEN 100 AND 499
 """,

@@ -950,12 +950,24 @@ def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
     }
 
 
-def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
+def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
+                      out_names: list[str]):
     from rlv.util import tune_malloc
 
     order_col = schema["order_col"]
+    str_cols = set(schema["str_cols"])
+
+    def _empty_frame() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                c: (pd.Series([], dtype=object) if c in str_cols
+                    else pd.Series(np.empty(0, np.int64)))
+                for c in out_names
+            }
+        )
 
     def run_scan(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from rlv import blocks as B
@@ -978,10 +990,7 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
                     ],
                 ).combine_chunks()
                 if len(meta) == 0:
-                    yield pd.DataFrame(
-                        dict(zip(out_names,
-                                 [np.empty(0, np.int64)] * len(out_names)))
-                    )
+                    yield _empty_frame()
                     continue
                 surviving_idx = sorted(
                     set(meta.column("block_idx").to_pylist())
@@ -989,21 +998,27 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
                 # phase 2 — payloads for SURVIVING block ordinals only (the
                 # in-filter over-reads a block_idx that survives in one
                 # segment but not another; segments prune exactly below)
+                read_names = list(dict.fromkeys([col, *out_names]))
                 btbl = pq.read_table(
                     path,
                     columns=["split_seq", "col_name", "block_idx",
                              "n_values", "n_runs", "min_val", "max_val",
                              "block"],
                     filters=[
-                        ("col_name", "in", [order_col, col]),
+                        ("col_name", "in", read_names),
                         ("block_idx", "in", surviving_idx),
                     ],
                 ).combine_chunks()
-                outs_k: list[np.ndarray] = []
-                outs_v: list[np.ndarray] = []
+                side = (
+                    _read_dict_sidecar(path, file_sid)
+                    if str_cols.intersection(out_names)
+                    else {}
+                )
+                outs: dict[str, list] = {c: [] for c in out_names}
                 for seq, seg in _split_segments(btbl, file_sid):
-                    per: dict[str, dict[int, tuple]] = {order_col: {},
-                                                        col: {}}
+                    per: dict[str, dict[int, tuple]] = {
+                        c: {} for c in read_names
+                    }
                     for name, bi, nv, nr, mn, mx, blob in zip(
                         seg.column("col_name").to_pylist(),
                         seg.column("block_idx").to_numpy(),
@@ -1029,54 +1044,132 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int):
                         expected=[per[col][bi][0] for bi in survivors],
                     )
                     m = vvalid & (vals >= lo) & (vals <= hi)
-                    if col == order_col:
-                        # scanning the sort key itself: one output column
-                        outs_k.append(vals[m])
-                    else:
-                        keys, koffs, _ = B.decode_blocks_batch_nullable(
-                            [per[order_col][bi][4] for bi in survivors],
-                            np.int64,
-                            expected=[
-                                per[order_col][bi][0] for bi in survivors
-                            ],
-                        )
-                        if not np.array_equal(voffs, koffs):
-                            raise ValueError(
-                                f"column {col!r} and order blocks disagree "
-                                "on row counts — corrupt dataset"
+                    for c in out_names:
+                        if c == col:
+                            # predicate column: m already excludes NULLs
+                            outs[c].append(
+                                (vals[m], np.zeros(int(m.sum()), bool))
                             )
-                        outs_k.append(keys[m])
-                        outs_v.append(vals[m])
-                arrays = [
-                    np.concatenate(o) if o else np.empty(0, np.int64)
-                    for o in ([outs_k, outs_v][:len(out_names)])
-                ]
-                yield pd.DataFrame(dict(zip(out_names, arrays)))
+                            continue
+                        if c in str_cols:
+                            # codes (validity-wrapped) + per-block dict
+                            # gather; a NULL code gathers a NULL value
+                            parts = []
+                            for bi in survivors:
+                                codes, _, cv = (
+                                    B.decode_blocks_batch_nullable(
+                                        [per[c][bi][4]], np.int64,
+                                        expected=[per[c][bi][0]],
+                                    )
+                                )
+                                uniq = B.decode_strings_arrow(
+                                    side[(seq, c, bi)]
+                                )
+                                idx = (
+                                    pa.array(codes)
+                                    if cv.all()
+                                    else pa.array(codes, pa.int64(),
+                                                  mask=~cv)
+                                )
+                                parts.append(uniq.take(idx))
+                            arr = pa.concat_arrays(
+                                [p.combine_chunks() if hasattr(p, "chunks")
+                                 else p for p in parts]
+                            )
+                            if len(arr) != vals.size:
+                                raise ValueError(
+                                    f"column {c!r} and {col!r} blocks "
+                                    "disagree on row counts"
+                                )
+                            outs[c].append(arr.filter(pa.array(m)))
+                        else:
+                            cv_vals, cv_offs, cv_valid = (
+                                B.decode_blocks_batch_nullable(
+                                    [per[c][bi][4] for bi in survivors],
+                                    np.int64,
+                                    expected=[
+                                        per[c][bi][0] for bi in survivors
+                                    ],
+                                )
+                            )
+                            if not np.array_equal(cv_offs, voffs):
+                                raise ValueError(
+                                    f"column {c!r} and {col!r} blocks "
+                                    "disagree on row counts — corrupt "
+                                    "dataset"
+                                )
+                            outs[c].append((cv_vals[m], ~cv_valid[m]))
+                if not outs[out_names[0]]:
+                    yield _empty_frame()
+                    continue
+                yield pd.DataFrame(
+                    {
+                        c: (
+                            pa.concat_arrays(outs[c])
+                            .cast(pa.string())
+                            .to_pandas()
+                            if c in str_cols
+                            else pd.Series(
+                                pd.arrays.IntegerArray(
+                                    np.concatenate(
+                                        [v for v, _ in outs[c]]
+                                    ),
+                                    np.concatenate(
+                                        [mk for _, mk in outs[c]]
+                                    ),
+                                )
+                            )
+                        )
+                        for c in out_names
+                    }
+                )
 
-    out_names = [order_col] if col == order_col else [order_col, col]
-    return run_scan, out_names
+    return run_scan
 
 
 def scan_table_files(
-    spark: SparkSession, enc_dir: str, col: str, lo: int, hi: int
+    spark: SparkSession, enc_dir: str, col: str, lo: int, hi: int,
+    columns: list[str] | None = None,
 ):
-    """Pruned range scan over an encoded table: rows where ``lo <= col <=
-    hi`` (NULLs excluded, SQL BETWEEN semantics), returned as
-    ``(order_col, col)`` — or just ``(order_col,)`` when the scanned column
-    IS the sort key — at their recorded source widths.
+    """Pruned projection scan over an encoded table: rows where ``lo <=
+    col <= hi`` (NULLs excluded, SQL BETWEEN semantics), projected to
+    ``columns`` — any mix of int columns (returned at their recorded
+    source widths, NULLs preserved) and string columns (dictionary-gathered
+    per block, NULLs preserved).  ``columns=None`` keeps the classic shape:
+    ``(order_col, col)``, or just ``(order_col,)`` when the scanned column
+    IS the sort key.
 
     One task per live blocks file, zero shuffle.  The zone-map predicate
     runs as PARQUET FILTERS on a payload-free metadata read first, so
     pruned blocks are neither decoded NOR materialized from disk; only
-    surviving block ordinals' payloads are fetched — on a sorted or
-    clustered column the scan touches O(selectivity) of the data, the same
-    block-skipping a warehouse gets from parquet page stats, here served by
-    OUR metadata so the payload format never needs parquet's reader.
-    :func:`zonemap_stats` reports the pruning ratio from metadata alone.
-    Int columns only (string zone maps would need order statistics the
-    dictionary sidecar does not record — by design: dense codes are
-    per-block ranks)."""
+    surviving block ordinals' payloads are fetched — and only for the
+    PROJECTED columns, so a 2-column read of a 50-column table never
+    touches the other 48 (column pruning inside our own format).  On a
+    sorted or clustered column the scan touches O(selectivity) of the
+    data, the same block-skipping a warehouse gets from parquet page
+    stats, here served by OUR metadata so the payload format never needs
+    parquet's reader.  :func:`zonemap_stats` reports the pruning ratio
+    from metadata alone.  Predicate column must be int (string zone maps
+    would need order statistics the dictionary sidecar does not record —
+    by design: dense codes are per-block ranks)."""
     schema = _require_int_col(enc_dir, col)
+    order_col = schema["order_col"]
+    if columns is None:
+        out_names = [order_col] if col == order_col else [order_col, col]
+    else:
+        out_names = list(columns)
+        if not out_names:
+            raise ValueError("columns must name at least one column")
+        if len(set(out_names)) != len(out_names):
+            raise ValueError(f"duplicate column in projection: {out_names}")
+        known = set(schema["int_cols"]) | set(schema["str_cols"])
+        unknown = [c for c in out_names if c not in known]
+        if unknown:
+            raise ValueError(
+                f"unknown column(s) {unknown}; dataset has "
+                f"int_cols={schema['int_cols']} "
+                f"str_cols={schema['str_cols']}"
+            )
     live = engine_files.live_splits(enc_dir)
     if live is None:
         raise FileNotFoundError(f"no manifest at {enc_dir}")
@@ -1084,20 +1177,25 @@ def scan_table_files(
         os.path.join(enc_dir, "blocks", f"{sid}.parquet")
         for sid in live["split_id"].astype(str)
     )
-    order_col = schema["order_col"]
     tasks_df = spark.createDataFrame(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
-    worker, out_names = _make_scan_worker(schema, col, int(lo), int(hi))
+    str_cols = set(schema["str_cols"])
+    worker = _make_scan_worker(schema, col, int(lo), int(hi), out_names)
     out = tasks_df.mapInPandas(
-        worker, ", ".join(f"{c} bigint" for c in out_names)
+        worker,
+        ", ".join(
+            f"`{c}` {'string' if c in str_cols else 'bigint'}"
+            for c in out_names
+        ),
     )
     types = schema.get("int_col_types") or {}
     from pyspark.sql import functions as F
 
     return out.select(
         *[
-            F.col(c).cast(
+            F.col(c).alias(c) if c in str_cols
+            else F.col(c).cast(
                 _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint")
             ).alias(c)
             for c in out_names

@@ -410,6 +410,77 @@ def test_zonemap_pruned_scan(spark, tmp_path):
         table_files.scan_table_files(spark, out, "nope", 0, 1)
 
 
+def test_zonemap_scan_projection(spark, tmp_path):
+    """Projection scan: any mix of int and string columns comes back for
+    the predicate's surviving rows — NULLs preserved in projected columns,
+    source widths restored, string values dictionary-gathered per block."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    band = [None if i % 13 == 0 else (i // 50) for i in range(n)]
+    extra = [None if i % 7 == 0 else i * 3 for i in range(n)]
+    tag = [None if i % 5 == 0 else f"tag{i % 17}" for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "band_n": pa.array(band, pa.int32()),
+            "extra_n": pa.array(extra, pa.int16()),
+            "tag_s": pa.array(tag, pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=1500)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "band_n", "extra_n"],
+        str_cols=["tag_s"], rows_per_block=512, num_tasks=2,
+    )
+    lo, hi = 20, 29
+    got = table_files.scan_table_files(
+        spark, out, "band_n", lo, hi,
+        columns=["k", "tag_s", "extra_n", "band_n"],
+    )
+    assert got.columns == ["k", "tag_s", "extra_n", "band_n"]
+    assert dict(got.dtypes) == {
+        "k": "bigint", "tag_s": "string",
+        "extra_n": "smallint", "band_n": "int",
+    }
+    rows = sorted(
+        (r["k"], r["tag_s"], r["extra_n"], r["band_n"])
+        for r in got.collect()
+    )
+    want = sorted(
+        (i, tag[i], extra[i], band[i])
+        for i in range(n)
+        if band[i] is not None and lo <= band[i] <= hi
+    )
+    assert rows == want and len(rows) > 0
+    # NULLs in PROJECTED columns must survive the scan
+    assert any(r[1] is None for r in rows)
+    assert any(r[2] is None for r in rows)
+    # projection without the predicate column is legal too
+    slim = table_files.scan_table_files(
+        spark, out, "band_n", lo, hi, columns=["tag_s"]
+    )
+    assert slim.columns == ["tag_s"]
+    assert sorted(
+        (r["tag_s"] or "") for r in slim.collect()
+    ) == sorted((t or "") for _, t, _, _ in want)
+    with pytest.raises(ValueError, match="unknown column"):
+        table_files.scan_table_files(
+            spark, out, "band_n", lo, hi, columns=["nope"]
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        table_files.scan_table_files(
+            spark, out, "band_n", lo, hi, columns=["k", "k"]
+        )
+
+
 def test_zonemap_scan_on_order_column(spark, tmp_path):
     """Scanning the sort key itself — the primary zone-map case (perfectly
     clustered) — returns one column and prunes almost everything."""
