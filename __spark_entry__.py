@@ -1129,6 +1129,52 @@ def _q_zonemap_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation pushed INTO the encoded format
+    (:func:`rlv.table_files.agg_table_files`): count/sum/min/max over a
+    range predicate computed from the blocks — zone maps classify predicate
+    blocks as pruned / full-match / partial, full-match value blocks
+    aggregate without decoding the predicate (RLE blocks sum their run list
+    without ever expanding), and only range-boundary blocks decode.  Both
+    the predicate and the value column are NULLABLE, so the whole
+    NULL-semantics surface (NULL pred never matches; count(v)/sum/min/max
+    skip NULL values) rides through the validity plane.  The oracle is the
+    plain SQL aggregate over the same derivation."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_agg_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n", "cents_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.agg_table_files(spark, out, "cents_n", "custkey_n", 100, 499)
+    return got.select(
+        "n_rows",
+        "n_vals",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1692,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_encode_nullable_jvm": _q_table_encode_nullable_jvm,
         "zonemap_scan": _q_zonemap_scan,
         "zonemap_scan_project": _q_zonemap_scan_project,
+        "pushdown_aggregate": _q_pushdown_aggregate,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2251,6 +2298,21 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
             ELSE CAST(o_orderkey % 1000 AS BIGINT) END AS total_n
 FROM orders
 WHERE o_orderkey % 7 != 0 AND o_custkey BETWEEN 100 AND 499
+""",
+        "pushdown_aggregate": """
+WITH v AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v WHERE custkey_n BETWEEN 100 AND 499
 """,
         "table_encode_nullable_jvm": f"""
 WITH base AS (

@@ -392,19 +392,7 @@ def decode_block(block: bytes, dtype=np.int32) -> np.ndarray:
         dt = np.dtype("<i8") if width == 8 else np.dtype("<i4")
         return np.frombuffer(block, dtype=dt, count=n, offset=pos).astype(dtype)
     if codec == RLE:
-        n_runs, pos = read_uvarint(block, pos)
-        min_val, pos = _read_svarint(block, pos)
-        cbits = block[pos]
-        vbits = block[pos + 1]
-        pos += 2
-        cbytes = packed_nbytes(n_runs, cbits)
-        counts = unpack_bits(block[pos:pos + cbytes], n_runs, cbits) + 1
-        pos += cbytes
-        vbytes = packed_nbytes(n_runs, vbits)
-        values = add_min_i64(
-            unpack_bits(block[pos:pos + vbytes], n_runs, vbits, dtype=np.uint64),
-            min_val,
-        )
+        counts, values = _rle_runs(block)
         return rle.rle_decode(counts, values).astype(dtype)
     if codec == BITPACK:
         n, pos = read_uvarint(block, pos)
@@ -448,6 +436,98 @@ def decode_block(block: bytes, dtype=np.int32) -> np.ndarray:
         # mod-2^64 cumsum inverts the (possibly wrapped) zigzag diffs exactly
         return np.cumsum(arr).view(np.int64).astype(dtype)
     raise ValueError(f"unknown codec id {codec}")
+
+
+def _rle_runs(block: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Parse an RLE block into its run list ``(counts, values)`` WITHOUT
+    expanding the rows — the parse half of ``decode_block``'s RLE branch,
+    shared with :func:`agg_block` which aggregates the runs directly."""
+    pos = 1
+    n_runs, pos = read_uvarint(block, pos)
+    min_val, pos = _read_svarint(block, pos)
+    cbits = block[pos]
+    vbits = block[pos + 1]
+    pos += 2
+    cbytes = packed_nbytes(n_runs, cbits)
+    counts = unpack_bits(block[pos:pos + cbytes], n_runs, cbits) + 1
+    pos += cbytes
+    vbytes = packed_nbytes(n_runs, vbits)
+    values = add_min_i64(
+        unpack_bits(block[pos:pos + vbytes], n_runs, vbits, dtype=np.uint64),
+        min_val,
+    )
+    return counts, values
+
+
+def exact_sum_i64(vals: np.ndarray) -> int:
+    """Exact Python-int sum of an int64 array over the FULL domain.
+
+    The fast path is a plain int64 ``np.sum``, taken whenever the zone bound
+    ``max|value| * n`` keeps every partial sum inside int64.  Near the edge
+    the array splits into 32-bit planes whose int64 partial sums cannot wrap
+    (low plane < 2^32 so its sum < n*2^32; high plane in [-2^31, 2^31)), so
+    the recombined Python int is exact with no object-dtype walk.  Callers
+    keep accumulating across blocks in Python ints, where overflow does not
+    exist."""
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    n = vals.size
+    if n == 0:
+        return 0
+    if n >= 2**31:  # plane partial sums could wrap; no real block is this big
+        return int(sum(vals.tolist()))
+    m = max(abs(int(vals.min())), abs(int(vals.max())))
+    if m * n < 2**63:
+        return int(vals.sum(dtype=np.int64))
+    hi = vals >> np.int64(32)            # arithmetic shift: signed high plane
+    lo = vals & np.int64(0xFFFFFFFF)     # nonnegative low plane
+    return (int(hi.sum(dtype=np.int64)) << 32) + int(lo.sum(dtype=np.int64))
+
+
+def _exact_run_dot(counts: np.ndarray, values: np.ndarray) -> int:
+    """Exact sum of the rows an RLE run list expands to: dot(counts, values)
+    without materializing the expansion.  Every partial sum is bounded by
+    n_rows * max|value|, so the int64 dot is safe under the same zone bound
+    ``exact_sum_i64`` uses; otherwise the (short) run list walks in Python
+    ints."""
+    n_rows = int(counts.sum())
+    m = max(abs(int(values.min())), abs(int(values.max())))
+    if m * n_rows < 2**63:
+        return int(np.dot(counts.astype(np.int64), values))
+    return sum(int(c) * int(v) for c, v in zip(counts.tolist(), values.tolist()))
+
+
+def agg_block(block: bytes) -> tuple[int, int, int, int | None, int | None]:
+    """Exact ``(n_rows, n_valid, sum, min, max)`` of one int block's VALID
+    values — aggregation pushed INTO the compressed format.
+
+    An RLE block aggregates its run list directly (``sum = dot(counts,
+    values)``, min/max over the run values) so the expanded rows never
+    materialize — the compute-over-compressed identity an RLE engine exists
+    for (the run list is the sufficient statistic; cf. the reference's
+    run-frequency/space analyses over runs, rl_encoding.v:2735-2762, which
+    never expand either).  A NULLW wrapper contributes its counts and defers
+    to the inner block, whose values are exactly the valid ones.  Other
+    codecs decode (vectorized) and aggregate; sums are exact over the full
+    int64 domain via :func:`exact_sum_i64`."""
+    if len(block) == 0:
+        return 0, 0, 0, None, None
+    codec = block[0]
+    if codec == NULLW:
+        n_rows, n_valid, _, inner = parse_nullable(block)
+        in_rows, _, s, mn, mx = agg_block(inner)
+        if in_rows != n_valid:
+            raise ValueError("corrupt NULLW block: inner size != n_valid")
+        return n_rows, n_valid, s, mn, mx
+    if codec == RLE:
+        counts, values = _rle_runs(block)
+        n = int(counts.sum())
+        return (n, n, _exact_run_dot(counts, values),
+                int(values.min()), int(values.max()))
+    vals = decode_block(block, np.int64)
+    if vals.size == 0:
+        return 0, 0, 0, None, None
+    return (vals.size, vals.size, exact_sum_i64(vals),
+            int(vals.min()), int(vals.max()))
 
 
 # ---------------------------------------------------------------------------

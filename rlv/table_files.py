@@ -1201,3 +1201,236 @@ def scan_table_files(
             for c in out_names
         ]
     )
+
+
+AGG_PARTIAL_SCHEMA = (
+    "n_rows bigint, n_vals bigint, sum_val decimal(38,0), "
+    "min_val bigint, max_val bigint"
+)
+
+
+def _make_agg_worker(value_col: str, pred_col: str, lo: int, hi: int):
+    from rlv.util import tune_malloc
+
+    def run_agg(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                # phase 1 — pred-column METADATA only: classify every block
+                # against the zone map.  `full` blocks (range covers the
+                # whole zone, zero NULLs) match every row without decoding
+                # the predicate; `partial` blocks decode; the rest are
+                # pruned and never read again.
+                meta = pq.read_table(
+                    path,
+                    columns=["split_seq", "block_idx", "n_values", "n_nulls",
+                             "n_runs", "min_val", "max_val"],
+                    filters=[("col_name", "=", pred_col)],
+                ).combine_chunks()
+                cls: dict[tuple[str, int], str] = {}
+                pred_rows: dict[tuple[str, int], int] = {}
+                for seq, seg in _split_segments(meta, file_sid):
+                    for bi, nv, nn, nr, mn, mx in zip(
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
+                    ):
+                        key = (seq, int(bi))
+                        pred_rows[key] = int(nv)
+                        if nr == 0 or mx < lo or mn > hi:
+                            continue  # pruned (all-NULL blocks match nothing)
+                        cls[key] = (
+                            "full" if nn == 0 and mn >= lo and mx <= hi
+                            else "partial"
+                        )
+                if not cls:
+                    yield _agg_frame(0, 0, 0, None, None)
+                    continue
+                partial_idx = sorted(
+                    {bi for (_, bi), c in cls.items() if c == "partial"}
+                )
+                surviving_idx = sorted({bi for _, bi in cls})
+                # phase 2 — payloads: pred blocks for PARTIAL ordinals only,
+                # value blocks for all survivors (full-pred payloads are
+                # never fetched; the in-filters over-read only ordinals that
+                # survive in another segment — pruned exactly below)
+                pred_tbl = None
+                if partial_idx and pred_col != value_col:
+                    pred_tbl = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "n_values",
+                                 "block"],
+                        filters=[("col_name", "=", pred_col),
+                                 ("block_idx", "in", partial_idx)],
+                    ).combine_chunks()
+                val_tbl = pq.read_table(
+                    path,
+                    columns=["split_seq", "block_idx", "n_values", "block"],
+                    filters=[("col_name", "=", value_col),
+                             ("block_idx", "in", surviving_idx)],
+                ).combine_chunks()
+                per_val: dict[tuple[str, int], tuple[int, bytes]] = {}
+                for seq, seg in _split_segments(val_tbl, file_sid):
+                    for bi, nv, blob in zip(
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("block").to_pylist(),
+                    ):
+                        per_val[(seq, int(bi))] = (int(nv), blob)
+                per_pred: dict[tuple[str, int], tuple[int, bytes]] = (
+                    per_val if pred_col == value_col else {}
+                )
+                if pred_tbl is not None:
+                    for seq, seg in _split_segments(pred_tbl, file_sid):
+                        for bi, nv, blob in zip(
+                            seg.column("block_idx").to_numpy(),
+                            seg.column("n_values").to_numpy(),
+                            seg.column("block").to_pylist(),
+                        ):
+                            per_pred[(seq, int(bi))] = (int(nv), blob)
+                n_rows = n_vals = s = 0
+                mn_acc: int | None = None
+                mx_acc: int | None = None
+                for key in sorted(cls):
+                    if key not in per_val:
+                        raise ValueError(
+                            f"column {value_col!r} is missing block "
+                            f"{key[1]} of segment {key[0]} — corrupt dataset"
+                        )
+                    vnv, vblob = per_val[key]
+                    if vnv != pred_rows[key]:
+                        raise ValueError(
+                            f"column {value_col!r} and {pred_col!r} disagree "
+                            f"on rows in block {key[1]} — corrupt dataset"
+                        )
+                    if cls[key] == "full":
+                        bn, bnv, bs, bmn, bmx = B.agg_block(vblob)
+                        if bn != vnv:
+                            raise ValueError(
+                                f"block {key[1]} declares {vnv} rows but "
+                                f"decodes {bn} — corrupt dataset"
+                            )
+                        n_rows += bn
+                        n_vals += bnv
+                        s += bs
+                    else:
+                        pnv, pblob = per_pred[key]
+                        pv, _, pvalid = B.decode_blocks_batch_nullable(
+                            [pblob], np.int64, expected=[pnv]
+                        )
+                        mask = pvalid & (pv >= lo) & (pv <= hi)
+                        n_rows += int(mask.sum())
+                        if pred_col == value_col:
+                            picked = pv[mask]
+                        else:
+                            vv, _, vvalid = B.decode_blocks_batch_nullable(
+                                [vblob], np.int64, expected=[vnv]
+                            )
+                            picked = vv[mask & vvalid]
+                        if picked.size == 0:
+                            continue
+                        n_vals += picked.size
+                        s += B.exact_sum_i64(picked)
+                        bmn, bmx = int(picked.min()), int(picked.max())
+                    if bmn is not None:
+                        mn_acc = bmn if mn_acc is None else min(mn_acc, bmn)
+                        mx_acc = bmx if mx_acc is None else max(mx_acc, bmx)
+                yield _agg_frame(n_rows, n_vals, s, mn_acc, mx_acc)
+
+    return run_agg
+
+
+def _agg_frame(n_rows: int, n_vals: int, s: int,
+               mn: int | None, mx: int | None) -> pd.DataFrame:
+    from decimal import Decimal
+
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n_rows], dtype="int64"),
+            "n_vals": pd.Series([n_vals], dtype="int64"),
+            "sum_val": pd.Series([Decimal(s)], dtype=object),
+            "min_val": pd.Series([mn], dtype="Int64"),
+            "max_val": pd.Series([mx], dtype="Int64"),
+        }
+    )
+
+
+def agg_table_files(
+    spark: SparkSession, enc_dir: str, value_col: str,
+    pred_col: str, lo: int, hi: int,
+):
+    """Aggregation pushed into the encoded format: one row
+    ``(n_rows, n_vals, sum_val, min_val, max_val)`` equal to SQL's
+
+    ``SELECT count(*), count(v), sum(v), min(v), max(v) FROM t
+    WHERE p BETWEEN lo AND hi``
+
+    computed FROM THE BLOCKS, never materializing the table.  Zone maps
+    classify every predicate block as pruned / full-match / partial from
+    metadata alone; full-match value blocks aggregate via
+    :func:`rlv.blocks.agg_block` (an RLE block sums its run list without
+    expanding — the compute-over-compressed identity), and only partial
+    (range-boundary) blocks decode the predicate column.  On a sorted or
+    clustered predicate the decode cost is O(boundary blocks), not
+    O(selectivity) — the same shape a warehouse gets from page-stats
+    pushdown, served by our metadata.
+
+    One task per blocks file emits a partial; a K-row (K = files) final
+    combine produces the row — the only data ever shuffled.  ``sum_val`` is
+    decimal(38,0): per-block sums are exact Python ints
+    (:func:`rlv.blocks.exact_sum_i64`), and 38 digits absorbs any
+    real-world table (10^38 > rows * max|int64|), where a bigint
+    accumulator could wrap.  SQL NULL semantics throughout: NULL predicate
+    rows never match; ``n_vals``/``sum``/``min``/``max`` skip NULL values;
+    an empty match returns ``(0, 0, NULL, NULL, NULL)``."""
+    _require_int_col(enc_dir, pred_col)
+    schema = _require_int_col(enc_dir, value_col)
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    from pyspark.sql import functions as F
+
+    if not files:
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("n_vals"),
+            F.lit(None).cast("decimal(38,0)").alias("sum_val"),
+            F.lit(None).cast("bigint").alias("min_val"),
+            F.lit(None).cast("bigint").alias("max_val"),
+        )
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    partials = tasks_df.mapInPandas(
+        _make_agg_worker(value_col, pred_col, int(lo), int(hi)),
+        AGG_PARTIAL_SCHEMA,
+    )
+    return partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_vals").alias("n_vals"),
+        F.sum("sum_val").alias("_sum"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    ).select(
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.col("n_vals"), F.lit(0)).cast("bigint").alias("n_vals"),
+        F.when(F.coalesce(F.col("n_vals"), F.lit(0)) == 0, F.lit(None))
+        .otherwise(F.col("_sum"))
+        .cast("decimal(38,0)")
+        .alias("sum_val"),
+        F.col("min_val").cast("bigint").alias("min_val"),
+        F.col("max_val").cast("bigint").alias("max_val"),
+    )

@@ -368,3 +368,57 @@ def test_nullw_corruption_detected():
     good = blocks.wrap_nullable(valid, inner)
     with pytest.raises(ValueError, match="expected"):
         blocks.decode_blocks_batch_nullable([good], np.int64, expected=[9])
+
+
+sum_edge_arrays = st.one_of(
+    token_arrays,
+    # magnitudes near the int64 edge: the 32-bit-plane exact-sum path
+    st.lists(
+        st.sampled_from(
+            [-(2**63), -(2**63) + 1, 2**63 - 1, 2**62, -(2**62), 0, 1]
+        ),
+        max_size=60,
+    ),
+)
+
+
+@given(sum_edge_arrays)
+def test_agg_block_matches_decoded_aggregates(xs):
+    """agg_block == aggregate-after-decode for every codec, with the RLE
+    path never expanding runs and sums exact over the full int64 domain."""
+    a = arr(xs)
+    want_sum = int(sum(int(v) for v in xs))
+    for codec in blocks.INT_CODECS:
+        if codec == blocks.BITPACK and a.size and a.min() < 0:
+            continue
+        block = blocks.encode_with(codec, a)
+        n_rows, n_valid, s, mn, mx = blocks.agg_block(block)
+        assert (n_rows, n_valid) == (a.size, a.size)
+        assert s == want_sum
+        if a.size:
+            assert (mn, mx) == (int(a.min()), int(a.max()))
+        else:
+            assert (mn, mx) == (None, None)
+
+
+@given(sum_edge_arrays, st.randoms(use_true_random=False))
+def test_agg_block_nullable_skips_nulls(xs, rnd):
+    """A NULLW-wrapped block aggregates its VALID values only (SQL
+    count/sum/min/max NULL semantics), including the all-NULL block."""
+    a = arr(xs)
+    validity = np.array([rnd.random() < 0.7 for _ in range(a.size)], bool)
+    valid_vals = a[validity]
+    inner = selector.encode_auto(valid_vals)[1] if valid_vals.size else b""
+    block = blocks.wrap_nullable(validity, inner)
+    n_rows, n_valid, s, mn, mx = blocks.agg_block(block)
+    assert n_rows == a.size and n_valid == int(validity.sum())
+    assert s == int(sum(int(v) for v in valid_vals))
+    if valid_vals.size:
+        assert (mn, mx) == (int(valid_vals.min()), int(valid_vals.max()))
+    else:
+        assert (mn, mx) == (None, None)
+
+
+@given(sum_edge_arrays)
+def test_exact_sum_i64_is_exact(xs):
+    assert blocks.exact_sum_i64(arr(xs)) == sum(int(v) for v in xs)

@@ -506,3 +506,109 @@ def test_zonemap_scan_on_order_column(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == list(range(1000, 1100))
     with pytest.raises(ValueError, match="int column"):
         table_files.zonemap_stats(out, "typo", 0, 1)
+
+
+def test_agg_pushdown_matches_sql(spark, tmp_path):
+    """Aggregation pushed into the encoded format equals SQL count/sum/min/
+    max over the same range predicate, on a NULLABLE clustered column —
+    full-match blocks never decode the predicate, boundary blocks do, and
+    NULL semantics hold on both the predicate and the value side."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 20000
+    band = [None if i % 11 == 0 else (i // 100) for i in range(n)]
+    val = [None if i % 7 == 3 else (i * 13) % 5000 - 700 for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "band_n": pa.array(band, pa.int32()),
+            "val_n": pa.array(val, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=4096)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "band_n", "val_n"],
+        rows_per_block=1024, num_tasks=2,
+    )
+    lo, hi = 40, 59  # spans full blocks AND boundary blocks
+    got = table_files.agg_table_files(spark, out, "val_n", "band_n", lo, hi)
+    [r] = got.collect()
+    match = [i for i in range(n) if band[i] is not None and lo <= band[i] <= hi]
+    vals = [val[i] for i in match if val[i] is not None]
+    assert r["n_rows"] == len(match) > 0
+    assert r["n_vals"] == len(vals)
+    assert int(r["sum_val"]) == sum(vals)
+    assert (r["min_val"], r["max_val"]) == (min(vals), max(vals))
+    # value == predicate column: mask implies validity
+    [r2] = table_files.agg_table_files(
+        spark, out, "band_n", "band_n", lo, hi
+    ).collect()
+    bands = [band[i] for i in match]
+    assert (r2["n_rows"], r2["n_vals"]) == (len(match), len(match))
+    assert int(r2["sum_val"]) == sum(bands)
+    assert (r2["min_val"], r2["max_val"]) == (lo, hi)
+    # empty match: SQL shape (0, 0, NULL, NULL, NULL)
+    [r3] = table_files.agg_table_files(
+        spark, out, "val_n", "band_n", 10**6, 2 * 10**6
+    ).collect()
+    assert (r3["n_rows"], r3["n_vals"]) == (0, 0)
+    assert r3["sum_val"] is None and r3["min_val"] is None
+    # a string / unknown predicate or value column is refused
+    with pytest.raises(ValueError, match="int column"):
+        table_files.agg_table_files(spark, out, "nope", "band_n", lo, hi)
+
+
+def test_agg_pushdown_survives_compaction_and_wide_sums(spark, tmp_path):
+    """The aggregate stays exact after compaction merges splits (segment-
+    keyed block ordinals), and near-int64 magnitudes take the wide exact-sum
+    path without drift."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    big = [(2**62 + i) * (1 if i % 2 else -1) for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "big_n": pa.array(big, pa.int64()),
+        }
+    )
+    for j in range(4):
+        pq.write_table(
+            tbl.slice(j * 1000, 1000), f"{d}/part{j}.parquet"
+        )
+    out = str(tmp_path / "enc")
+    files = sorted(f"{d}/part{j}.parquet" for j in range(4))
+    table_files.encode_table_files(
+        spark, files, out,
+        order_col="k", int_cols=["k", "big_n"],
+        rows_per_block=256, num_tasks=4,
+    )
+    lo, hi = 500, 3499
+    want = [big[i] for i in range(lo, hi + 1)]
+
+    def check():
+        [r] = table_files.agg_table_files(
+            spark, out, "big_n", "k", lo, hi
+        ).collect()
+        assert r["n_rows"] == r["n_vals"] == len(want)
+        assert int(r["sum_val"]) == sum(want)
+        assert (r["min_val"], r["max_val"]) == (min(want), max(want))
+
+    check()
+    before = len(glob.glob(f"{out}/blocks/*.parquet"))
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    assert len(glob.glob(f"{out}/blocks/*.parquet")) < before
+    check()
