@@ -1129,6 +1129,54 @@ def _q_zonemap_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dict_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-equality pushdown into the encoded format
+    (:func:`rlv.table_files.scan_table_files_eq`): blocks prune on
+    dictionary-sidecar MEMBERSHIP (the literal's absence from a block's
+    sorted-distinct dictionary is the skip statistic — the string
+    counterpart of int zone maps), survivors match their per-block dense
+    code for the literal's rank, and the projection gathers a nullable int
+    column alongside.  The predicate string column is NULLABLE, so SQL
+    equality semantics (NULL never matches) ride the validity plane.  The
+    oracle is the plain SELECT-WHERE over the same derivation.  (The
+    nullable projection is named so the unique non-null order key sorts
+    first in the driver's column-sorted compare.)"""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_dfs_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_eq(
+        spark, out, "pri_n", "1-URGENT",
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "pri_n",
+        F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+    )
+
+
 def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation pushed INTO the encoded format
     (:func:`rlv.table_files.agg_table_files`): count/sum/min/max over a
@@ -1739,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "zonemap_scan_project": _q_zonemap_scan_project,
         "pushdown_aggregate": _q_pushdown_aggregate,
+        "dict_filter_scan": _q_dict_filter_scan,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2298,6 +2347,14 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
             ELSE CAST(o_orderkey % 1000 AS BIGINT) END AS total_n
 FROM orders
 WHERE o_orderkey % 7 != 0 AND o_custkey BETWEEN 100 AND 499
+""",
+        "dict_filter_scan": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderpriority AS pri_n,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE CAST(o_custkey AS BIGINT) END AS opt_custkey
+FROM orders
+WHERE o_orderkey % 5 != 3 AND o_orderpriority = '1-URGENT'
 """,
         "pushdown_aggregate": """
 WITH v AS (

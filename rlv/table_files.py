@@ -486,13 +486,15 @@ def encode_table_files(
 
 
 def _read_dict_sidecar(
-    blocks_path: str, default_seq: str
+    blocks_path: str, default_seq: str, col: str | None = None
 ) -> dict[tuple[str, str, int], bytes]:
     """{(split_seq, col_name, block_idx): STRDICT dict block} for one blocks
     file (empty when the dataset has no string columns).  ``split_seq``
     disambiguates (col, block) keys in files that absorbed several splits
     through compaction; a pre-r4 sidecar without the column keys everything
-    under ``default_seq``."""
+    under ``default_seq``.  With ``col`` the read is filtered to that one
+    column's dictionaries (the membership-pruning pass of
+    :func:`scan_table_files_eq`)."""
     import pyarrow.parquet as pq
 
     spath = os.path.join(
@@ -502,7 +504,10 @@ def _read_dict_sidecar(
     )
     side: dict[tuple[str, str, int], bytes] = {}
     if os.path.exists(spath):
-        stbl = pq.read_table(spath).combine_chunks()
+        stbl = pq.read_table(
+            spath,
+            filters=None if col is None else [("col_name", "=", col)],
+        ).combine_chunks()
         seqs = (
             stbl.column("split_seq").to_pylist()
             if "split_seq" in stbl.column_names
@@ -951,11 +956,25 @@ def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
 
 
 def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
-                      out_names: list[str]):
+                      out_names: list[str],
+                      symbols_hex: tuple[str, ...] | None = None,
+                      eq_value: bytes | None = None):
+    """Scan worker over one blocks file.  Two predicate modes share the
+    projection machinery: the zone-map INT range (``eq_value=None``: blocks
+    whose [min_val, max_val] misses [lo, hi] prune via parquet filters) and
+    STRING equality (``eq_value`` set: ``col`` is a string column, and a
+    block prunes when its dictionary sidecar does not CONTAIN the literal —
+    membership pruning; survivors match their dense code for the literal's
+    per-block rank)."""
     from rlv.util import tune_malloc
 
     order_col = schema["order_col"]
     str_cols = set(schema["str_cols"])
+    symbols = (
+        [bytes.fromhex(h) for h in symbols_hex]
+        if symbols_hex is not None
+        else None
+    )
 
     def _empty_frame() -> pd.DataFrame:
         return pd.DataFrame(
@@ -977,24 +996,46 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # phase 1 — METADATA only (no payload column): the zone-map
-                # predicate runs as parquet filters, so pruned blocks never
-                # materialize their bytes; zone maps exist from r4 on and
-                # the required columns double as the format check
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "block_idx", "n_values"],
-                    filters=[
-                        ("col_name", "=", col), ("n_runs", ">", 0),
-                        ("max_val", ">=", lo), ("min_val", "<=", hi),
-                    ],
-                ).combine_chunks()
-                if len(meta) == 0:
-                    yield _empty_frame()
-                    continue
-                surviving_idx = sorted(
-                    set(meta.column("block_idx").to_pylist())
-                )
+                # phase 1 — METADATA only (no payload column), per mode:
+                # range mode runs the zone-map predicate as parquet filters
+                # over the blocks metadata; eq mode decodes the (small)
+                # dictionary sidecar and keeps blocks whose dictionary
+                # contains the literal, recording its per-block code.
+                # Pruned blocks never materialize their payload bytes; the
+                # required columns double as the format check (r4 on).
+                eq_codes: dict[tuple[str, int], int] | None = None
+                if eq_value is None:
+                    meta = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "n_values"],
+                        filters=[
+                            ("col_name", "=", col), ("n_runs", ">", 0),
+                            ("max_val", ">=", lo), ("min_val", "<=", hi),
+                        ],
+                    ).combine_chunks()
+                    if len(meta) == 0:
+                        yield _empty_frame()
+                        continue
+                    surviving_idx = sorted(
+                        set(meta.column("block_idx").to_pylist())
+                    )
+                else:
+                    import pyarrow.compute as pc
+
+                    eq_codes = {}
+                    for (seq, _, bi), blob in _read_dict_sidecar(
+                        path, file_sid, col=col
+                    ).items():
+                        uniq = B.decode_strings_arrow(blob, symbols)
+                        hit = pc.index(
+                            uniq, pa.scalar(eq_value, uniq.type)
+                        ).as_py()
+                        if hit >= 0:
+                            eq_codes[(seq, bi)] = hit
+                    if not eq_codes:
+                        yield _empty_frame()
+                        continue
+                    surviving_idx = sorted({bi for _, bi in eq_codes})
                 # phase 2 — payloads for SURVIVING block ordinals only (the
                 # in-filter over-reads a block_idx that survives in one
                 # segment but not another; segments prune exactly below)
@@ -1031,11 +1072,16 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         per[name][int(bi)] = (
                             int(nv), int(nr), int(mn), int(mx), blob
                         )
-                    survivors = sorted(
-                        bi
-                        for bi, (nv, nr, mn, mx, _) in per[col].items()
-                        if nr > 0 and mx >= lo and mn <= hi
-                    )
+                    if eq_codes is None:
+                        survivors = sorted(
+                            bi
+                            for bi, (nv, nr, mn, mx, _) in per[col].items()
+                            if nr > 0 and mx >= lo and mn <= hi
+                        )
+                    else:
+                        survivors = sorted(
+                            bi for bi in per[col] if (seq, bi) in eq_codes
+                        )
                     if not survivors:
                         continue
                     vals, voffs, vvalid = B.decode_blocks_batch_nullable(
@@ -1043,9 +1089,21 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         np.int64,
                         expected=[per[col][bi][0] for bi in survivors],
                     )
-                    m = vvalid & (vals >= lo) & (vals <= hi)
+                    if eq_codes is None:
+                        m = vvalid & (vals >= lo) & (vals <= hi)
+                    else:
+                        # dense codes are per-block ranks: match each
+                        # block's own code for the literal
+                        target = np.repeat(
+                            np.array(
+                                [eq_codes[(seq, bi)] for bi in survivors],
+                                np.int64,
+                            ),
+                            np.diff(voffs),
+                        )
+                        m = vvalid & (vals == target)
                     for c in out_names:
-                        if c == col:
+                        if c == col and eq_codes is None:
                             # predicate column: m already excludes NULLs
                             outs[c].append(
                                 (vals[m], np.zeros(int(m.sum()), bool))
@@ -1063,7 +1121,7 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                                     )
                                 )
                                 uniq = B.decode_strings_arrow(
-                                    side[(seq, c, bi)]
+                                    side[(seq, c, bi)], symbols
                                 )
                                 idx = (
                                     pa.array(codes)
@@ -1153,23 +1211,117 @@ def scan_table_files(
     would need order statistics the dictionary sidecar does not record —
     by design: dense codes are per-block ranks)."""
     schema = _require_int_col(enc_dir, col)
+    out_names = _scan_out_names(schema, col, columns)
+    worker = _make_scan_worker(
+        schema, col, int(lo), int(hi), out_names,
+        symbols_hex=_symbols_hex(enc_dir),
+    )
+    return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
+
+
+def scan_table_files_eq(
+    spark: SparkSession, enc_dir: str, col: str, value: str,
+    columns: list[str] | None = None,
+):
+    """STRING-equality pushdown into the encoded format: rows where
+    ``col = value`` (NULL never matches, SQL equality), projected to
+    ``columns`` (default ``(order_col, col)``) — the string counterpart of
+    :func:`scan_table_files`'s int range scan.
+
+    String blocks carry per-block dense-rank codes plus a dictionary
+    sidecar of the block's sorted distinct VALID values, so equality prunes
+    on dictionary MEMBERSHIP: phase 1 decodes only the (small) sidecar and
+    keeps blocks whose dictionary contains the literal, recording the
+    literal's per-block rank; phase 2 fetches payloads for survivors only
+    and matches their code streams against that rank.  A selective literal
+    touches O(blocks containing it) payload bytes — the dictionary-page
+    filtering a warehouse gets from parquet, served by our sidecar (and the
+    reason string columns need no value zone maps: ranks are per-block,
+    membership is the pruning statistic; see :func:`strdict_stats`)."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["str_cols"]:
+        raise ValueError(
+            f"{col!r} is not a string column of this dataset "
+            f"(str_cols={schema['str_cols']}); for int equality use "
+            "scan_table_files(col, v, v)"
+        )
+    out_names = _scan_out_names(schema, col, columns)
+    worker = _make_scan_worker(
+        schema, col, 0, 0, out_names,
+        symbols_hex=_symbols_hex(enc_dir),
+        eq_value=value.encode("utf-8"),
+    )
+    return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
+
+
+def strdict_stats(enc_dir: str, col: str, value: str) -> dict:
+    """Driver-side membership-pruning estimate for a string literal from the
+    dictionary sidecars alone (no payload touched):
+    ``{blocks_total, blocks_matching}`` — the string analog of
+    :func:`zonemap_stats`."""
+    from rlv import blocks as B
+
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["str_cols"]:
+        raise ValueError(
+            f"{col!r} is not a string column of this dataset "
+            f"(str_cols={schema['str_cols']})"
+        )
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    syms = engine_files._load_symbols(enc_dir)
+    needle = value.encode("utf-8")
+    total = match = 0
+    for sid in live["split_id"].astype(str):
+        bpath = os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for blob in _read_dict_sidecar(bpath, sid, col=col).values():
+            total += 1
+            uniq = B.decode_strings_arrow(blob, syms)
+            if pc.index(uniq, pa.scalar(needle, uniq.type)).as_py() >= 0:
+                match += 1
+    return {"blocks_total": total, "blocks_matching": match}
+
+
+def _symbols_hex(enc_dir: str) -> tuple[str, ...] | None:
+    syms = engine_files._load_symbols(enc_dir)
+    return tuple(s.hex() for s in syms) if syms is not None else None
+
+
+def _scan_out_names(schema: dict, col: str,
+                    columns: list[str] | None) -> list[str]:
+    """Validate and default the scan projection (shared by the range and
+    equality scans)."""
     order_col = schema["order_col"]
     if columns is None:
-        out_names = [order_col] if col == order_col else [order_col, col]
-    else:
-        out_names = list(columns)
-        if not out_names:
-            raise ValueError("columns must name at least one column")
-        if len(set(out_names)) != len(out_names):
-            raise ValueError(f"duplicate column in projection: {out_names}")
-        known = set(schema["int_cols"]) | set(schema["str_cols"])
-        unknown = [c for c in out_names if c not in known]
-        if unknown:
-            raise ValueError(
-                f"unknown column(s) {unknown}; dataset has "
-                f"int_cols={schema['int_cols']} "
-                f"str_cols={schema['str_cols']}"
-            )
+        return [order_col] if col == order_col else [order_col, col]
+    out_names = list(columns)
+    if not out_names:
+        raise ValueError("columns must name at least one column")
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate column in projection: {out_names}")
+    known = set(schema["int_cols"]) | set(schema["str_cols"])
+    unknown = [c for c in out_names if c not in known]
+    if unknown:
+        raise ValueError(
+            f"unknown column(s) {unknown}; dataset has "
+            f"int_cols={schema['int_cols']} "
+            f"str_cols={schema['str_cols']}"
+        )
+    return out_names
+
+
+def _run_scan_tasks(spark: SparkSession, enc_dir: str, schema: dict,
+                    out_names: list[str], worker):
+    """One task per live blocks file, zero shuffle; ints come back cast to
+    their recorded source widths (shared tail of both scans)."""
     live = engine_files.live_splits(enc_dir)
     if live is None:
         raise FileNotFoundError(f"no manifest at {enc_dir}")
@@ -1181,7 +1333,6 @@ def scan_table_files(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
     str_cols = set(schema["str_cols"])
-    worker = _make_scan_worker(schema, col, int(lo), int(hi), out_names)
     out = tasks_df.mapInPandas(
         worker,
         ", ".join(

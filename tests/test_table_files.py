@@ -612,3 +612,113 @@ def test_agg_pushdown_survives_compaction_and_wide_sums(spark, tmp_path):
     assert res["bins_written"] >= 1
     assert len(glob.glob(f"{out}/blocks/*.parquet")) < before
     check()
+
+
+def test_string_eq_scan_dictionary_pruning(spark, tmp_path):
+    """String-equality pushdown: blocks whose dictionary sidecar lacks the
+    literal are pruned from metadata alone; survivors match per-block dense
+    codes; NULL never matches; projections ride along with NULLs
+    preserved."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 8000
+    # 'rare' appears only in one narrow band of rows -> hard pruning
+    tag = [
+        None if i % 13 == 0
+        else ("rare" if 3000 <= i < 3100 else f"tag{i % 7}")
+        for i in range(n)
+    ]
+    extra = [None if i % 5 == 0 else i * 2 for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_s": pa.array(tag, pa.string()),
+            "extra_n": pa.array(extra, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=2000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "extra_n"], str_cols=["tag_s"],
+        rows_per_block=512, num_tasks=2,
+    )
+    st = table_files.strdict_stats(out, "tag_s", "rare")
+    assert st["blocks_matching"] <= 2 < st["blocks_total"]
+    got = table_files.scan_table_files_eq(
+        spark, out, "tag_s", "rare", columns=["k", "tag_s", "extra_n"]
+    )
+    rows = sorted(
+        (r["k"], r["tag_s"], r["extra_n"]) for r in got.collect()
+    )
+    want = sorted(
+        (i, "rare", extra[i]) for i in range(n) if tag[i] == "rare"
+    )
+    assert rows == want and len(rows) > 0
+    assert any(r[2] is None for r in rows)  # projected NULLs preserved
+    # a frequent value still returns exactly the SQL-equality rows
+    got7 = table_files.scan_table_files_eq(spark, out, "tag_s", "tag3")
+    assert sorted(r["k"] for r in got7.collect()) == [
+        i for i in range(n) if tag[i] == "tag3"
+    ]
+    # absent literal: clean empty result, every block pruned
+    assert table_files.scan_table_files_eq(
+        spark, out, "tag_s", "nope"
+    ).count() == 0
+    assert table_files.strdict_stats(out, "tag_s", "nope") == {
+        "blocks_total": st["blocks_total"], "blocks_matching": 0,
+    }
+    with pytest.raises(ValueError, match="string column"):
+        table_files.scan_table_files_eq(spark, out, "extra_n", "x")
+    with pytest.raises(ValueError, match="string column"):
+        table_files.strdict_stats(out, "extra_n", "x")
+
+
+def test_scan_carries_corpus_fsst_symbols(spark, tmp_path):
+    """Regression: a dataset encoded with a corpus-trained FSST symbol
+    table must scan correctly — the dictionary sidecars reference the
+    external table, so the scan workers need it for BOTH the string
+    projection gather and the equality membership pass (previously the
+    range scan decoded sidecars without symbols and raised)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlv.kernels import fsst
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    # long shared prefixes so the external-table FSST branch actually wins
+    tag = [f"prefix_common_payload_{i % 50:04d}" for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_s": pa.array(tag, pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=1000)
+    syms = fsst.train_symbols(b"prefix_common_payload_" * 300)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k"], str_cols=["tag_s"],
+        rows_per_block=512, num_tasks=2, fsst_symbols=syms,
+    )
+    got = table_files.scan_table_files(
+        spark, out, "k", 100, 299, columns=["k", "tag_s"]
+    )
+    rows = sorted((r["k"], r["tag_s"]) for r in got.collect())
+    assert rows == [(i, tag[i]) for i in range(100, 300)]
+    goteq = table_files.scan_table_files_eq(
+        spark, out, "tag_s", "prefix_common_payload_0007"
+    )
+    assert sorted(r["k"] for r in goteq.collect()) == [
+        i for i in range(n) if i % 50 == 7
+    ]
