@@ -1223,6 +1223,57 @@ def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pushed into the encoded format
+    (:func:`rlv.table_files.agg_table_files_by`): per-group
+    count/count(v)/sum/min/max over a zone-map range predicate, grouped by
+    a NULLABLE STRING column — each task aggregates dictionary CODES and
+    names the groups with one small sidecar decode per block, so the
+    strings never materialize per-row, and the shuffle carries only
+    groups × files partial rows.  NULL group keys pool into one SQL-style
+    NULL group (projected as '~null~' in BOTH engines so the driver's
+    column-sorted row compare never orders None against str); NULL values
+    are skipped by n_vals/sum/min/max via the validity plane.  The oracle
+    is the plain SQL GROUP BY over the same derivation."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_gagg_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "cents_n"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.agg_table_files_by(
+        spark, out, "cents_n", "pri_n",
+        pred_col="o_orderkey", lo=3000, hi=45000,
+    )
+    return got.select(
+        F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("grp"),
+        "n_rows",
+        "n_vals",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1787,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "zonemap_scan_project": _q_zonemap_scan_project,
         "pushdown_aggregate": _q_pushdown_aggregate,
+        "group_agg_pushdown": _q_group_agg_pushdown,
         "dict_filter_scan": _q_dict_filter_scan,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
@@ -2370,6 +2422,24 @@ SELECT count(*) AS n_rows,
        CAST(min(cents_n) AS BIGINT) AS min_val,
        CAST(max(cents_n) AS BIGINT) AS max_val
 FROM v WHERE custkey_n BETWEEN 100 AND 499
+""",
+        "group_agg_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT COALESCE(pri_n, '~null~') AS grp,
+       count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v WHERE o_orderkey BETWEEN 3000 AND 45000
+GROUP BY pri_n
 """,
         "table_encode_nullable_jvm": f"""
 WITH base AS (

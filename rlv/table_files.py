@@ -1585,3 +1585,387 @@ def agg_table_files(
         F.col("min_val").cast("bigint").alias("min_val"),
         F.col("max_val").cast("bigint").alias("max_val"),
     )
+
+
+def _group_seg_agg(keys: np.ndarray, vals: np.ndarray,
+                   vvalid: np.ndarray, acc: dict, name_of) -> None:
+    """Accumulate per-key aggregates of one block's masked rows into ``acc``
+    ({group: [n_rows, n_vals, sum, min, max]}): stable-argsort by key, then
+    ``reduceat`` over the segment boundaries — counts, valid-counts, sums,
+    and sentinel-masked min/max all vectorize; the only per-group Python is
+    the accumulator merge (O(distinct keys in the block), the GROUP BY
+    cardinality, never rows).  Sums ride int64 ``reduceat`` under the same
+    zone bound :func:`rlv.blocks.exact_sum_i64` uses and fall back to the
+    exact per-segment path when values could wrap.  ``name_of`` maps a key
+    to its output group (dict-code -> string, or identity for int groups)."""
+    from rlv import blocks as B
+
+    if keys.size == 0:
+        return
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    vs = vals[order]
+    vv = vvalid[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(ks)) + 1]
+    ends = np.r_[starts[1:], ks.size]
+    n_rows_seg = ends - starts
+    n_vals_seg = np.add.reduceat(vv.astype(np.int64), starts)
+    vz = np.where(vv, vs, 0)
+    m = max(abs(int(vs.min())), abs(int(vs.max()))) if vs.size else 0
+    if m * vs.size < 2**63:
+        sums = [int(x) for x in np.add.reduceat(vz, starts)]
+    else:
+        sums = [B.exact_sum_i64(vz[a:b]) for a, b in zip(starts, ends)]
+    lo_sent = np.iinfo(np.int64).max
+    hi_sent = np.iinfo(np.int64).min
+    mins = np.minimum.reduceat(np.where(vv, vs, lo_sent), starts)
+    maxs = np.maximum.reduceat(np.where(vv, vs, hi_sent), starts)
+    for i, k in enumerate(ks[starts]):
+        g = name_of(int(k))
+        cur = acc.get(g)
+        if cur is None:
+            cur = acc[g] = [0, 0, 0, None, None]
+        cur[0] += int(n_rows_seg[i])
+        nv = int(n_vals_seg[i])
+        if nv:
+            cur[1] += nv
+            cur[2] += sums[i]
+            mn, mx = int(mins[i]), int(maxs[i])
+            cur[3] = mn if cur[3] is None else min(cur[3], mn)
+            cur[4] = mx if cur[4] is None else max(cur[4], mx)
+
+
+def _make_group_agg_worker(value_col: str, group_col: str,
+                           group_is_str: bool,
+                           pred: tuple[str, int, int] | None,
+                           symbols_hex: tuple[str, ...] | None):
+    """Grouped-aggregate worker over one blocks file: phase 1 classifies
+    blocks against the predicate zone map exactly like
+    :func:`_make_agg_worker` (pruned / full / partial; no predicate =
+    everything full), phase 2 fetches group + value payloads for survivors
+    (predicate payloads for partial ordinals only) and aggregates per group
+    key — dict CODES for a string group (one sidecar decode per block maps
+    codes to names), raw values for an int group, NULL group keys pooled
+    SQL-style.  Emits one partial row per (file, group)."""
+    from rlv.util import tune_malloc
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": pd.Series(
+                    [], dtype=object if group_is_str else "Int64"
+                ),
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_vals": pd.Series([], dtype="int64"),
+                "sum_val": pd.Series([], dtype=object),
+                "min_val": pd.Series([], dtype="Int64"),
+                "max_val": pd.Series([], dtype="Int64"),
+            }
+        )
+
+    def run_group_agg(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                # phase 1a — group-column METADATA: the block inventory and
+                # per-block row counts (every encoded column covers all rows)
+                gmeta = pq.read_table(
+                    path,
+                    columns=["split_seq", "block_idx", "n_values"],
+                    filters=[("col_name", "=", group_col)],
+                ).combine_chunks()
+                rows_of: dict[tuple[str, int], int] = {}
+                for seq, seg in _split_segments(gmeta, file_sid):
+                    for bi, nv in zip(
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                    ):
+                        rows_of[(seq, int(bi))] = int(nv)
+                # phase 1b — predicate classification from zone maps (no
+                # predicate: every block matches in full)
+                if pred is None:
+                    cls = {k: "full" for k in rows_of}
+                else:
+                    pred_col, lo, hi = pred
+                    pmeta = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "n_values",
+                                 "n_nulls", "n_runs", "min_val", "max_val"],
+                        filters=[("col_name", "=", pred_col)],
+                    ).combine_chunks()
+                    cls = {}
+                    seen: set[tuple[str, int]] = set()
+                    for seq, seg in _split_segments(pmeta, file_sid):
+                        for bi, nv, nn, nr, mn, mx in zip(
+                            seg.column("block_idx").to_numpy(),
+                            seg.column("n_values").to_numpy(),
+                            seg.column("n_nulls").to_numpy(),
+                            seg.column("n_runs").to_numpy(),
+                            seg.column("min_val").to_numpy(),
+                            seg.column("max_val").to_numpy(),
+                        ):
+                            key = (seq, int(bi))
+                            seen.add(key)
+                            if key not in rows_of:
+                                raise ValueError(
+                                    f"column {group_col!r} is missing block "
+                                    f"{key[1]} of segment {key[0]} — "
+                                    "corrupt dataset"
+                                )
+                            if int(nv) != rows_of[key]:
+                                raise ValueError(
+                                    f"columns {group_col!r} and {pred_col!r}"
+                                    f" disagree on rows in block {key[1]} — "
+                                    "corrupt dataset"
+                                )
+                            if nr == 0 or mx < lo or mn > hi:
+                                continue  # pruned (all-NULL matches nothing)
+                            cls[key] = (
+                                "full"
+                                if nn == 0 and mn >= lo and mx <= hi
+                                else "partial"
+                            )
+                    missing = set(rows_of) - seen
+                    if missing:
+                        raise ValueError(
+                            f"column {pred_col!r} is missing blocks "
+                            f"{sorted(missing)} — corrupt dataset"
+                        )
+                if not cls:
+                    yield _empty()
+                    continue
+                surviving_idx = sorted({bi for _, bi in cls})
+                partial_idx = sorted(
+                    {bi for (_, bi), c in cls.items() if c == "partial"}
+                )
+                # phase 2 — payloads for survivors only (the in-filter
+                # over-reads ordinals surviving in another segment; the
+                # keyed loop below prunes segments exactly)
+                def _payloads(col: str, idx: list[int]):
+                    per: dict[tuple[str, int], tuple[int, bytes]] = {}
+                    tbl = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "n_values",
+                                 "block"],
+                        filters=[("col_name", "=", col),
+                                 ("block_idx", "in", idx)],
+                    ).combine_chunks()
+                    for seq, seg in _split_segments(tbl, file_sid):
+                        for bi, nv, blob in zip(
+                            seg.column("block_idx").to_numpy(),
+                            seg.column("n_values").to_numpy(),
+                            seg.column("block").to_pylist(),
+                        ):
+                            per[(seq, int(bi))] = (int(nv), blob)
+                    return per
+
+                per_g = _payloads(group_col, surviving_idx)
+                per_v = _payloads(value_col, surviving_idx)
+                per_p = (
+                    _payloads(pred[0], partial_idx)
+                    if pred is not None and partial_idx
+                    else {}
+                )
+                side = (
+                    _read_dict_sidecar(path, file_sid, col=group_col)
+                    if group_is_str
+                    else None
+                )
+                acc: dict[object, list] = {}
+                for key in sorted(cls):
+                    nv_rows = rows_of[key]
+                    for cname, per in ((group_col, per_g),
+                                       (value_col, per_v)):
+                        if key not in per:
+                            raise ValueError(
+                                f"column {cname!r} is missing block "
+                                f"{key[1]} of segment {key[0]} — corrupt "
+                                "dataset"
+                            )
+                        if per[key][0] != nv_rows:
+                            raise ValueError(
+                                f"column {cname!r} disagrees on rows in "
+                                f"block {key[1]} — corrupt dataset"
+                            )
+                    gv, _, gvalid = B.decode_blocks_batch_nullable(
+                        [per_g[key][1]], np.int64, expected=[nv_rows]
+                    )
+                    vv, _, vvalid = B.decode_blocks_batch_nullable(
+                        [per_v[key][1]], np.int64, expected=[nv_rows]
+                    )
+                    if cls[key] == "full":
+                        mask = np.ones(nv_rows, dtype=bool)
+                    else:
+                        pnv, pblob = per_p[key]
+                        pv, _, pvalid = B.decode_blocks_batch_nullable(
+                            [pblob], np.int64, expected=[pnv]
+                        )
+                        _, lo, hi = pred
+                        mask = pvalid & (pv >= lo) & (pv <= hi)
+                        if not mask.any():
+                            continue
+                    if group_is_str:
+                        blob = None if side is None else side.get(
+                            (key[0], group_col, key[1])
+                        )
+                        if blob is None and bool((mask & gvalid).any()):
+                            raise ValueError(
+                                f"column {group_col!r} is missing the "
+                                f"dictionary for block {key[1]} of segment "
+                                f"{key[0]} — corrupt dataset"
+                            )
+                        names = (
+                            []
+                            if blob is None
+                            else B.decode_strings_arrow(
+                                blob, symbols
+                            ).to_pylist()
+                        )
+                        name_of = names.__getitem__
+                    else:
+                        name_of = lambda k: k  # noqa: E731
+                    sel = mask & gvalid
+                    _group_seg_agg(
+                        gv[sel], vv[sel], vvalid[sel], acc, name_of
+                    )
+                    nsel = mask & ~gvalid  # SQL: NULL keys form one group
+                    if nsel.any():
+                        _group_seg_agg(
+                            np.zeros(int(nsel.sum()), np.int64),
+                            vv[nsel], vvalid[nsel], acc,
+                            lambda _k: None,
+                        )
+                if not acc:
+                    yield _empty()
+                    continue
+                groups = sorted(
+                    acc, key=lambda g: (g is not None, g)
+                )
+                yield pd.DataFrame(
+                    {
+                        "g": pd.Series(
+                            groups,
+                            dtype=object if group_is_str else "Int64",
+                        ),
+                        "n_rows": pd.Series(
+                            [acc[g][0] for g in groups], dtype="int64"
+                        ),
+                        "n_vals": pd.Series(
+                            [acc[g][1] for g in groups], dtype="int64"
+                        ),
+                        "sum_val": pd.Series(
+                            [Decimal(acc[g][2]) for g in groups],
+                            dtype=object,
+                        ),
+                        "min_val": pd.Series(
+                            [acc[g][3] for g in groups], dtype="Int64"
+                        ),
+                        "max_val": pd.Series(
+                            [acc[g][4] for g in groups], dtype="Int64"
+                        ),
+                    }
+                )
+
+    return run_group_agg
+
+
+def agg_table_files_by(
+    spark: SparkSession, enc_dir: str, value_col: str, group_col: str,
+    pred_col: str | None = None, lo: int | None = None,
+    hi: int | None = None,
+):
+    """GROUP BY pushed into the encoded format: one row per group equal to
+
+    ``SELECT g, count(*), count(v), sum(v), min(v), max(v) FROM t
+    [WHERE p BETWEEN lo AND hi] GROUP BY g``
+
+    computed FROM THE BLOCKS — the grouped counterpart of
+    :func:`agg_table_files`.  ``group_col`` may be a STRING column (grouping
+    runs over per-block dictionary CODES; each block's small sidecar decodes
+    once to name its groups — the strings themselves never materialize
+    per-row) or an INT column (raw values key the groups).  An optional
+    int-range predicate reuses the zone-map block classification: pruned
+    blocks are never read, full-match blocks skip the predicate decode, only
+    boundary blocks decode it.
+
+    Scale shape: one task per blocks file computes per-group partials with
+    ``argsort`` + ``reduceat`` (per-group Python is O(groups), never rows);
+    the only shuffle carries <= groups x files partial rows into a tiny
+    final combine — map-side partial aggregation over the compressed
+    format.  SQL semantics throughout: NULL group keys pool into one NULL
+    group, NULL predicate rows never match, ``n_vals``/``sum``/``min``/
+    ``max`` skip NULL values (``sum_val`` is NULL for a group with no valid
+    values, exact decimal(38,0) otherwise)."""
+    schema = _require_int_col(enc_dir, value_col)
+    group_is_str = group_col in schema["str_cols"]
+    if not group_is_str and group_col not in schema["int_cols"]:
+        raise ValueError(
+            f"unknown group column {group_col!r}; dataset has "
+            f"int_cols={schema['int_cols']} str_cols={schema['str_cols']}"
+        )
+    pred: tuple[str, int, int] | None = None
+    if pred_col is not None:
+        if lo is None or hi is None:
+            raise ValueError("pred_col requires lo and hi")
+        _require_int_col(enc_dir, pred_col)
+        pred = (pred_col, int(lo), int(hi))
+    elif lo is not None or hi is not None:
+        raise ValueError("lo/hi require pred_col")
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    from pyspark.sql import functions as F
+
+    g_type = "string" if group_is_str else "bigint"
+    out_schema = (
+        f"{group_col} {g_type}, n_rows bigint, n_vals bigint, "
+        "sum_val decimal(38,0), min_val bigint, max_val bigint"
+    )
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    partials = tasks_df.mapInPandas(
+        _make_group_agg_worker(
+            value_col, group_col, group_is_str, pred,
+            _symbols_hex(enc_dir),
+        ),
+        f"g {g_type}, " + AGG_PARTIAL_SCHEMA,
+    )
+    return partials.groupBy("g").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_vals").alias("n_vals"),
+        F.sum("sum_val").alias("_sum"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    ).select(
+        F.col("g").alias(group_col),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        F.when(F.col("n_vals") == 0, F.lit(None))
+        .otherwise(F.col("_sum"))
+        .cast("decimal(38,0)")
+        .alias("sum_val"),
+        F.col("min_val").cast("bigint").alias("min_val"),
+        F.col("max_val").cast("bigint").alias("max_val"),
+    )

@@ -722,3 +722,165 @@ def test_scan_carries_corpus_fsst_symbols(spark, tmp_path):
     assert sorted(r["k"] for r in goteq.collect()) == [
         i for i in range(n) if i % 50 == 7
     ]
+
+
+def test_group_agg_pushdown_matches_sql(spark, tmp_path):
+    """Grouped aggregate pushdown: string-dict and int group keys, NULL
+    group pooling, NULL value skipping, optional zone-map predicate, and
+    the near-overflow exact-sum fallback — all checked against DuckDB's
+    answer on the raw table."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    big = 2**62  # forces the per-segment exact-sum path for its group
+    tag = [
+        None if 2000 <= i < 2500  # a solid all-NULL-group stretch
+        else f"tag{i % 5}"
+        for i in range(n)
+    ]
+    val = [
+        None if i % 11 == 0 else (big if i % 5 == 4 and i % 2 == 0 else i)
+        for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "grp_s": pa.array(tag, pa.string()),
+            "grp_i": pa.array([i % 4 if i % 9 else None for i in range(n)],
+                              pa.int64()),
+            "v": pa.array(val, pa.int64()),
+        }
+    )
+    raw = f"{d}/part0.parquet"
+    pq.write_table(tbl, raw, row_group_size=1500)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [raw], out,
+        order_col="k", int_cols=["k", "grp_i", "v"], str_cols=["grp_s"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check(got_df, sql):
+        got = sorted(
+            (
+                (r[0], r["n_rows"], r["n_vals"],
+                 None if r["sum_val"] is None else int(r["sum_val"]),
+                 r["min_val"], r["max_val"])
+                for r in got_df.collect()
+            ),
+            key=lambda t: (t[0] is not None, t[0]),
+        )
+        want = sorted(
+            (
+                (g, nr, nv, None if s is None else int(s), mn, mx)
+                for g, nr, nv, s, mn, mx in duckdb.sql(sql).fetchall()
+            ),
+            key=lambda t: (t[0] is not None, t[0]),
+        )
+        assert got == want and len(want) > 0
+
+    # string group, no predicate (includes the NULL group + big sums)
+    check(
+        table_files.agg_table_files_by(spark, out, "v", "grp_s"),
+        f"SELECT grp_s, count(*), count(v), sum(v), min(v), max(v) "
+        f"FROM read_parquet('{raw}') GROUP BY grp_s",
+    )
+    # int group with a range predicate (pruned/full/partial blocks)
+    check(
+        table_files.agg_table_files_by(
+            spark, out, "v", "grp_i", pred_col="k", lo=1000, hi=4000
+        ),
+        f"SELECT grp_i, count(*), count(v), sum(v), min(v), max(v) "
+        f"FROM read_parquet('{raw}') WHERE k BETWEEN 1000 AND 4000 "
+        "GROUP BY grp_i",
+    )
+    # string group where the predicate prunes everything -> zero groups
+    assert table_files.agg_table_files_by(
+        spark, out, "v", "grp_s", pred_col="k", lo=10**9, hi=2 * 10**9
+    ).count() == 0
+    # group by the value column itself
+    check(
+        table_files.agg_table_files_by(spark, out, "grp_i", "grp_i"),
+        f"SELECT grp_i, count(*), count(grp_i), sum(grp_i), min(grp_i), "
+        f"max(grp_i) FROM read_parquet('{raw}') GROUP BY grp_i",
+    )
+    with pytest.raises(ValueError, match="unknown group column"):
+        table_files.agg_table_files_by(spark, out, "v", "nope")
+    with pytest.raises(ValueError, match="requires lo and hi"):
+        table_files.agg_table_files_by(spark, out, "v", "grp_s",
+                                       pred_col="k")
+    with pytest.raises(ValueError, match="require pred_col"):
+        table_files.agg_table_files_by(spark, out, "v", "grp_s", lo=1)
+
+
+def test_group_agg_pushdown_survives_compaction(spark, tmp_path):
+    """Grouped partials must stay correct when one blocks file holds
+    several absorbed splits (per-segment keys, not per-ordinal)."""
+    import glob
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    paths = []
+    for p in range(4):
+        sl = slice(p * 1000, (p + 1) * 1000)
+        tbl = pa.table(
+            {
+                "k": pa.array(range(sl.start, sl.stop), pa.int64()),
+                "s": pa.array(
+                    [f"g{i % 3}" if i % 7 else None
+                     for i in range(sl.start, sl.stop)],
+                    pa.string(),
+                ),
+                "v": pa.array(
+                    [i if i % 4 else None
+                     for i in range(sl.start, sl.stop)],
+                    pa.int64(),
+                ),
+            }
+        )
+        paths.append(f"{d}/part{p}.parquet")
+        pq.write_table(tbl, paths[-1])
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, paths, out,
+        order_col="k", int_cols=["k", "v"], str_cols=["s"],
+        rows_per_block=256, num_tasks=4,
+    )
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    assert len(glob.glob(f"{out}/blocks/*.parquet")) < 4
+    got = sorted(
+        (
+            (r["s"], r["n_rows"], r["n_vals"],
+             None if r["sum_val"] is None else int(r["sum_val"]),
+             r["min_val"], r["max_val"])
+            for r in table_files.agg_table_files_by(
+                spark, out, "v", "s", pred_col="k", lo=500, hi=3300
+            ).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    want = sorted(
+        (
+            (g, nr, nv, None if s is None else int(s), mn, mx)
+            for g, nr, nv, s, mn, mx in duckdb.sql(
+                f"SELECT s, count(*), count(v), sum(v), min(v), max(v) "
+                f"FROM read_parquet('{d}/part*.parquet') "
+                "WHERE k BETWEEN 500 AND 3300 GROUP BY s"
+            ).fetchall()
+        ),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert got == want and len(want) == 4  # g0..g2 + NULL group
