@@ -486,15 +486,20 @@ def encode_table_files(
 
 
 def _read_dict_sidecar(
-    blocks_path: str, default_seq: str, col: str | None = None
+    blocks_path: str, default_seq: str,
+    col: str | list[str] | None = None,
+    block_idx: list[int] | None = None,
 ) -> dict[tuple[str, str, int], bytes]:
     """{(split_seq, col_name, block_idx): STRDICT dict block} for one blocks
     file (empty when the dataset has no string columns).  ``split_seq``
     disambiguates (col, block) keys in files that absorbed several splits
     through compaction; a pre-r4 sidecar without the column keys everything
-    under ``default_seq``.  With ``col`` the read is filtered to that one
-    column's dictionaries (the membership-pruning pass of
-    :func:`scan_table_files_eq`)."""
+    under ``default_seq``.  ``col`` (one name or a list) filters the read to
+    those columns' dictionaries (the membership-pruning pass of
+    :func:`scan_table_files_eq`; the projection pass of both scans);
+    ``block_idx`` additionally restricts to those block ordinals (the
+    over-read across compacted segments is harmless — callers key by
+    (seq, col, block))."""
     import pyarrow.parquet as pq
 
     spath = os.path.join(
@@ -502,11 +507,17 @@ def _read_dict_sidecar(
         "strings",
         os.path.basename(blocks_path),
     )
+    filters = []
+    if col is not None:
+        cols = [col] if isinstance(col, str) else list(col)
+        filters.append(("col_name", "in", cols))
+    if block_idx is not None:
+        filters.append(("block_idx", "in", list(block_idx)))
     side: dict[tuple[str, str, int], bytes] = {}
     if os.path.exists(spath):
         stbl = pq.read_table(
             spath,
-            filters=None if col is None else [("col_name", "=", col)],
+            filters=filters or None,
         ).combine_chunks()
         seqs = (
             stbl.column("split_seq").to_pylist()
@@ -1050,9 +1061,19 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         ("block_idx", "in", surviving_idx),
                     ],
                 ).combine_chunks()
+                # dictionaries only for the PROJECTED string columns'
+                # surviving ordinals (the eq predicate column needs none:
+                # its kept rows are all the literal)
+                proj_strs = sorted(
+                    c for c in str_cols.intersection(out_names)
+                    if not (c == col and eq_value is not None)
+                )
                 side = (
-                    _read_dict_sidecar(path, file_sid)
-                    if str_cols.intersection(out_names)
+                    _read_dict_sidecar(
+                        path, file_sid, col=proj_strs,
+                        block_idx=surviving_idx,
+                    )
+                    if proj_strs
                     else {}
                 )
                 outs: dict[str, list] = {c: [] for c in out_names}
@@ -1109,11 +1130,25 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                                 (vals[m], np.zeros(int(m.sum()), bool))
                             )
                             continue
+                        if c == col and eq_codes is not None:
+                            # eq predicate column: every kept row IS the
+                            # literal — no second decode, no dict gather
+                            outs[c].append(
+                                pa.array([eq_value] * int(m.sum()),
+                                         pa.binary())
+                            )
+                            continue
                         if c in str_cols:
                             # codes (validity-wrapped) + per-block dict
                             # gather; a NULL code gathers a NULL value
                             parts = []
                             for bi in survivors:
+                                if per[c][bi][0] != per[col][bi][0]:
+                                    raise ValueError(
+                                        f"column {c!r} and {col!r} disagree "
+                                        f"on rows in block {bi} — corrupt "
+                                        "dataset"
+                                    )
                                 codes, _, cv = (
                                     B.decode_blocks_batch_nullable(
                                         [per[c][bi][4]], np.int64,
@@ -1329,17 +1364,20 @@ def _run_scan_tasks(spark: SparkSession, enc_dir: str, schema: dict,
         os.path.join(enc_dir, "blocks", f"{sid}.parquet")
         for sid in live["split_id"].astype(str)
     )
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
     str_cols = set(schema["str_cols"])
-    out = tasks_df.mapInPandas(
-        worker,
-        ", ".join(
-            f"`{c}` {'string' if c in str_cols else 'bigint'}"
-            for c in out_names
-        ),
+    scan_schema = ", ".join(
+        f"`{c}` {'string' if c in str_cols else 'bigint'}"
+        for c in out_names
     )
+    if not files:
+        # all splits dead (e.g. freshly-initialized dataset): empty result,
+        # same shape — repartition(0) would throw
+        out = spark.createDataFrame([], scan_schema)
+    else:
+        tasks_df = spark.createDataFrame(
+            pd.DataFrame({"file": files})
+        ).repartition(len(files))
+        out = tasks_df.mapInPandas(worker, scan_schema)
     types = schema.get("int_col_types") or {}
     from pyspark.sql import functions as F
 
@@ -1402,6 +1440,27 @@ def _make_agg_worker(value_col: str, pred_col: str, lo: int, hi: int):
                         cls[key] = (
                             "full" if nn == 0 and mn >= lo and mx <= hi
                             else "partial"
+                        )
+                # inventory cross-check BEFORE any early exit: a segment
+                # whose pred-column rows were lost (partial write, bad
+                # compaction) must fail loudly, not silently undercount
+                if pred_col != value_col:
+                    vmeta = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx"],
+                        filters=[("col_name", "=", value_col)],
+                    ).combine_chunks()
+                    vkeys: set[tuple[str, int]] = set()
+                    for seq, seg in _split_segments(vmeta, file_sid):
+                        vkeys.update(
+                            (seq, int(bi))
+                            for bi in seg.column("block_idx").to_numpy()
+                        )
+                    missing = vkeys - set(pred_rows)
+                    if missing:
+                        raise ValueError(
+                            f"column {pred_col!r} is missing blocks "
+                            f"{sorted(missing)} — corrupt dataset"
                         )
                 if not cls:
                     yield _agg_frame(0, 0, 0, None, None)
@@ -1775,7 +1834,10 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                     return per
 
                 per_g = _payloads(group_col, surviving_idx)
-                per_v = _payloads(value_col, surviving_idx)
+                per_v = (
+                    per_g if value_col == group_col
+                    else _payloads(value_col, surviving_idx)
+                )
                 per_p = (
                     _payloads(pred[0], partial_idx)
                     if pred is not None and partial_idx
@@ -1805,9 +1867,12 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                     gv, _, gvalid = B.decode_blocks_batch_nullable(
                         [per_g[key][1]], np.int64, expected=[nv_rows]
                     )
-                    vv, _, vvalid = B.decode_blocks_batch_nullable(
-                        [per_v[key][1]], np.int64, expected=[nv_rows]
-                    )
+                    if value_col == group_col:
+                        vv, vvalid = gv, gvalid
+                    else:
+                        vv, _, vvalid = B.decode_blocks_batch_nullable(
+                            [per_v[key][1]], np.int64, expected=[nv_rows]
+                        )
                     if cls[key] == "full":
                         mask = np.ones(nv_rows, dtype=bool)
                     else:
