@@ -1274,6 +1274,44 @@ def _q_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT served from the encoded format's METADATA alone
+    (:func:`rlv.table_files.distinct_table_files`): a string column's
+    per-block dictionary sidecars are its sorted-distinct valid values, and
+    the NULL row's presence comes from the blocks' ``n_nulls`` — no payload
+    byte is read, so IO is O(distinct values) regardless of row count.  The
+    predicate column is NULLABLE; NULL projects as '~null~' in BOTH engines
+    (driver's column-sorted compare never orders None against str).  Oracle
+    = plain SELECT DISTINCT over the same derivation."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_dist_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.distinct_table_files(spark, out, "pri_n")
+    return got.select(
+        F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("val")
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1840,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_aggregate": _q_pushdown_aggregate,
         "group_agg_pushdown": _q_group_agg_pushdown,
         "dict_filter_scan": _q_dict_filter_scan,
+        "dict_distinct": _q_dict_distinct,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2440,6 +2479,12 @@ SELECT COALESCE(pri_n, '~null~') AS grp,
        CAST(max(cents_n) AS BIGINT) AS max_val
 FROM v WHERE o_orderkey BETWEEN 3000 AND 45000
 GROUP BY pri_n
+""",
+        "dict_distinct": """
+SELECT DISTINCT COALESCE(
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END,
+         '~null~') AS val
+FROM orders
 """,
         "table_encode_nullable_jvm": f"""
 WITH base AS (

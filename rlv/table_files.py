@@ -2034,3 +2034,90 @@ def agg_table_files_by(
         F.col("min_val").cast("bigint").alias("min_val"),
         F.col("max_val").cast("bigint").alias("max_val"),
     )
+
+
+def _make_distinct_worker(col: str, symbols_hex: tuple[str, ...] | None):
+    """Distinct-values worker over one blocks file: decode the column's
+    dictionary sidecars (each a block's sorted-distinct VALID values), union
+    them, and append one NULL row iff any block's metadata records
+    ``n_nulls > 0`` — no payload column is ever read."""
+    from rlv.util import tune_malloc
+
+    def run_distinct(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                vals: set[bytes] = set()
+                for blob in _read_dict_sidecar(
+                    path, file_sid, col=col
+                ).values():
+                    vals.update(
+                        B.decode_strings_arrow(blob, symbols).to_pylist()
+                    )
+                nmeta = pq.read_table(
+                    path,
+                    columns=["block_idx"],
+                    filters=[("col_name", "=", col), ("n_nulls", ">", 0)],
+                )
+                out: list[str | None] = [
+                    v.decode("utf-8") for v in sorted(vals)
+                ]
+                if len(nmeta) > 0:
+                    out.append(None)  # SQL DISTINCT keeps one NULL row
+                yield pd.DataFrame({col: pd.Series(out, dtype=object)})
+
+    return run_distinct
+
+
+def distinct_table_files(spark: SparkSession, enc_dir: str, col: str):
+    """``SELECT DISTINCT col`` computed WITHOUT touching a single payload
+    byte: a string column's per-block dictionary sidecar IS its
+    sorted-distinct valid values, so the exact distinct set is the union of
+    the (small) sidecars, and the NULL row's presence comes from the block
+    metadata's ``n_nulls`` — the strongest format-beats-raw query: IO is
+    O(distinct values), independent of row count.
+
+    Scale shape: one task per blocks file unions its sidecars and emits its
+    local distinct set; the only shuffle is Spark's ``distinct()`` over
+    per-file distinct values (bounded by NDV x files, never rows).  Int
+    columns are refused — their blocks store values, not codes, so distinct
+    needs a decode: use :func:`scan_table_files` / :func:`agg_table_files_by`
+    instead."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["str_cols"]:
+        raise ValueError(
+            f"{col!r} is not a string column of this dataset "
+            f"(str_cols={schema['str_cols']}); int distinct requires a "
+            "decode — group with agg_table_files_by or scan instead"
+        )
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    out_schema = f"`{col}` string"
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    return tasks_df.mapInPandas(
+        _make_distinct_worker(col, _symbols_hex(enc_dir)), out_schema
+    ).distinct()

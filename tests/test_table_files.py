@@ -884,3 +884,98 @@ def test_group_agg_pushdown_survives_compaction(spark, tmp_path):
         key=lambda t: (t[0] is not None, t[0]),
     )
     assert got == want and len(want) == 4  # g0..g2 + NULL group
+
+
+def test_distinct_from_dictionaries_only(spark, tmp_path):
+    """SELECT DISTINCT on a string column must come entirely from the
+    dictionary sidecars + n_nulls metadata: exact vs DuckDB (NULL row
+    included), stable across compaction, and correct with a corpus FSST
+    symbol table; int columns are refused."""
+    import glob
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlv.kernels import fsst
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    tag = [
+        None if i % 17 == 0 else f"prefix_common_value_{i % 23:03d}"
+        for i in range(n)
+    ]
+    paths = []
+    for p in range(2):
+        sl = slice(p * 2500, (p + 1) * 2500)
+        tbl = pa.table(
+            {
+                "k": pa.array(range(sl.start, sl.stop), pa.int64()),
+                "tag_s": pa.array(tag[sl], pa.string()),
+            }
+        )
+        paths.append(f"{d}/part{p}.parquet")
+        pq.write_table(tbl, paths[-1], row_group_size=1000)
+    syms = fsst.train_symbols(b"prefix_common_value_" * 300)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, paths, out,
+        order_col="k", int_cols=["k"], str_cols=["tag_s"],
+        rows_per_block=512, num_tasks=2, fsst_symbols=syms,
+    )
+
+    def check():
+        got = sorted(
+            (r["tag_s"] for r in
+             table_files.distinct_table_files(
+                 spark, out, "tag_s").collect()),
+            key=lambda v: (v is not None, v),
+        )
+        want = sorted(
+            (r[0] for r in duckdb.sql(
+                f"SELECT DISTINCT tag_s "
+                f"FROM read_parquet('{d}/part*.parquet')"
+            ).fetchall()),
+            key=lambda v: (v is not None, v),
+        )
+        assert got == want and len(want) == 24  # 23 values + NULL
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    assert len(glob.glob(f"{out}/blocks/*.parquet")) < 2
+    check()
+    with pytest.raises(ValueError, match="string column"):
+        table_files.distinct_table_files(spark, out, "k")
+
+
+def test_distinct_without_nulls_has_no_null_row(spark, tmp_path):
+    """A NULL-free column must NOT grow a NULL row (n_nulls metadata is the
+    only NULL source)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    tbl = pa.table(
+        {
+            "k": pa.array(range(1000), pa.int64()),
+            "s": pa.array([f"v{i % 4}" for i in range(1000)], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/p.parquet")
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out,
+        order_col="k", int_cols=["k"], str_cols=["s"],
+        rows_per_block=256, num_tasks=1,
+    )
+    got = sorted(
+        r["s"] for r in
+        table_files.distinct_table_files(spark, out, "s").collect()
+    )
+    assert got == ["v0", "v1", "v2", "v3"]
