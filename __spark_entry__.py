@@ -1312,6 +1312,42 @@ def _q_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ANALYZE (:func:`rlv.table_files.stats_table_files`):
+    per-column n_rows / n_nulls, int zone-map min/max, and string
+    NDV/min/max folded from block metadata + dictionary sidecars — no
+    payload byte read.  Ints carry NULL ndv/min_str/max_str, strings NULL
+    min_int/max_int (documented asymmetry: int blocks store values, string
+    blocks per-block ranks).  Oracle = plain SQL aggregates per column,
+    UNION ALL."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_stats_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.stats_table_files(spark, out)
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     pairs, min doc_id as representative — the dedup decision a pipeline acts
@@ -1879,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg_pushdown": _q_group_agg_pushdown,
         "dict_filter_scan": _q_dict_filter_scan,
         "dict_distinct": _q_dict_distinct,
+        "table_stats": _q_table_stats,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2485,6 +2522,35 @@ SELECT DISTINCT COALESCE(
          CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END,
          '~null~') AS val
 FROM orders
+""",
+        "table_stats": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name,
+       count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       CAST(min(o_orderkey) AS BIGINT) AS min_int,
+       CAST(max(o_orderkey) AS BIGINT) AS max_int,
+       CAST(NULL AS BIGINT) AS ndv,
+       CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str
+FROM v
+UNION ALL
+SELECT 'custkey_n', count(*), count(*) - count(custkey_n),
+       CAST(min(custkey_n) AS BIGINT), CAST(max(custkey_n) AS BIGINT),
+       NULL, NULL, NULL
+FROM v
+UNION ALL
+SELECT 'pri_n', count(*), count(*) - count(pri_n),
+       NULL, NULL,
+       CAST(count(DISTINCT pri_n) AS BIGINT), min(pri_n), max(pri_n)
+FROM v
 """,
         "table_encode_nullable_jvm": f"""
 WITH base AS (

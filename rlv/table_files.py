@@ -2121,3 +2121,176 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str):
     return tasks_df.mapInPandas(
         _make_distinct_worker(col, _symbols_hex(enc_dir)), out_schema
     ).distinct()
+
+
+STATS_PARTIAL_SCHEMA = (
+    "col_name string, n_rows bigint, n_nulls bigint, "
+    "min_int bigint, max_int bigint, sval string"
+)
+
+
+def _make_stats_worker(schema: dict, symbols_hex: tuple[str, ...] | None):
+    """ANALYZE worker over one blocks file: per-column partials from
+    METADATA alone.  Emits two row kinds on the shared partial schema —
+    'meta' rows (``sval`` NULL) with the file's per-column row/NULL counts
+    and the int zone-map min/max over blocks that hold at least one valid
+    value (``n_runs > 0``; an all-NULL block's zone map is meaningless by
+    construction), and 'dval' rows (counts NULL) carrying the file-local
+    distinct valid values of each string column from its dictionary
+    sidecars.  No payload column is ever read."""
+    from rlv.util import tune_malloc
+
+    int_cols = set(schema["int_cols"])
+    str_cols = list(schema["str_cols"])
+
+    def run_stats(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                meta = pq.read_table(
+                    path,
+                    columns=["col_name", "n_values", "n_nulls", "n_runs",
+                             "min_val", "max_val"],
+                ).to_pandas()
+                out: dict[str, list] = {
+                    k: [] for k in ("col_name", "n_rows", "n_nulls",
+                                    "min_int", "max_int", "sval")
+                }
+                for cname, g in meta.groupby("col_name", sort=True):
+                    valid = g[g["n_runs"] > 0]
+                    has_zm = cname in int_cols and len(valid) > 0
+                    out["col_name"].append(cname)
+                    out["n_rows"].append(int(g["n_values"].sum()))
+                    out["n_nulls"].append(int(g["n_nulls"].sum()))
+                    out["min_int"].append(
+                        int(valid["min_val"].min()) if has_zm else None
+                    )
+                    out["max_int"].append(
+                        int(valid["max_val"].max()) if has_zm else None
+                    )
+                    out["sval"].append(None)
+                for c in str_cols:
+                    vals: set[bytes] = set()
+                    for blob in _read_dict_sidecar(
+                        path, file_sid, col=c
+                    ).values():
+                        vals.update(
+                            B.decode_strings_arrow(blob, symbols).to_pylist()
+                        )
+                    for v in sorted(vals):
+                        out["col_name"].append(c)
+                        out["n_rows"].append(None)
+                        out["n_nulls"].append(None)
+                        out["min_int"].append(None)
+                        out["max_int"].append(None)
+                        out["sval"].append(v.decode("utf-8"))
+                yield pd.DataFrame(
+                    {
+                        "col_name": pd.Series(out["col_name"], dtype=object),
+                        "n_rows": pd.array(out["n_rows"], dtype="Int64"),
+                        "n_nulls": pd.array(out["n_nulls"], dtype="Int64"),
+                        "min_int": pd.array(out["min_int"], dtype="Int64"),
+                        "max_int": pd.array(out["max_int"], dtype="Int64"),
+                        "sval": pd.Series(out["sval"], dtype=object),
+                    }
+                )
+
+    return run_stats
+
+
+def stats_table_files(spark: SparkSession, enc_dir: str):
+    """Metadata-only ANALYZE: one row per column with
+    ``(col_name, n_rows, n_nulls, min_int, max_int, ndv, min_str,
+    max_str)`` — exact, and served WITHOUT reading a single payload byte.
+    Row/NULL counts sum the blocks' recorded ``n_values``/``n_nulls``; int
+    min/max fold the zone maps over blocks holding >= 1 valid value; string
+    NDV/min/max fold the dictionary sidecars (each block's sorted-distinct
+    valid values).  Ints carry NULL ``ndv``/``min_str``/``max_str`` (their
+    blocks store values, not dictionaries — exact int NDV would need a
+    decode, like parquet statistics' optional distinct_count); strings carry
+    NULL ``min_int``/``max_int`` (dense codes are per-block ranks).  An
+    all-NULL string column reports ``ndv = 0`` with NULL min/max, SQL
+    aggregate semantics.
+
+    Scale shape: one task per blocks file emits per-column count partials
+    plus its file-local string distincts; the only shuffle carries
+    O(columns + NDV x files) partial rows, never data rows — the ANALYZE a
+    warehouse runs as a full scan, here served by the format's own
+    metadata."""
+    from pyspark.sql import functions as F
+
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    str_cols = list(schema["str_cols"])
+    out_schema = (
+        "col_name string, n_rows bigint, n_nulls bigint, min_int bigint, "
+        "max_int bigint, ndv bigint, min_str string, max_str string"
+    )
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    part = tasks_df.mapInPandas(
+        _make_stats_worker(schema, _symbols_hex(enc_dir)),
+        STATS_PARTIAL_SCHEMA,
+    )
+    counts = (
+        part.where(F.col("n_rows").isNotNull())
+        .groupBy("col_name")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.min("min_int").alias("min_int"),
+            F.max("max_int").alias("max_int"),
+        )
+    )
+    dv = (
+        part.where(F.col("sval").isNotNull())
+        .groupBy("col_name")
+        .agg(
+            F.count_distinct("sval").alias("ndv"),
+            F.min("sval").alias("min_str"),
+            F.max("sval").alias("max_str"),
+        )
+    )
+    res = counts.join(dv, "col_name", "left")
+    # a string column that is entirely NULL yields no dval rows: its exact
+    # NDV is 0, not unknown (int columns legitimately keep NULL ndv)
+    ndv = (
+        F.when(
+            F.col("col_name").isin(str_cols),
+            F.coalesce(F.col("ndv"), F.lit(0)),
+        ).otherwise(F.col("ndv"))
+        if str_cols
+        else F.col("ndv")
+    )
+    return res.select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("min_int").cast("bigint").alias("min_int"),
+        F.col("max_int").cast("bigint").alias("max_int"),
+        ndv.cast("bigint").alias("ndv"),
+        "min_str",
+        "max_str",
+    )

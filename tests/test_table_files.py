@@ -979,3 +979,76 @@ def test_distinct_without_nulls_has_no_null_row(spark, tmp_path):
         table_files.distinct_table_files(spark, out, "s").collect()
     )
     assert got == ["v0", "v1", "v2", "v3"]
+
+
+def test_stats_from_metadata_only(spark, tmp_path):
+    """ANALYZE must be exact vs DuckDB over a multi-file nullable table —
+    counts, int zone-map min/max, string NDV/min/max, the all-NULL string
+    column's ndv=0 — and stable across compaction."""
+    import glob
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    paths = []
+    for p in range(2):
+        lo, hi = p * 2000, (p + 1) * 2000
+        tbl = pa.table(
+            {
+                "k": pa.array(range(lo, hi), pa.int64()),
+                "v_n": pa.array(
+                    [None if i % 3 == 0 else (i * 7) % 1000 - 500
+                     for i in range(lo, hi)],
+                    pa.int64(),
+                ),
+                "tag_n": pa.array(
+                    [None if i % 11 == 0 else f"t{i % 13:02d}"
+                     for i in range(lo, hi)],
+                    pa.string(),
+                ),
+                "dead_s": pa.array([None] * 2000, pa.string()),
+            }
+        )
+        paths.append(f"{d}/part{p}.parquet")
+        pq.write_table(tbl, paths[-1], row_group_size=800)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, paths, out,
+        order_col="k", int_cols=["k", "v_n"],
+        str_cols=["tag_n", "dead_s"],
+        rows_per_block=256, num_tasks=2,
+    )
+
+    want = {}
+    for c, kind in [("k", "int"), ("v_n", "int"),
+                    ("tag_n", "str"), ("dead_s", "str")]:
+        r = duckdb.sql(
+            f"SELECT count(*), count(*) - count({c}), min({c}), max({c}), "
+            f"count(DISTINCT {c}) "
+            f"FROM read_parquet('{d}/part*.parquet')"
+        ).fetchone()
+        want[c] = (
+            (r[0], r[1], r[2], r[3], None, None, None) if kind == "int"
+            else (r[0], r[1], None, None, r[4], r[2], r[3])
+        )
+
+    def check():
+        got = {
+            r["col_name"]: (r["n_rows"], r["n_nulls"], r["min_int"],
+                            r["max_int"], r["ndv"], r["min_str"],
+                            r["max_str"])
+            for r in table_files.stats_table_files(spark, out).collect()
+        }
+        assert got == want
+        assert got["dead_s"][4] == 0  # all-NULL string: exact ndv, not NULL
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    assert len(glob.glob(f"{out}/blocks/*.parquet")) < 2
+    check()
