@@ -1312,6 +1312,43 @@ def _q_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K pushdown (:func:`rlv.table_files.topk_table_files`): k extreme
+    rows of a tie-heavy NULLABLE int column in both directions, selected by
+    a zone-map-pruned threshold job + pruned scan — never a full sort.  The
+    order column in the projection makes the tie-broken row set
+    deterministic.  Oracle = plain ``WHERE col IS NOT NULL ORDER BY col
+    [DESC], key LIMIT k`` per direction, UNION ALL."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_topk_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE o_custkey % 97 END AS v_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "v_n"], str_cols=[],
+        rows_per_block=2048, num_tasks=2,
+    )
+    asc = TF.topk_table_files(spark, out, "v_n", 25, ascending=True)
+    desc = TF.topk_table_files(spark, out, "v_n", 25, ascending=False)
+    return asc.withColumn("direction", F.lit("asc")).unionAll(
+        desc.withColumn("direction", F.lit("desc"))
+    )
+
+
 def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only ANALYZE (:func:`rlv.table_files.stats_table_files`):
     per-column n_rows / n_nulls, int zone-map min/max, and string
@@ -1916,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_filter_scan": _q_dict_filter_scan,
         "dict_distinct": _q_dict_distinct,
         "table_stats": _q_table_stats,
+        "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
         "token_heavy_hitters": _q_token_heavy_hitters,
         "event_window_rollup": _q_event_window_rollup,
@@ -2522,6 +2560,25 @@ SELECT DISTINCT COALESCE(
          CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END,
          '~null~') AS val
 FROM orders
+""",
+        "topk_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE o_custkey % 97 END AS v_n
+  FROM orders
+)
+SELECT * FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(v_n AS BIGINT) AS v_n, 'asc' AS direction
+  FROM v WHERE v_n IS NOT NULL ORDER BY v_n, o_orderkey LIMIT 25
+)
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(v_n AS BIGINT) AS v_n, 'desc' AS direction
+  FROM v WHERE v_n IS NOT NULL ORDER BY v_n DESC, o_orderkey LIMIT 25
+)
 """,
         "table_stats": """
 WITH v AS (

@@ -2294,3 +2294,184 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
         "min_str",
         "max_str",
     )
+
+
+def _topk_survivors(
+    nvalid: np.ndarray, n_runs: np.ndarray,
+    mn: np.ndarray, mx: np.ndarray, k: int, ascending: bool,
+) -> np.ndarray:
+    """Pure zone-map plan for a local top-k: boolean mask of block entries
+    that can contribute to the k smallest (``ascending``) or largest valid
+    values.  Sort live blocks by max_val (resp. min_val desc) and walk until
+    the cumulative VALID count reaches k — that block's bound caps the k-th
+    extreme value, so any block whose min_val exceeds it (resp. max_val
+    falls below) holds only strictly-beaten values and prunes.  All-NULL
+    blocks (``n_runs == 0``) never survive."""
+    live = n_runs > 0
+    if not live.any() or int(nvalid[live].sum()) <= k:
+        return live
+    nv, lo_, hi_ = nvalid[live], mn[live], mx[live]
+    if ascending:
+        o = np.argsort(hi_, kind="stable")
+        cum = np.cumsum(nv[o])
+        bound = int(hi_[o][int(np.searchsorted(cum, k))])
+        inside = lo_ <= bound
+    else:
+        o = np.argsort(-lo_, kind="stable")
+        cum = np.cumsum(nv[o])
+        bound = int(lo_[o][int(np.searchsorted(cum, k))])
+        inside = hi_ >= bound
+    keep = live.copy()
+    keep[live] = inside
+    return keep
+
+
+def _make_topk_vals_worker(col: str, k: int, ascending: bool):
+    """Threshold worker over one blocks file: the file's k extreme VALID
+    values of ``col``, decoding only blocks the zone-map plan keeps."""
+    from rlv.util import tune_malloc
+
+    def run_topk(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                meta = pq.read_table(
+                    path,
+                    columns=["split_seq", "block_idx", "n_values",
+                             "n_nulls", "n_runs", "min_val", "max_val"],
+                    filters=[("col_name", "=", col)],
+                ).combine_chunks()
+                if len(meta) == 0:
+                    yield pd.DataFrame({"val": np.empty(0, np.int64)})
+                    continue
+                seqs = [
+                    str(s) for s in meta.column("split_seq").to_pylist()
+                ]
+                bis = meta.column("block_idx").to_numpy()
+                keep = _topk_survivors(
+                    (meta.column("n_values").to_numpy()
+                     - meta.column("n_nulls").to_numpy()),
+                    meta.column("n_runs").to_numpy(),
+                    meta.column("min_val").to_numpy(),
+                    meta.column("max_val").to_numpy(),
+                    k, ascending,
+                )
+                surv = {
+                    (seqs[i], int(bis[i]))
+                    for i in np.flatnonzero(keep)
+                }
+                if not surv:
+                    yield pd.DataFrame({"val": np.empty(0, np.int64)})
+                    continue
+                # payload fetch for surviving ordinals only (the in-filter
+                # over-reads an ordinal surviving in one compacted segment
+                # but not another; the key set prunes exactly below)
+                btbl = pq.read_table(
+                    path,
+                    columns=["split_seq", "block_idx", "n_values", "block"],
+                    filters=[
+                        ("col_name", "=", col),
+                        ("block_idx", "in", sorted({bi for _, bi in surv})),
+                    ],
+                ).combine_chunks()
+                bseqs = (
+                    [str(s) for s in btbl.column("split_seq").to_pylist()]
+                    if "split_seq" in btbl.column_names
+                    else [file_sid] * len(btbl)
+                )
+                blobs, expected = [], []
+                for seq, bi, nv, blob in zip(
+                    bseqs,
+                    btbl.column("block_idx").to_numpy(),
+                    btbl.column("n_values").to_numpy(),
+                    btbl.column("block").to_pylist(),
+                ):
+                    if (seq, int(bi)) in surv:
+                        blobs.append(blob)
+                        expected.append(int(nv))
+                vals, _, valid = B.decode_blocks_batch_nullable(
+                    blobs, np.int64, expected=expected
+                )
+                vv = vals[valid]
+                if vv.size > k:
+                    vv = (
+                        np.partition(vv, k - 1)[:k] if ascending
+                        else np.partition(vv, vv.size - k)[vv.size - k:]
+                    )
+                yield pd.DataFrame({"val": vv.astype(np.int64)})
+
+    return run_topk
+
+
+def topk_table_files(
+    spark: SparkSession, enc_dir: str, col: str, k: int,
+    ascending: bool = True, columns: list[str] | None = None,
+):
+    """TOP-K pushdown into the encoded format: the k rows with the smallest
+    (``ascending``) or largest valid values of int column ``col`` (NULLs
+    excluded, SQL ``WHERE col IS NOT NULL ORDER BY col LIMIT k``), projected
+    like :func:`scan_table_files`.  When the dataset's order column is in
+    the projection it tie-breaks equal values ascending, making the selected
+    row SET deterministic (``ORDER BY col, order_col LIMIT k``); without it,
+    ties at the boundary are arbitrary, as in SQL.
+
+    Two pruned passes, no full sort anywhere: (1) a threshold job — one task
+    per blocks file computes the file's k extreme values, decoding only
+    blocks its zone-map plan keeps (:func:`_topk_survivors`: walk blocks by
+    max_val until cumulative valid count reaches k; blocks beyond that bound
+    hold only beaten values) — and the global k-th extreme T folds from the
+    ≤ k·files collected candidates; (2) the existing pruned projection scan
+    with predicate ``col <= T`` (resp. ``>= T``), whose block skipping makes
+    the data read O(k-selectivity) on clustered columns, followed by
+    Spark's TakeOrdered over the surviving sliver.  The shuffle never
+    carries more than k·files candidate values plus the boundary rows."""
+    from pyspark.sql import functions as F
+
+    schema = _require_int_col(enc_dir, col)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    out_names = _scan_out_names(schema, col, columns)
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+    str_cols = set(schema["str_cols"])
+    types = schema.get("int_col_types") or {}
+    empty_schema = ", ".join(
+        f"`{c}` "
+        + ("string" if c in str_cols
+           else _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint"))
+        for c in out_names
+    )
+    if not files:
+        return spark.createDataFrame([], empty_schema)
+    tasks_df = spark.createDataFrame(
+        pd.DataFrame({"file": files})
+    ).repartition(len(files))
+    cand = tasks_df.mapInPandas(
+        _make_topk_vals_worker(col, int(k), ascending), "val bigint"
+    )
+    rows = (
+        cand.orderBy(F.col("val").asc() if ascending else F.col("val").desc())
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], empty_schema)
+    t = int(rows[-1]["val"])
+    lo, hi = (-(2**63), t) if ascending else (t, 2**63 - 1)
+    scan = scan_table_files(spark, enc_dir, col, lo, hi, columns=out_names)
+    sort_cols = [F.col(col).asc() if ascending else F.col(col).desc()]
+    order_col = schema["order_col"]
+    if order_col in out_names and order_col != col:
+        sort_cols.append(F.col(order_col).asc())
+    return scan.orderBy(*sort_cols).limit(k)

@@ -1052,3 +1052,85 @@ def test_stats_from_metadata_only(spark, tmp_path):
     assert res["bins_written"] >= 1
     assert len(glob.glob(f"{out}/blocks/*.parquet")) < 2
     check()
+
+
+def test_topk_survivors_plan_prunes_clustered_blocks():
+    """On a clustered column the zone-map plan must keep O(k/rows_per_block)
+    blocks, and never a live block that could hold a top-k value."""
+    import numpy as np
+
+    from rlv.table_files import _topk_survivors
+
+    nblocks = 100
+    nvalid = np.full(nblocks, 100, np.int64)
+    mn = np.arange(nblocks, dtype=np.int64) * 100
+    mx = mn + 99
+    n_runs = np.full(nblocks, 5, np.int64)
+    n_runs[3] = 0  # an all-NULL block never survives
+    keep = _topk_survivors(nvalid, n_runs, mn, mx, 150, ascending=True)
+    # blocks 0-1 hold 200 >= 150 values, all <= 199 < block 2's min: tight
+    assert keep[:2].all() and not keep[2:].any()
+    keep = _topk_survivors(nvalid, n_runs, mn, mx, 150, ascending=False)
+    assert keep[-2:].all() and not keep[:-2].any()
+    # k >= total valid keeps every live block
+    keep = _topk_survivors(nvalid, n_runs, mn, mx, 100 * nblocks,
+                           ascending=True)
+    assert keep.sum() == nblocks - 1 and not keep[3]
+
+
+def test_topk_matches_sql_order_by_limit(spark, tmp_path):
+    """Top-k must equal SQL ORDER BY col, order_col LIMIT k (NULLs excluded)
+    in both directions, on a tie-heavy nullable multi-file table, before and
+    after compaction; k past the row count returns every valid row."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    paths = []
+    for p in range(2):
+        lo, hi = p * 3000, (p + 1) * 3000
+        tbl = pa.table(
+            {
+                "k": pa.array(range(lo, hi), pa.int64()),
+                "v_n": pa.array(
+                    [None if i % 5 == 2 else (i * 13) % 41 - 20
+                     for i in range(lo, hi)],
+                    pa.int64(),
+                ),
+            }
+        )
+        paths.append(f"{d}/part{p}.parquet")
+        pq.write_table(tbl, paths[-1], row_group_size=1024)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, paths, out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=[],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check(kk, asc):
+        got = [
+            (r["k"], r["v_n"]) for r in
+            table_files.topk_table_files(
+                spark, out, "v_n", kk, ascending=asc).collect()
+        ]
+        direction = "ASC" if asc else "DESC"
+        want = duckdb.sql(
+            f"SELECT k, v_n FROM read_parquet('{d}/part*.parquet') "
+            f"WHERE v_n IS NOT NULL "
+            f"ORDER BY v_n {direction}, k LIMIT {kk}"
+        ).fetchall()
+        assert got == want
+
+    for kk, asc in [(37, True), (37, False), (1, True), (100000, True)]:
+        check(kk, asc)
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check(37, True)
+    check(37, False)
+    with pytest.raises(ValueError, match="positive"):
+        table_files.topk_table_files(spark, out, "v_n", 0)
