@@ -1312,6 +1312,44 @@ def _q_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dict_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership pushdown
+    (:func:`rlv.table_files.scan_table_files_in`): ``col IN (a, b, missing)``
+    on a NULLABLE dictionary column, projected to (key, predicate col,
+    nullable int) — blocks prune when their dictionary contains no literal;
+    survivors match per-block code SETS.  One literal is absent from the
+    data on purpose.  Oracle = plain SQL WHERE ... IN (...)."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_in_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.scan_table_files_in(
+        spark, out, "pri_n", ["2-HIGH", "4-NOT SPECIFIED", "9-MISSING"],
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+    )
+
+
 def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP-K pushdown (:func:`rlv.table_files.topk_table_files`): k extreme
     rows of a tie-heavy NULLABLE int column in both directions, selected by
@@ -1952,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg_pushdown": _q_group_agg_pushdown,
         "dict_filter_scan": _q_dict_filter_scan,
         "dict_distinct": _q_dict_distinct,
+        "dict_in_scan": _q_dict_in_scan,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -2560,6 +2599,19 @@ SELECT DISTINCT COALESCE(
          CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END,
          '~null~') AS val
 FROM orders
+""",
+        "dict_in_scan": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, pri_n,
+       CAST(opt_custkey AS BIGINT) AS opt_custkey
+FROM v WHERE pri_n IN ('2-HIGH', '4-NOT SPECIFIED', '9-MISSING')
 """,
         "topk_pushdown": """
 WITH v AS (

@@ -969,15 +969,23 @@ def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
 def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                       out_names: list[str],
                       symbols_hex: tuple[str, ...] | None = None,
-                      eq_value: bytes | None = None):
+                      eq_values: tuple[bytes, ...] | None = None):
     """Scan worker over one blocks file.  Two predicate modes share the
-    projection machinery: the zone-map INT range (``eq_value=None``: blocks
+    projection machinery: the zone-map INT range (``eq_values=None``: blocks
     whose [min_val, max_val] misses [lo, hi] prune via parquet filters) and
-    STRING equality (``eq_value`` set: ``col`` is a string column, and a
-    block prunes when its dictionary sidecar does not CONTAIN the literal —
-    membership pruning; survivors match their dense code for the literal's
-    per-block rank)."""
+    STRING membership (``eq_values`` set: ``col`` is a string column, and a
+    block prunes when its dictionary sidecar contains NONE of the literals —
+    membership pruning; survivors match their dense codes for the present
+    literals' per-block ranks).  A single literal keeps the equality fast
+    path: kept rows ARE the literal, so the predicate column needs no second
+    decode and no dictionary gather."""
     from rlv.util import tune_malloc
+
+    eq_single = (
+        eq_values[0]
+        if eq_values is not None and len(eq_values) == 1
+        else None
+    )
 
     order_col = schema["order_col"]
     str_cols = set(schema["str_cols"])
@@ -1014,8 +1022,8 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                 # contains the literal, recording its per-block code.
                 # Pruned blocks never materialize their payload bytes; the
                 # required columns double as the format check (r4 on).
-                eq_codes: dict[tuple[str, int], int] | None = None
-                if eq_value is None:
+                eq_codes: dict[tuple[str, int], np.ndarray] | None = None
+                if eq_values is None:
                     meta = pq.read_table(
                         path,
                         columns=["split_seq", "block_idx", "n_values"],
@@ -1038,11 +1046,18 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         path, file_sid, col=col
                     ).items():
                         uniq = B.decode_strings_arrow(blob, symbols)
-                        hit = pc.index(
-                            uniq, pa.scalar(eq_value, uniq.type)
-                        ).as_py()
-                        if hit >= 0:
-                            eq_codes[(seq, bi)] = hit
+                        hits = sorted(
+                            h
+                            for h in (
+                                pc.index(
+                                    uniq, pa.scalar(v, uniq.type)
+                                ).as_py()
+                                for v in eq_values
+                            )
+                            if h >= 0
+                        )
+                        if hits:
+                            eq_codes[(seq, bi)] = np.asarray(hits, np.int64)
                     if not eq_codes:
                         yield _empty_frame()
                         continue
@@ -1062,11 +1077,12 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                     ],
                 ).combine_chunks()
                 # dictionaries only for the PROJECTED string columns'
-                # surviving ordinals (the eq predicate column needs none:
-                # its kept rows are all the literal)
+                # surviving ordinals (the single-literal eq predicate
+                # column needs none: its kept rows are all the literal; a
+                # multi-literal IN predicate gathers like any projection)
                 proj_strs = sorted(
                     c for c in str_cols.intersection(out_names)
-                    if not (c == col and eq_value is not None)
+                    if not (c == col and eq_single is not None)
                 )
                 side = (
                     _read_dict_sidecar(
@@ -1112,17 +1128,27 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                     )
                     if eq_codes is None:
                         m = vvalid & (vals >= lo) & (vals <= hi)
-                    else:
+                    elif eq_single is not None:
                         # dense codes are per-block ranks: match each
                         # block's own code for the literal
                         target = np.repeat(
                             np.array(
-                                [eq_codes[(seq, bi)] for bi in survivors],
+                                [int(eq_codes[(seq, bi)][0])
+                                 for bi in survivors],
                                 np.int64,
                             ),
                             np.diff(voffs),
                         )
                         m = vvalid & (vals == target)
+                    else:
+                        # IN-list: each block matches its own code SET for
+                        # the literals its dictionary contains
+                        m = vvalid.copy()
+                        for j, bi in enumerate(survivors):
+                            sl = slice(int(voffs[j]), int(voffs[j + 1]))
+                            m[sl] &= np.isin(
+                                vals[sl], eq_codes[(seq, bi)]
+                            )
                     for c in out_names:
                         if c == col and eq_codes is None:
                             # predicate column: m already excludes NULLs
@@ -1130,11 +1156,11 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                                 (vals[m], np.zeros(int(m.sum()), bool))
                             )
                             continue
-                        if c == col and eq_codes is not None:
+                        if c == col and eq_single is not None:
                             # eq predicate column: every kept row IS the
                             # literal — no second decode, no dict gather
                             outs[c].append(
-                                pa.array([eq_value] * int(m.sum()),
+                                pa.array([eq_single] * int(m.sum()),
                                          pa.binary())
                             )
                             continue
@@ -1286,7 +1312,45 @@ def scan_table_files_eq(
     worker = _make_scan_worker(
         schema, col, 0, 0, out_names,
         symbols_hex=_symbols_hex(enc_dir),
-        eq_value=value.encode("utf-8"),
+        eq_values=(value.encode("utf-8"),),
+    )
+    return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
+
+
+def scan_table_files_in(
+    spark: SparkSession, enc_dir: str, col: str, values: list[str],
+    columns: list[str] | None = None,
+):
+    """STRING IN-list pushdown into the encoded format: rows where
+    ``col IN (values...)`` (NULL never matches, SQL membership), projected
+    to ``columns`` (default ``(order_col, col)``) — the multi-literal
+    generalization of :func:`scan_table_files_eq`.
+
+    Phase 1 decodes only the dictionary sidecars and keeps blocks whose
+    dictionary contains AT LEAST ONE literal, recording the present
+    literals' per-block ranks; phase 2 fetches survivors' payloads and
+    matches each block's code stream against its own code SET.  Pruning is
+    the union of the single-literal membership prunes, so a selective
+    literal list touches O(blocks containing any literal) payload bytes.
+    Duplicates in ``values`` collapse; an empty list is refused (SQL's
+    ``IN ()`` is a syntax error)."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["str_cols"]:
+        raise ValueError(
+            f"{col!r} is not a string column of this dataset "
+            f"(str_cols={schema['str_cols']}); for int membership compose "
+            "scan_table_files range predicates"
+        )
+    uniq = tuple(sorted({v.encode("utf-8") for v in values}))
+    if not uniq:
+        raise ValueError("values must name at least one literal")
+    out_names = _scan_out_names(schema, col, columns)
+    worker = _make_scan_worker(
+        schema, col, 0, 0, out_names,
+        symbols_hex=_symbols_hex(enc_dir),
+        eq_values=uniq,
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 

@@ -1134,3 +1134,77 @@ def test_topk_matches_sql_order_by_limit(spark, tmp_path):
     check(37, False)
     with pytest.raises(ValueError, match="positive"):
         table_files.topk_table_files(spark, out, "v_n", 0)
+
+
+def test_in_list_scan_matches_sql(spark, tmp_path):
+    """IN-list membership scan must equal SQL WHERE col IN (...) — NULLs
+    never match, absent literals contribute nothing, an all-absent list
+    returns empty, a single literal agrees with the eq scan — with an
+    int + string projection, before and after compaction."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    paths = []
+    for p in range(2):
+        lo, hi = p * 2500, (p + 1) * 2500
+        tbl = pa.table(
+            {
+                "k": pa.array(range(lo, hi), pa.int64()),
+                "tag_n": pa.array(
+                    [None if i % 13 == 0 else f"w{i % 19:02d}"
+                     for i in range(lo, hi)],
+                    pa.string(),
+                ),
+                "v_n": pa.array(
+                    [None if i % 7 == 4 else i * 3 for i in range(lo, hi)],
+                    pa.int64(),
+                ),
+            }
+        )
+        paths.append(f"{d}/part{p}.parquet")
+        pq.write_table(tbl, paths[-1], row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, paths, out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def got_rows(vals):
+        return sorted(
+            (r["k"], r["tag_n"], r["v_n"]) for r in
+            table_files.scan_table_files_in(
+                spark, out, "tag_n", vals,
+                columns=["k", "tag_n", "v_n"]).collect()
+        )
+
+    def check():
+        lits = ["w03", "w11", "nosuch"]
+        want = sorted(duckdb.sql(
+            f"SELECT k, tag_n, v_n FROM read_parquet('{d}/part*.parquet') "
+            "WHERE tag_n IN ('w03', 'w11', 'nosuch')"
+        ).fetchall())
+        assert got_rows(lits) == want and len(want) > 0
+        assert got_rows(["nosuch", "none2"]) == []
+        # single literal: IN degenerates to the eq scan exactly
+        eq = sorted(
+            (r["k"], r["tag_n"], r["v_n"]) for r in
+            table_files.scan_table_files_eq(
+                spark, out, "tag_n", "w05",
+                columns=["k", "tag_n", "v_n"]).collect()
+        )
+        assert got_rows(["w05", "w05"]) == eq  # dupes collapse too
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+    with pytest.raises(ValueError, match="at least one literal"):
+        table_files.scan_table_files_in(spark, out, "tag_n", [])
+    with pytest.raises(ValueError, match="string column"):
+        table_files.scan_table_files_in(spark, out, "k", ["x"])
