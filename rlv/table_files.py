@@ -871,13 +871,7 @@ def decode_table_files(
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
-    )
+    files = _live_block_files(enc_dir)
     lost = [f for f in files if not os.path.exists(f)]
     if lost:
         raise FileNotFoundError(
@@ -916,6 +910,28 @@ _SPARK_TYPE_OF_ALIAS = {
 }
 
 
+def _live_block_files(enc_dir: str) -> list[str]:
+    """Sorted live blocks files from the manifest — the task list of every
+    per-file operator (scan/agg/top-k/distinct/stats/decode); raises when
+    the dataset has no manifest yet."""
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    return sorted(
+        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        for sid in live["split_id"].astype(str)
+    )
+
+
+def _typed_field_type(schema: dict, c: str) -> str:
+    """Spark type of a column as the operators return it: string columns as
+    string, int columns at their recorded source width."""
+    if c in set(schema["str_cols"]):
+        return "string"
+    types = schema.get("int_col_types") or {}
+    return _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint")
+
+
 def _require_int_col(enc_dir: str, col: str) -> dict:
     """Load the table schema and validate ``col`` is a zone-mapped int
     column — shared by the scan and its stats sibling so both fail the same
@@ -939,13 +955,10 @@ def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
     import pyarrow.parquet as pq
 
     _require_int_col(enc_dir, col)
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
     total = match = rows = rows_m = 0
-    for sid in live["split_id"].astype(str):
+    for path in _live_block_files(enc_dir):
         t = pq.read_table(
-            os.path.join(enc_dir, "blocks", f"{sid}.parquet"),
+            path,
             columns=["col_name", "n_values", "n_runs", "min_val", "max_val"],
             filters=[("col_name", "=", col)],
         )
@@ -1023,6 +1036,7 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                 # Pruned blocks never materialize their payload bytes; the
                 # required columns double as the format check (r4 on).
                 eq_codes: dict[tuple[str, int], np.ndarray] | None = None
+                eq_dicts: dict[tuple[str, int], object] = {}
                 if eq_values is None:
                     meta = pq.read_table(
                         path,
@@ -1058,6 +1072,7 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         )
                         if hits:
                             eq_codes[(seq, bi)] = np.asarray(hits, np.int64)
+                            eq_dicts[(seq, bi)] = uniq
                     if not eq_codes:
                         yield _empty_frame()
                         continue
@@ -1077,12 +1092,12 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                     ],
                 ).combine_chunks()
                 # dictionaries only for the PROJECTED string columns'
-                # surviving ordinals (the single-literal eq predicate
-                # column needs none: its kept rows are all the literal; a
-                # multi-literal IN predicate gathers like any projection)
+                # surviving ordinals (the eq/IN predicate column needs no
+                # second read: single-literal kept rows ARE the literal,
+                # IN rows gather from phase 1's cached dictionaries)
                 proj_strs = sorted(
                     c for c in str_cols.intersection(out_names)
-                    if not (c == col and eq_single is not None)
+                    if not (c == col and eq_values is not None)
                 )
                 side = (
                     _read_dict_sidecar(
@@ -1162,6 +1177,29 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                             outs[c].append(
                                 pa.array([eq_single] * int(m.sum()),
                                          pa.binary())
+                            )
+                            continue
+                        if c == col and eq_codes is not None:
+                            # IN predicate column: gather kept rows from
+                            # phase 1's cached dictionaries through the
+                            # already-decoded code stream — no second
+                            # sidecar read, no second payload decode
+                            parts = []
+                            for j, bi in enumerate(survivors):
+                                sl = slice(int(voffs[j]),
+                                           int(voffs[j + 1]))
+                                codes = vals[sl][m[sl]]
+                                parts.append(
+                                    eq_dicts[(seq, bi)].take(
+                                        pa.array(codes)
+                                    )
+                                )
+                            outs[c].append(
+                                pa.concat_arrays(
+                                    [p.combine_chunks()
+                                     if hasattr(p, "chunks") else p
+                                     for p in parts]
+                                )
                             )
                             continue
                         if c in str_cols:
@@ -1370,17 +1408,14 @@ def strdict_stats(enc_dir: str, col: str, value: str) -> dict:
             f"{col!r} is not a string column of this dataset "
             f"(str_cols={schema['str_cols']})"
         )
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
     import pyarrow as pa
     import pyarrow.compute as pc
 
     syms = engine_files._load_symbols(enc_dir)
     needle = value.encode("utf-8")
     total = match = 0
-    for sid in live["split_id"].astype(str):
-        bpath = os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+    for bpath in _live_block_files(enc_dir):
+        sid = os.path.splitext(os.path.basename(bpath))[0]
         for blob in _read_dict_sidecar(bpath, sid, col=col).values():
             total += 1
             uniq = B.decode_strings_arrow(blob, syms)
@@ -1421,13 +1456,7 @@ def _run_scan_tasks(spark: SparkSession, enc_dir: str, schema: dict,
                     out_names: list[str], worker):
     """One task per live blocks file, zero shuffle; ints come back cast to
     their recorded source widths (shared tail of both scans)."""
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
-    )
+    files = _live_block_files(enc_dir)
     str_cols = set(schema["str_cols"])
     scan_schema = ", ".join(
         f"`{c}` {'string' if c in str_cols else 'bigint'}"
@@ -1442,15 +1471,11 @@ def _run_scan_tasks(spark: SparkSession, enc_dir: str, schema: dict,
             pd.DataFrame({"file": files})
         ).repartition(len(files))
         out = tasks_df.mapInPandas(worker, scan_schema)
-    types = schema.get("int_col_types") or {}
     from pyspark.sql import functions as F
 
     return out.select(
         *[
-            F.col(c).alias(c) if c in str_cols
-            else F.col(c).cast(
-                _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint")
-            ).alias(c)
+            F.col(c).cast(_typed_field_type(schema, c)).alias(c)
             for c in out_names
         ]
     )
@@ -1668,13 +1693,7 @@ def agg_table_files(
     an empty match returns ``(0, 0, NULL, NULL, NULL)``."""
     _require_int_col(enc_dir, pred_col)
     schema = _require_int_col(enc_dir, value_col)
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
-    )
+    files = _live_block_files(enc_dir)
     from pyspark.sql import functions as F
 
     if not files:
@@ -2055,13 +2074,7 @@ def agg_table_files_by(
         pred = (pred_col, int(lo), int(hi))
     elif lo is not None or hi is not None:
         raise ValueError("lo/hi require pred_col")
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
-    )
+    files = _live_block_files(enc_dir)
     from pyspark.sql import functions as F
 
     g_type = "string" if group_is_str else "bigint"
@@ -2169,13 +2182,7 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str):
             f"(str_cols={schema['str_cols']}); int distinct requires a "
             "decode — group with agg_table_files_by or scan instead"
         )
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
-    )
+    files = _live_block_files(enc_dir)
     out_schema = f"`{col}` string"
     if not files:
         return spark.createDataFrame([], out_schema)
@@ -2297,17 +2304,11 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files = _live_block_files(enc_dir)
     str_cols = list(schema["str_cols"])
     out_schema = (
         "col_name string, n_rows bigint, n_nulls bigint, min_int bigint, "
         "max_int bigint, ndv bigint, min_str string, max_str string"
-    )
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
     )
     if not files:
         return spark.createDataFrame([], out_schema)
@@ -2381,7 +2382,9 @@ def _topk_survivors(
         bound = int(hi_[o][int(np.searchsorted(cum, k))])
         inside = lo_ <= bound
     else:
-        o = np.argsort(-lo_, kind="stable")
+        # descending sort via reversed ascending argsort: negating int64
+        # would wrap at int64 min and mis-sort that block first
+        o = np.argsort(lo_, kind="stable")[::-1]
         cum = np.cumsum(nv[o])
         bound = int(lo_[o][int(np.searchsorted(cum, k))])
         inside = hi_ >= bound
@@ -2444,11 +2447,11 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool):
                         ("block_idx", "in", sorted({bi for _, bi in surv})),
                     ],
                 ).combine_chunks()
-                bseqs = (
-                    [str(s) for s in btbl.column("split_seq").to_pylist()]
-                    if "split_seq" in btbl.column_names
-                    else [file_sid] * len(btbl)
-                )
+                # the unconditional split_seq column select above doubles as
+                # the r4 format check (like the scan worker's)
+                bseqs = [
+                    str(s) for s in btbl.column("split_seq").to_pylist()
+                ]
                 blobs, expected = [], []
                 for seq, bi, nv, blob in zip(
                     bseqs,
@@ -2501,20 +2504,9 @@ def topk_table_files(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     out_names = _scan_out_names(schema, col, columns)
-    live = engine_files.live_splits(enc_dir)
-    if live is None:
-        raise FileNotFoundError(f"no manifest at {enc_dir}")
-    files = sorted(
-        os.path.join(enc_dir, "blocks", f"{sid}.parquet")
-        for sid in live["split_id"].astype(str)
-    )
-    str_cols = set(schema["str_cols"])
-    types = schema.get("int_col_types") or {}
+    files = _live_block_files(enc_dir)
     empty_schema = ", ".join(
-        f"`{c}` "
-        + ("string" if c in str_cols
-           else _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint"))
-        for c in out_names
+        f"`{c}` {_typed_field_type(schema, c)}" for c in out_names
     )
     if not files:
         return spark.createDataFrame([], empty_schema)
@@ -2533,9 +2525,14 @@ def topk_table_files(
         return spark.createDataFrame([], empty_schema)
     t = int(rows[-1]["val"])
     lo, hi = (-(2**63), t) if ascending else (t, 2**63 - 1)
-    scan = scan_table_files(spark, enc_dir, col, lo, hi, columns=out_names)
+    # the sort column rides along even when the caller's projection omits
+    # it (orderBy needs it resolved), then drops before returning
+    scan_names = (
+        out_names if col in out_names else [*out_names, col]
+    )
+    scan = scan_table_files(spark, enc_dir, col, lo, hi, columns=scan_names)
     sort_cols = [F.col(col).asc() if ascending else F.col(col).desc()]
     order_col = schema["order_col"]
     if order_col in out_names and order_col != col:
         sort_cols.append(F.col(order_col).asc())
-    return scan.orderBy(*sort_cols).limit(k)
+    return scan.orderBy(*sort_cols).limit(k).select(*out_names)

@@ -1208,3 +1208,58 @@ def test_in_list_scan_matches_sql(spark, tmp_path):
         table_files.scan_table_files_in(spark, out, "tag_n", [])
     with pytest.raises(ValueError, match="string column"):
         table_files.scan_table_files_in(spark, out, "k", ["x"])
+
+
+def test_topk_survivors_int64_min_block_descending():
+    """Descending plan must not wrap when a block's min_val is int64 min
+    (negating int64 min is UB-ish in numpy: it stays negative and would
+    sort that block first, inflating the bound and wrongly pruning)."""
+    import numpy as np
+
+    from rlv.table_files import _topk_survivors
+
+    nvalid = np.array([50, 30, 100], np.int64)
+    mn = np.array([-(2**63), 500, 100], np.int64)
+    mx = np.array([-(2**63) + 10, 600, 200], np.int64)
+    n_runs = np.ones(3, np.int64)
+    keep = _topk_survivors(nvalid, n_runs, mn, mx, 60, ascending=False)
+    # blocks B(500..600, 30 vals) + C(100..200, 100 vals) give 60 values
+    # >= 100; A tops out at -2**63+10 and must prune
+    assert list(keep) == [False, True, True]
+
+
+def test_topk_projection_without_sort_column(spark, tmp_path):
+    """A projection omitting the sort column must still work (the sort
+    column rides along internally and drops from the result)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    tbl = pa.table(
+        {
+            "k": pa.array(range(1000), pa.int64()),
+            "v": pa.array([(i * 37) % 501 for i in range(1000)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/p.parquet")
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out,
+        order_col="k", int_cols=["k", "v"], str_cols=[],
+        rows_per_block=256, num_tasks=1,
+    )
+    got = table_files.topk_table_files(
+        spark, out, "v", 10, ascending=True, columns=["k"]
+    )
+    assert got.columns == ["k"]
+    want = {
+        r[0] for r in duckdb.sql(
+            f"SELECT k FROM read_parquet('{d}/p.parquet') "
+            "ORDER BY v, k LIMIT 10"
+        ).fetchall()
+    }
+    assert {r["k"] for r in got.collect()} == want
