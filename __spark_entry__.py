@@ -1312,6 +1312,46 @@ def _q_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_int_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT pushed into the INT codecs
+    (:func:`rlv.table_files.distinct_table_files` int branch /
+    :func:`rlv.blocks.distinct_block_values`): an RLE block uniques its
+    run-value plane without expanding a single row, a DICT block reads only
+    its dictionary plane, and the NULL row comes from ``n_nulls`` metadata —
+    DISTINCT as compute-over-compressed (run lists are the sufficient
+    statistic, cf. rl_encoding.v:2735-2762).  The column is NULLABLE and
+    low-NDV so the no-expansion codecs actually get selected; NULL projects
+    as -999999 in BOTH engines.  Oracle = plain SELECT DISTINCT over the
+    same derivation."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_idist_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 9 = 4 THEN NULL "
+        "     ELSE o_custkey % 97 END AS code_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey", int_cols=["o_orderkey", "code_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.distinct_table_files(spark, out, "code_n")
+    return got.select(
+        F.coalesce(F.col("code_n").cast("bigint"), F.lit(-999999))
+        .alias("val")
+    )
+
+
 def _q_dict_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-list membership pushdown
     (:func:`rlv.table_files.scan_table_files_in`): ``col IN (a, b, missing)``
@@ -1990,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg_pushdown": _q_group_agg_pushdown,
         "dict_filter_scan": _q_dict_filter_scan,
         "dict_distinct": _q_dict_distinct,
+        "int_distinct": _q_int_distinct,
         "dict_in_scan": _q_dict_in_scan,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
@@ -2598,6 +2639,12 @@ GROUP BY pri_n
 SELECT DISTINCT COALESCE(
          CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END,
          '~null~') AS val
+FROM orders
+""",
+        "int_distinct": """
+SELECT DISTINCT CAST(COALESCE(
+         CASE WHEN o_orderkey % 9 = 4 THEN NULL ELSE o_custkey % 97 END,
+         -999999) AS BIGINT) AS val
 FROM orders
 """,
         "dict_in_scan": """

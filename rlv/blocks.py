@@ -530,6 +530,44 @@ def agg_block(block: bytes) -> tuple[int, int, int, int | None, int | None]:
             int(vals.min()), int(vals.max()))
 
 
+def distinct_block_values(block: bytes) -> np.ndarray:
+    """Sorted distinct VALID int64 values of one block — DISTINCT pushed
+    INTO the codec, sibling of :func:`agg_block`.
+
+    An RLE block uniques its run-value plane directly (the run list is the
+    sufficient statistic; the expanded rows never materialize — the same
+    compute-over-compressed identity the reference's run analyses rest on,
+    rl_encoding.v:2735-2762).  A DICT block's dictionary plane IS its sorted
+    distinct set by construction (``np.unique`` output; every entry is
+    referenced), so only the dictionary bits unpack and the index plane is
+    never read.  A NULLW wrapper defers to its inner block, whose values
+    are exactly the valid ones.  The remaining codecs (PLAIN/BITPACK/FOR/
+    DELTA) decode vectorized and unique."""
+    if len(block) == 0:
+        return np.empty(0, np.int64)
+    codec = block[0]
+    if codec == NULLW:
+        _, _, _, inner = parse_nullable(block)
+        return distinct_block_values(inner)
+    if codec == RLE:
+        _, values = _rle_runs(block)
+        return np.unique(values.astype(np.int64))
+    if codec == DICT:
+        pos = 1
+        _, pos = read_uvarint(block, pos)
+        ndv, pos = read_uvarint(block, pos)
+        dict_min, pos = _read_svarint(block, pos)
+        dbits = block[pos]
+        pos += 1
+        dbytes = packed_nbytes(ndv, dbits)
+        return add_min_i64(
+            unpack_bits(block[pos:pos + dbytes], ndv, dbits,
+                        dtype=np.uint64),
+            dict_min,
+        ).astype(np.int64)
+    return np.unique(decode_block(block, np.int64))
+
+
 # ---------------------------------------------------------------------------
 # Batched decode: many blocks -> one flat array + offsets.  Same wire format,
 # vectorized across documents: per-doc work drops to header parsing; all bit

@@ -2159,39 +2159,97 @@ def _make_distinct_worker(col: str, symbols_hex: tuple[str, ...] | None):
     return run_distinct
 
 
+def _make_int_distinct_worker(col: str):
+    """Distinct-values worker over one blocks file, INT column: union each
+    block's :func:`rlv.blocks.distinct_block_values` (RLE uniques its run
+    values without expanding rows; DICT reads only its dictionary plane) and
+    append one NULL row iff any block records ``n_nulls > 0``."""
+    from rlv.util import tune_malloc
+
+    def run_distinct(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                btbl = pq.read_table(
+                    row["file"],
+                    columns=["n_nulls", "block"],
+                    filters=[("col_name", "=", col)],
+                )
+                parts = [
+                    B.distinct_block_values(blob)
+                    for blob in btbl.column("block").to_pylist()
+                ]
+                vals = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, np.int64)
+                )
+                has_null = bool(
+                    (btbl.column("n_nulls").to_numpy() > 0).any()
+                )
+                mask = np.zeros(vals.size + (1 if has_null else 0), bool)
+                if has_null:
+                    vals = np.concatenate([vals, np.zeros(1, np.int64)])
+                    mask[-1] = True  # SQL DISTINCT keeps one NULL row
+                yield pd.DataFrame(
+                    {col: pd.arrays.IntegerArray(vals, mask)}
+                )
+
+    return run_distinct
+
+
 def distinct_table_files(spark: SparkSession, enc_dir: str, col: str):
-    """``SELECT DISTINCT col`` computed WITHOUT touching a single payload
-    byte: a string column's per-block dictionary sidecar IS its
-    sorted-distinct valid values, so the exact distinct set is the union of
+    """``SELECT DISTINCT col`` pushed into the encoded format.
+
+    String columns never touch a payload byte: a string column's per-block
+    dictionary sidecar IS its sorted-distinct valid values, so the exact
+    distinct set is the union of
     the (small) sidecars, and the NULL row's presence comes from the block
     metadata's ``n_nulls`` — the strongest format-beats-raw query: IO is
     O(distinct values), independent of row count.
 
-    Scale shape: one task per blocks file unions its sidecars and emits its
-    local distinct set; the only shuffle is Spark's ``distinct()`` over
-    per-file distinct values (bounded by NDV x files, never rows).  Int
-    columns are refused — their blocks store values, not codes, so distinct
-    needs a decode: use :func:`scan_table_files` / :func:`agg_table_files_by`
-    instead."""
+    Int columns push DISTINCT into the codecs instead
+    (:func:`rlv.blocks.distinct_block_values`): an RLE block uniques its run
+    values without expanding a single row and a DICT block reads only its
+    dictionary plane, so on low-NDV / run-heavy columns the work is
+    O(runs + dictionary entries), not O(rows) — the payload is read but
+    never row-expanded.
+
+    Scale shape (both types): one task per blocks file emits its local
+    distinct set; the only shuffle is Spark's ``distinct()`` over per-file
+    distinct values (bounded by NDV x files, never rows)."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    if col not in schema["str_cols"]:
+    if col in schema["str_cols"]:
+        worker = _make_distinct_worker(col, _symbols_hex(enc_dir))
+    elif col in schema["int_cols"]:
+        worker = _make_int_distinct_worker(col)
+    else:
         raise ValueError(
-            f"{col!r} is not a string column of this dataset "
-            f"(str_cols={schema['str_cols']}); int distinct requires a "
-            "decode — group with agg_table_files_by or scan instead"
+            f"{col!r} is not a column of this dataset "
+            f"(int_cols={schema['int_cols']} str_cols={schema['str_cols']})"
         )
     files = _live_block_files(enc_dir)
-    out_schema = f"`{col}` string"
+    out_schema = f"`{col}` {'string' if col in schema['str_cols'] else 'bigint'}"
     if not files:
-        return spark.createDataFrame([], out_schema)
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
-    return tasks_df.mapInPandas(
-        _make_distinct_worker(col, _symbols_hex(enc_dir)), out_schema
-    ).distinct()
+        out = spark.createDataFrame([], out_schema)
+    else:
+        tasks_df = spark.createDataFrame(
+            pd.DataFrame({"file": files})
+        ).repartition(len(files))
+        out = tasks_df.mapInPandas(worker, out_schema).distinct()
+    from pyspark.sql import functions as F
+
+    return out.select(
+        F.col(col).cast(_typed_field_type(schema, col)).alias(col)
+    )
 
 
 STATS_PARTIAL_SCHEMA = (

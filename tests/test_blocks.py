@@ -422,3 +422,33 @@ def test_agg_block_nullable_skips_nulls(xs, rnd):
 @given(sum_edge_arrays)
 def test_exact_sum_i64_is_exact(xs):
     assert blocks.exact_sum_i64(arr(xs)) == sum(int(v) for v in xs)
+
+
+@given(sum_edge_arrays)
+def test_distinct_block_values_matches_decode(xs):
+    """distinct_block_values == np.unique(decode) for every codec (the RLE
+    path uniques run values, the DICT path reads only its dictionary
+    plane)."""
+    a = arr(xs)
+    want = np.unique(a.astype(np.int64))
+    for codec in blocks.INT_CODECS:
+        if codec == blocks.BITPACK and a.size and a.min() < 0:
+            continue
+        got = blocks.distinct_block_values(blocks.encode_with(codec, a))
+        assert got.dtype == np.int64
+        assert np.array_equal(got, want)
+
+
+@given(sum_edge_arrays, st.randoms(use_true_random=False))
+def test_distinct_block_values_nullable(xs, rnd):
+    """A NULLW-wrapped block's distinct set is over its VALID values only
+    (SQL DISTINCT NULL handling lives in the caller via n_nulls metadata)."""
+    a = arr(xs)
+    validity = np.array([rnd.random() < 0.7 for _ in range(a.size)], bool)
+    valid_vals = a[validity]
+    inner = selector.encode_auto(valid_vals)[1] if valid_vals.size else b""
+    block = blocks.wrap_nullable(validity, inner)
+    assert np.array_equal(
+        blocks.distinct_block_values(block),
+        np.unique(valid_vals.astype(np.int64)),
+    )

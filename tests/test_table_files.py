@@ -947,8 +947,67 @@ def test_distinct_from_dictionaries_only(spark, tmp_path):
     assert res["bins_written"] >= 1
     assert len(glob.glob(f"{out}/blocks/*.parquet")) < 2
     check()
-    with pytest.raises(ValueError, match="string column"):
-        table_files.distinct_table_files(spark, out, "k")
+    with pytest.raises(ValueError, match="not a column"):
+        table_files.distinct_table_files(spark, out, "nope")
+
+
+def test_int_distinct_pushdown(spark, tmp_path):
+    """SELECT DISTINCT on an int column pushes into the codecs
+    (distinct_block_values): exact vs DuckDB incl. the NULL row, stable
+    across compaction, and returned at the recorded source width."""
+    import glob
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    # low-NDV with long runs -> RLE/DICT blocks exercise the no-expansion
+    # paths; int16 source width must survive to the output type
+    code = [
+        None if i % 13 == 0 else (i // 250) % 19 - 7 for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "code_n": pa.array(code, pa.int16()),
+        }
+    )
+    src = f"{d}/part0.parquet"
+    pq.write_table(tbl, src, row_group_size=1500)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "code_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check():
+        df = table_files.distinct_table_files(spark, out, "code_n")
+        assert dict(df.dtypes)["code_n"] == "smallint"
+        got = sorted(
+            (r["code_n"] for r in df.collect()),
+            key=lambda v: (v is not None, v),
+        )
+        want = sorted(
+            (r[0] for r in duckdb.sql(
+                f"SELECT DISTINCT code_n FROM read_parquet('{src}')"
+            ).fetchall()),
+            key=lambda v: (v is not None, v),
+        )
+        assert got == want and None in want
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    assert len(glob.glob(f"{out}/blocks/*.parquet")) < 2
+    check()
+    # the unique order column distincts to itself
+    ks = table_files.distinct_table_files(spark, out, "k")
+    assert ks.count() == n
 
 
 def test_distinct_without_nulls_has_no_null_row(spark, tmp_path):
