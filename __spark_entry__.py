@@ -1177,6 +1177,100 @@ def _q_dict_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dict_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-range pushdown into the encoded format
+    (:func:`rlv.table_files.scan_table_files_str_range`): string columns
+    have no value zone map, but each block's dictionary sidecar IS its
+    sorted-distinct valid values, so ``BETWEEN`` evaluates per block
+    against the sidecar alone — blocks with no in-range entry prune
+    without payload IO, survivors match per-block rank SETS, and blocks
+    whose whole dictionary is in range skip the membership test entirely.
+    The predicate column is NULLABLE (NULL never matches BETWEEN) and the
+    projection carries a nullable int column through the same scan.  The
+    oracle is the plain SELECT-WHERE-BETWEEN under binary collation."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_drs_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_str_range(
+        spark, out, "pri_n", "2", "4z",
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "pri_n",
+        F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+    )
+
+
+def _q_dict_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-prefix pushdown into the encoded format
+    (:func:`rlv.table_files.scan_table_files_prefix`): the prefix
+    predicate evaluates vectorized against each block's dictionary
+    sidecar (``binary_slice`` equality over the sorted-distinct entries),
+    blocks with no prefixed entry prune without touching their payload,
+    and survivors match per-block rank sets — parquet's dictionary-page
+    LIKE filtering, served by our sidecar.  The predicate column is a
+    derived 100-value tag (NULLABLE: NULL never matches LIKE); the oracle
+    is the plain SELECT-WHERE-LIKE over the same derivation."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_dps_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 6 = 2 THEN NULL "
+        "     ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') "
+        "END AS tag_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["tag_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_prefix(
+        spark, out, "tag_n", "grp04",
+        columns=["o_orderkey", "tag_n", "opt_custkey"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "tag_n",
+        F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+    )
+
+
 def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation pushed INTO the encoded format
     (:func:`rlv.table_files.agg_table_files`): count/sum/min/max over a
@@ -2032,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_distinct": _q_dict_distinct,
         "int_distinct": _q_int_distinct,
         "dict_in_scan": _q_dict_in_scan,
+        "dict_range_scan": _q_dict_range_scan,
+        "dict_prefix_scan": _q_dict_prefix_scan,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -2659,6 +2755,33 @@ WITH v AS (
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, pri_n,
        CAST(opt_custkey AS BIGINT) AS opt_custkey
 FROM v WHERE pri_n IN ('2-HIGH', '4-NOT SPECIFIED', '9-MISSING')
+""",
+        "dict_range_scan": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, pri_n,
+       CAST(opt_custkey AS BIGINT) AS opt_custkey
+FROM v WHERE pri_n BETWEEN '2' AND '4z'
+""",
+        "dict_prefix_scan": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 6 = 2 THEN NULL
+              ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0')
+         END AS tag_n,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, tag_n,
+       CAST(opt_custkey AS BIGINT) AS opt_custkey
+FROM v WHERE tag_n LIKE 'grp04%'
 """,
         "topk_pushdown": """
 WITH v AS (

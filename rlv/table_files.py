@@ -982,16 +982,20 @@ def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
 def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                       out_names: list[str],
                       symbols_hex: tuple[str, ...] | None = None,
-                      eq_values: tuple[bytes, ...] | None = None):
+                      eq_values: tuple[bytes, ...] | None = None,
+                      dict_match=None):
     """Scan worker over one blocks file.  Two predicate modes share the
     projection machinery: the zone-map INT range (``eq_values=None``: blocks
     whose [min_val, max_val] misses [lo, hi] prune via parquet filters) and
-    STRING membership (``eq_values`` set: ``col`` is a string column, and a
-    block prunes when its dictionary sidecar contains NONE of the literals —
-    membership pruning; survivors match their dense codes for the present
-    literals' per-block ranks).  A single literal keeps the equality fast
-    path: kept rows ARE the literal, so the predicate column needs no second
-    decode and no dictionary gather."""
+    STRING membership (``eq_values`` set, or a ``dict_match`` callable
+    mapping a block's decoded dictionary to its matching codes: ``col`` is
+    a string column, and a block prunes when its dictionary sidecar
+    contains NO matching entry — membership pruning; survivors match their
+    dense codes for the matching entries' per-block ranks; ``dict_match``
+    powers the string RANGE and PREFIX predicates, whose matching codes
+    are per-block rank sets just like an IN-list's).  A single literal
+    keeps the equality fast path: kept rows ARE the literal, so the
+    predicate column needs no second decode and no dictionary gather."""
     from rlv.util import tune_malloc
 
     eq_single = (
@@ -999,6 +1003,23 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
         if eq_values is not None and len(eq_values) == 1
         else None
     )
+    membership = eq_values is not None or dict_match is not None
+    if eq_values is not None:
+        def _match_codes(uniq) -> np.ndarray:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            hits = sorted(
+                h
+                for h in (
+                    pc.index(uniq, pa.scalar(v, uniq.type)).as_py()
+                    for v in eq_values
+                )
+                if h >= 0
+            )
+            return np.asarray(hits, np.int64)
+    else:
+        _match_codes = dict_match
 
     order_col = schema["order_col"]
     str_cols = set(schema["str_cols"])
@@ -1037,7 +1058,7 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                 # required columns double as the format check (r4 on).
                 eq_codes: dict[tuple[str, int], np.ndarray] | None = None
                 eq_dicts: dict[tuple[str, int], object] = {}
-                if eq_values is None:
+                if not membership:
                     meta = pq.read_table(
                         path,
                         columns=["split_seq", "block_idx", "n_values"],
@@ -1053,25 +1074,14 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         set(meta.column("block_idx").to_pylist())
                     )
                 else:
-                    import pyarrow.compute as pc
-
                     eq_codes = {}
                     for (seq, _, bi), blob in _read_dict_sidecar(
                         path, file_sid, col=col
                     ).items():
                         uniq = B.decode_strings_arrow(blob, symbols)
-                        hits = sorted(
-                            h
-                            for h in (
-                                pc.index(
-                                    uniq, pa.scalar(v, uniq.type)
-                                ).as_py()
-                                for v in eq_values
-                            )
-                            if h >= 0
-                        )
-                        if hits:
-                            eq_codes[(seq, bi)] = np.asarray(hits, np.int64)
+                        hits = _match_codes(uniq)
+                        if hits.size:
+                            eq_codes[(seq, bi)] = hits
                             eq_dicts[(seq, bi)] = uniq
                     if not eq_codes:
                         yield _empty_frame()
@@ -1097,7 +1107,7 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                 # IN rows gather from phase 1's cached dictionaries)
                 proj_strs = sorted(
                     c for c in str_cols.intersection(out_names)
-                    if not (c == col and eq_values is not None)
+                    if not (c == col and membership)
                 )
                 side = (
                     _read_dict_sidecar(
@@ -1156,14 +1166,16 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         )
                         m = vvalid & (vals == target)
                     else:
-                        # IN-list: each block matches its own code SET for
-                        # the literals its dictionary contains
+                        # IN-list / range / prefix: each block matches its
+                        # own code SET; a block whose whole dictionary
+                        # matches skips the isin (every valid row matches)
                         m = vvalid.copy()
                         for j, bi in enumerate(survivors):
+                            codes = eq_codes[(seq, bi)]
+                            if codes.size == len(eq_dicts[(seq, bi)]):
+                                continue
                             sl = slice(int(voffs[j]), int(voffs[j + 1]))
-                            m[sl] &= np.isin(
-                                vals[sl], eq_codes[(seq, bi)]
-                            )
+                            m[sl] &= np.isin(vals[sl], codes)
                     for c in out_names:
                         if c == col and eq_codes is None:
                             # predicate column: m already excludes NULLs
@@ -1389,6 +1401,112 @@ def scan_table_files_in(
         schema, col, 0, 0, out_names,
         symbols_hex=_symbols_hex(enc_dir),
         eq_values=uniq,
+    )
+    return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
+
+
+def _str_range_matcher(lo_b: bytes, hi_b: bytes):
+    """Per-block dictionary matcher for ``lo <= col <= hi`` (bytewise —
+    UTF-8 byte order == code-point order, the binary collation DuckDB and
+    Spark both default to): matching codes are the dictionary entries
+    inside the closed range, computed vectorized over the (small) sidecar."""
+    def match(uniq) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(uniq, pa.scalar(lo_b, uniq.type)),
+            pc.less_equal(uniq, pa.scalar(hi_b, uniq.type)),
+        )
+        return np.flatnonzero(m.to_numpy(zero_copy_only=False))
+
+    return match
+
+
+def _str_prefix_matcher(prefix: bytes):
+    """Per-block dictionary matcher for ``col LIKE 'prefix%'``: matching
+    codes are the entries whose first ``len(prefix)`` bytes equal the
+    prefix (``binary_slice`` never over-reads: shorter entries slice short
+    and fail the equality).  The empty prefix matches every valid entry —
+    SQL's ``LIKE '%'``."""
+    def match(uniq) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not prefix:
+            return np.arange(len(uniq), dtype=np.int64)
+        m = pc.equal(
+            pc.binary_slice(uniq, 0, len(prefix)),
+            pa.scalar(prefix, uniq.type),
+        )
+        return np.flatnonzero(m.to_numpy(zero_copy_only=False))
+
+    return match
+
+
+def _require_str_col(enc_dir: str, col: str, what: str) -> dict:
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if col not in schema["str_cols"]:
+        raise ValueError(
+            f"{col!r} is not a string column of this dataset "
+            f"(str_cols={schema['str_cols']}); for int {what} use "
+            "scan_table_files range predicates"
+        )
+    return schema
+
+
+def scan_table_files_str_range(
+    spark: SparkSession, enc_dir: str, col: str, lo: str, hi: str,
+    columns: list[str] | None = None,
+):
+    """STRING-range pushdown into the encoded format: rows where
+    ``lo <= col <= hi`` (NULL never matches, SQL BETWEEN under binary
+    collation), projected to ``columns`` (default ``(order_col, col)``).
+
+    Int columns prune on value zone maps; string columns don't record one
+    — but they don't need to: each block's dictionary sidecar IS its
+    sorted-distinct valid values, so the range predicate evaluates
+    per-block against the (small) sidecar alone.  A block prunes when NO
+    dictionary entry falls in [lo, hi]; survivors match their code stream
+    against the in-range entries' rank set, and a block whose whole
+    dictionary is in range keeps every valid row without an isin pass.
+    ``lo > hi`` is the SQL empty range.  Payload bytes read are O(blocks
+    containing an in-range value) — string zone-map pruning served by the
+    sidecar."""
+    schema = _require_str_col(enc_dir, col, "ranges")
+    out_names = _scan_out_names(schema, col, columns)
+    worker = _make_scan_worker(
+        schema, col, 0, 0, out_names,
+        symbols_hex=_symbols_hex(enc_dir),
+        dict_match=_str_range_matcher(
+            lo.encode("utf-8"), hi.encode("utf-8")
+        ),
+    )
+    return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
+
+
+def scan_table_files_prefix(
+    spark: SparkSession, enc_dir: str, col: str, prefix: str,
+    columns: list[str] | None = None,
+):
+    """LIKE-prefix pushdown into the encoded format: rows where
+    ``col LIKE 'prefix%'`` (NULL never matches), projected to ``columns``
+    (default ``(order_col, col)``).
+
+    Same membership machinery as :func:`scan_table_files_str_range`: the
+    prefix predicate evaluates against each block's dictionary sidecar
+    (vectorized ``binary_slice`` equality over the sorted-distinct
+    entries), blocks with no prefixed entry prune without touching their
+    payload, and survivors match per-block rank sets.  The empty prefix is
+    SQL's ``LIKE '%'`` — every non-NULL row."""
+    schema = _require_str_col(enc_dir, col, "prefixes")
+    out_names = _scan_out_names(schema, col, columns)
+    worker = _make_scan_worker(
+        schema, col, 0, 0, out_names,
+        symbols_hex=_symbols_hex(enc_dir),
+        dict_match=_str_prefix_matcher(prefix.encode("utf-8")),
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 

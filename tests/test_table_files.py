@@ -1269,6 +1269,110 @@ def test_in_list_scan_matches_sql(spark, tmp_path):
         table_files.scan_table_files_in(spark, out, "k", ["x"])
 
 
+def test_str_range_and_prefix_scan_match_sql(spark, tmp_path):
+    """String-range and LIKE-prefix pushdown must equal plain SQL BETWEEN /
+    LIKE 'p%' (NULLs never match), before and after compaction; the
+    membership plan must PRUNE blocks on a prefix-clustered column; the
+    empty prefix is LIKE '%', an inverted range is SQL-empty, and int
+    columns are refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            # clustered: sorted-by-k blocks each see ONE band value
+            "band_n": pa.array(
+                [None if i % 17 == 5 else f"band{i // 1250}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else i * 3 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"],
+        str_cols=["tag_n", "band_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check():
+        got = sorted(
+            (r["k"], r["tag_n"], r["v_n"]) for r in
+            table_files.scan_table_files_str_range(
+                spark, out, "tag_n", "w05", "w09",
+                columns=["k", "tag_n", "v_n"]).collect()
+        )
+        want = sorted(duckdb.sql(
+            f"SELECT k, tag_n, v_n FROM read_parquet('{src}') "
+            "WHERE tag_n BETWEEN 'w05' AND 'w09'"
+        ).fetchall())
+        assert got == want and len(got) > 0
+        gotp = sorted(
+            (r["k"], r["band_n"]) for r in
+            table_files.scan_table_files_prefix(
+                spark, out, "band_n", "band1",
+                columns=["k", "band_n"]).collect()
+        )
+        wantp = sorted(duckdb.sql(
+            f"SELECT k, band_n FROM read_parquet('{src}') "
+            "WHERE band_n LIKE 'band1%'"
+        ).fetchall())
+        assert gotp == wantp and len(gotp) > 0
+        # inverted range is SQL-empty; empty prefix is LIKE '%'
+        assert table_files.scan_table_files_str_range(
+            spark, out, "tag_n", "z", "a").count() == 0
+        n_all = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{src}') "
+            "WHERE tag_n IS NOT NULL"
+        ).fetchone()[0]
+        assert table_files.scan_table_files_prefix(
+            spark, out, "tag_n", "").count() == n_all
+
+    check()
+
+    # plan assertion: the clustered column's sidecars admit only the
+    # blocks whose band matches — most blocks prune without payload IO
+    from rlv import blocks as B
+    from rlv.table_files import (_live_block_files, _read_dict_sidecar,
+                                 _str_prefix_matcher)
+    match = _str_prefix_matcher(b"band1")
+    total = hits = 0
+    for f in _live_block_files(out):
+        sid = os.path.splitext(os.path.basename(f))[0]
+        for _, blob in _read_dict_sidecar(f, sid, col="band_n").items():
+            total += 1
+            if match(B.decode_strings_arrow(blob, None)).size:
+                hits += 1
+    assert total >= 8 and hits <= total // 2
+
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+    with pytest.raises(ValueError, match="string column"):
+        table_files.scan_table_files_str_range(spark, out, "k", "a", "b")
+    with pytest.raises(ValueError, match="string column"):
+        table_files.scan_table_files_prefix(spark, out, "v_n", "x")
+
+
 def test_topk_survivors_int64_min_block_descending():
     """Descending plan must not wrap when a block's min_val is int64 min
     (negating int64 min is UB-ish in numpy: it stays negative and would
