@@ -1271,6 +1271,58 @@ def _q_dict_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_where_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE predicate pushdown into the encoded format
+    (:func:`rlv.table_files.scan_table_files_where`): an int zone-map
+    range AND an IN-list AND a LIKE-prefix evaluated together in one
+    pass — each file's surviving block set is the INTERSECTION of every
+    predicate's prune (zone maps for the range, dictionary sidecars for
+    the memberships), so payload IO is bounded by the most selective
+    predicate.  All three predicate columns are NULLABLE (SQL AND: a NULL
+    in any predicate drops the row); the oracle is the plain
+    SELECT-WHERE with the stacked conjunction."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_whr_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 6 = 2 THEN NULL "
+        "     ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') "
+        "END AS tag_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n"], str_cols=["pri_n", "tag_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_where(
+        spark, out,
+        [("between", "custkey_n", 100, 1200),
+         ("in", "pri_n", ["1-URGENT", "3-MEDIUM"]),
+         ("prefix", "tag_n", "grp0")],
+        columns=["o_orderkey", "pri_n", "tag_n", "custkey_n"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "pri_n", "tag_n",
+        F.col("custkey_n").cast("bigint").alias("custkey_n"),
+    )
+
+
 def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation pushed INTO the encoded format
     (:func:`rlv.table_files.agg_table_files`): count/sum/min/max over a
@@ -2128,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_in_scan": _q_dict_in_scan,
         "dict_range_scan": _q_dict_range_scan,
         "dict_prefix_scan": _q_dict_prefix_scan,
+        "where_pushdown": _q_where_pushdown,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -2782,6 +2835,25 @@ WITH v AS (
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, tag_n,
        CAST(opt_custkey AS BIGINT) AS opt_custkey
 FROM v WHERE tag_n LIKE 'grp04%'
+""",
+        "where_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 6 = 2 THEN NULL
+              ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0')
+         END AS tag_n
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, pri_n, tag_n,
+       CAST(custkey_n AS BIGINT) AS custkey_n
+FROM v
+WHERE custkey_n BETWEEN 100 AND 1200
+  AND pri_n IN ('1-URGENT', '3-MEDIUM')
+  AND tag_n LIKE 'grp0%'
 """,
         "topk_pushdown": """
 WITH v AS (

@@ -979,55 +979,68 @@ def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
     }
 
 
-def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
+def _literals_matcher(values: tuple[bytes, ...]):
+    """Per-block dictionary matcher for eq / IN-list literals: matching
+    codes are the per-block ranks of the literals the dictionary contains."""
+    def match(uniq) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        hits = sorted(
+            h
+            for h in (
+                pc.index(uniq, pa.scalar(v, uniq.type)).as_py()
+                for v in values
+            )
+            if h >= 0
+        )
+        return np.asarray(hits, np.int64)
+
+    return match
+
+
+def _make_scan_worker(schema: dict, preds: list[dict],
                       out_names: list[str],
-                      symbols_hex: tuple[str, ...] | None = None,
-                      eq_values: tuple[bytes, ...] | None = None,
-                      dict_match=None):
-    """Scan worker over one blocks file.  Two predicate modes share the
-    projection machinery: the zone-map INT range (``eq_values=None``: blocks
-    whose [min_val, max_val] misses [lo, hi] prune via parquet filters) and
-    STRING membership (``eq_values`` set, or a ``dict_match`` callable
-    mapping a block's decoded dictionary to its matching codes: ``col`` is
-    a string column, and a block prunes when its dictionary sidecar
-    contains NO matching entry — membership pruning; survivors match their
-    dense codes for the matching entries' per-block ranks; ``dict_match``
-    powers the string RANGE and PREFIX predicates, whose matching codes
-    are per-block rank sets just like an IN-list's).  A single literal
-    keeps the equality fast path: kept rows ARE the literal, so the
-    predicate column needs no second decode and no dictionary gather."""
+                      symbols_hex: tuple[str, ...] | None = None):
+    """Scan worker over one blocks file for a CONJUNCTION of predicates.
+    Each pred is a normalized spec (see :func:`_norm_preds`): an int
+    zone-map range (``{"kind": "range", "col", "lo", "hi"}`` — blocks whose
+    [min_val, max_val] misses [lo, hi] prune via parquet filters on the
+    payload-free metadata read) or a string dictionary membership
+    (``{"kind": "member", "col", "match", "eq_single"}`` — ``match`` maps a
+    block's decoded dictionary to its matching codes; a block prunes when
+    its sidecar contains NO matching entry; eq / IN / BETWEEN / prefix are
+    all such matchers).  The per-file surviving block set is the
+    INTERSECTION across predicates, so payload IO is bounded by the most
+    selective predicate; row masks AND together.  A single-literal member
+    pred whose column is projected keeps the equality fast path: kept rows
+    ARE the literal, no second decode, no dictionary gather."""
     from rlv.util import tune_malloc
 
-    eq_single = (
-        eq_values[0]
-        if eq_values is not None and len(eq_values) == 1
-        else None
-    )
-    membership = eq_values is not None or dict_match is not None
-    if eq_values is not None:
-        def _match_codes(uniq) -> np.ndarray:
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            hits = sorted(
-                h
-                for h in (
-                    pc.index(uniq, pa.scalar(v, uniq.type)).as_py()
-                    for v in eq_values
-                )
-                if h >= 0
-            )
-            return np.asarray(hits, np.int64)
-    else:
-        _match_codes = dict_match
-
-    order_col = schema["order_col"]
     str_cols = set(schema["str_cols"])
     symbols = (
         [bytes.fromhex(h) for h in symbols_hex]
         if symbols_hex is not None
         else None
     )
+    int_preds = [p for p in preds if p["kind"] == "range"]
+    mem_preds = [p for p in preds if p["kind"] == "member"]
+    mem_cols = [p["col"] for p in mem_preds]
+    # first member pred per column: its phase-1 dictionaries serve the
+    # projection gather for that column (any pred's would do — kept rows
+    # satisfy ALL preds)
+    mem_by_col = {
+        p["col"]: pi
+        for pi, p in reversed(list(enumerate(mem_preds)))
+    }
+    # equality fast path: exactly one member pred on the column AND it is
+    # single-literal -> every kept row IS the literal
+    eq_single_by_col = {
+        p["col"]: p["eq_single"]
+        for p in mem_preds
+        if p.get("eq_single") is not None and mem_cols.count(p["col"]) == 1
+    }
+    pred_cols = list(dict.fromkeys([p["col"] for p in preds]))
 
     def _empty_frame() -> pd.DataFrame:
         return pd.DataFrame(
@@ -1049,48 +1062,65 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # phase 1 — METADATA only (no payload column), per mode:
-                # range mode runs the zone-map predicate as parquet filters
-                # over the blocks metadata; eq mode decodes the (small)
-                # dictionary sidecar and keeps blocks whose dictionary
-                # contains the literal, recording its per-block code.
-                # Pruned blocks never materialize their payload bytes; the
-                # required columns double as the format check (r4 on).
-                eq_codes: dict[tuple[str, int], np.ndarray] | None = None
-                eq_dicts: dict[tuple[str, int], object] = {}
-                if not membership:
+                # phase 1 — METADATA only (no payload column), per pred:
+                # int ranges run the zone-map predicate as parquet filters
+                # over the blocks metadata; member preds decode the (small)
+                # dictionary sidecars and keep blocks whose dictionary
+                # contains a matching entry, recording the per-block code
+                # sets.  The file's surviving ordinals are the INTERSECTION
+                # across preds; pruned blocks never materialize payload.
+                surviving: set[int] | None = None
+                for p in int_preds:
                     meta = pq.read_table(
                         path,
-                        columns=["split_seq", "block_idx", "n_values"],
+                        columns=["block_idx"],
                         filters=[
-                            ("col_name", "=", col), ("n_runs", ">", 0),
-                            ("max_val", ">=", lo), ("min_val", "<=", hi),
+                            ("col_name", "=", p["col"]), ("n_runs", ">", 0),
+                            ("max_val", ">=", p["lo"]),
+                            ("min_val", "<=", p["hi"]),
                         ],
-                    ).combine_chunks()
-                    if len(meta) == 0:
-                        yield _empty_frame()
-                        continue
-                    surviving_idx = sorted(
-                        set(meta.column("block_idx").to_pylist())
                     )
-                else:
-                    eq_codes = {}
-                    for (seq, _, bi), blob in _read_dict_sidecar(
-                        path, file_sid, col=col
-                    ).items():
-                        uniq = B.decode_strings_arrow(blob, symbols)
-                        hits = _match_codes(uniq)
-                        if hits.size:
-                            eq_codes[(seq, bi)] = hits
-                            eq_dicts[(seq, bi)] = uniq
-                    if not eq_codes:
-                        yield _empty_frame()
-                        continue
-                    surviving_idx = sorted({bi for _, bi in eq_codes})
+                    s = set(meta.column("block_idx").to_pylist())
+                    surviving = s if surviving is None else (surviving & s)
+                    if not surviving:
+                        break
+                mem_codes: list[dict[tuple[str, int], np.ndarray]] = []
+                mem_dicts: list[dict[tuple[str, int], object]] = []
+                if surviving is None or surviving:
+                    side_pred = (
+                        _read_dict_sidecar(
+                            path, file_sid, col=sorted(set(mem_cols))
+                        )
+                        if mem_preds
+                        else {}
+                    )
+                    for p in mem_preds:
+                        codes: dict[tuple[str, int], np.ndarray] = {}
+                        dicts: dict[tuple[str, int], object] = {}
+                        for (seq, name, bi), blob in side_pred.items():
+                            if name != p["col"]:
+                                continue
+                            uniq = B.decode_strings_arrow(blob, symbols)
+                            hits = p["match"](uniq)
+                            if hits.size:
+                                codes[(seq, bi)] = hits
+                                dicts[(seq, bi)] = uniq
+                        mem_codes.append(codes)
+                        mem_dicts.append(dicts)
+                        s = {bi for _, bi in codes}
+                        surviving = (
+                            s if surviving is None else (surviving & s)
+                        )
+                        if not surviving:
+                            break
+                if not surviving:
+                    yield _empty_frame()
+                    continue
+                surviving_idx = sorted(surviving)
                 # phase 2 — payloads for SURVIVING block ordinals only (the
                 # in-filter over-reads a block_idx that survives in one
                 # segment but not another; segments prune exactly below)
-                read_names = list(dict.fromkeys([col, *out_names]))
+                read_names = list(dict.fromkeys([*pred_cols, *out_names]))
                 btbl = pq.read_table(
                     path,
                     columns=["split_seq", "col_name", "block_idx",
@@ -1102,12 +1132,12 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                     ],
                 ).combine_chunks()
                 # dictionaries only for the PROJECTED string columns'
-                # surviving ordinals (the eq/IN predicate column needs no
-                # second read: single-literal kept rows ARE the literal,
-                # IN rows gather from phase 1's cached dictionaries)
+                # surviving ordinals (a member pred's column needs no
+                # second read: eq kept rows ARE the literal, the rest
+                # gather from phase 1's cached dictionaries)
                 proj_strs = sorted(
                     c for c in str_cols.intersection(out_names)
-                    if not (c == col and membership)
+                    if c not in mem_by_col
                 )
                 side = (
                     _read_dict_sidecar(
@@ -1134,75 +1164,100 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                         per[name][int(bi)] = (
                             int(nv), int(nr), int(mn), int(mx), blob
                         )
-                    if eq_codes is None:
-                        survivors = sorted(
+                    # segment-exact survivors: re-run every pred's block
+                    # test against THIS segment's metadata and intersect
+                    surv: set[int] | None = None
+                    for p in int_preds:
+                        s = {
                             bi
-                            for bi, (nv, nr, mn, mx, _) in per[col].items()
-                            if nr > 0 and mx >= lo and mn <= hi
-                        )
-                    else:
-                        survivors = sorted(
-                            bi for bi in per[col] if (seq, bi) in eq_codes
-                        )
+                            for bi, (nv, nr, mn, mx, _)
+                            in per[p["col"]].items()
+                            if nr > 0 and mx >= p["lo"] and mn <= p["hi"]
+                        }
+                        surv = s if surv is None else (surv & s)
+                    for pi, p in enumerate(mem_preds):
+                        s = {
+                            bi for bi in per[p["col"]]
+                            if (seq, bi) in mem_codes[pi]
+                        }
+                        surv = s if surv is None else (surv & s)
+                    survivors = sorted(surv)
                     if not survivors:
                         continue
-                    vals, voffs, vvalid = B.decode_blocks_batch_nullable(
-                        [per[col][bi][4] for bi in survivors],
-                        np.int64,
-                        expected=[per[col][bi][0] for bi in survivors],
-                    )
-                    if eq_codes is None:
-                        m = vvalid & (vals >= lo) & (vals <= hi)
-                    elif eq_single is not None:
-                        # dense codes are per-block ranks: match each
-                        # block's own code for the literal
-                        target = np.repeat(
-                            np.array(
-                                [int(eq_codes[(seq, bi)][0])
-                                 for bi in survivors],
-                                np.int64,
-                            ),
-                            np.diff(voffs),
+                    anchor = pred_cols[0]
+                    decoded: dict[str, tuple] = {}
+
+                    def _decode_col(c, per=per, survivors=survivors,
+                                    decoded=decoded, anchor=anchor):
+                        if c in decoded:
+                            return decoded[c]
+                        for bi in survivors:
+                            if per[c][bi][0] != per[anchor][bi][0]:
+                                raise ValueError(
+                                    f"column {c!r} and {anchor!r} disagree "
+                                    f"on rows in block {bi} — corrupt "
+                                    "dataset"
+                                )
+                        trip = B.decode_blocks_batch_nullable(
+                            [per[c][bi][4] for bi in survivors],
+                            np.int64,
+                            expected=[per[c][bi][0] for bi in survivors],
                         )
-                        m = vvalid & (vals == target)
-                    else:
-                        # IN-list / range / prefix: each block matches its
-                        # own code SET; a block whose whole dictionary
-                        # matches skips the isin (every valid row matches)
-                        m = vvalid.copy()
+                        if decoded:
+                            ref = next(iter(decoded.values()))[1]
+                            if not np.array_equal(trip[1], ref):
+                                raise ValueError(
+                                    f"column {c!r} and {anchor!r} blocks "
+                                    "disagree on row counts — corrupt "
+                                    "dataset"
+                                )
+                        decoded[c] = trip
+                        return trip
+
+                    # row mask = AND over preds
+                    m = None
+                    for p in int_preds:
+                        vals, _, vvalid = _decode_col(p["col"])
+                        pm = vvalid & (vals >= p["lo"]) & (vals <= p["hi"])
+                        m = pm if m is None else (m & pm)
+                    for pi, p in enumerate(mem_preds):
+                        vals, voffs, vvalid = _decode_col(p["col"])
+                        # per-block code SETS; a block whose whole
+                        # dictionary matches skips the isin (every valid
+                        # row matches)
+                        pm = vvalid.copy()
                         for j, bi in enumerate(survivors):
-                            codes = eq_codes[(seq, bi)]
-                            if codes.size == len(eq_dicts[(seq, bi)]):
+                            codes = mem_codes[pi][(seq, bi)]
+                            if codes.size == len(mem_dicts[pi][(seq, bi)]):
                                 continue
                             sl = slice(int(voffs[j]), int(voffs[j + 1]))
-                            m[sl] &= np.isin(vals[sl], codes)
+                            pm[sl] &= np.isin(vals[sl], codes)
+                        m = pm if m is None else (m & pm)
                     for c in out_names:
-                        if c == col and eq_codes is None:
-                            # predicate column: m already excludes NULLs
-                            outs[c].append(
-                                (vals[m], np.zeros(int(m.sum()), bool))
-                            )
-                            continue
-                        if c == col and eq_single is not None:
+                        if c in eq_single_by_col:
                             # eq predicate column: every kept row IS the
                             # literal — no second decode, no dict gather
                             outs[c].append(
-                                pa.array([eq_single] * int(m.sum()),
-                                         pa.binary())
+                                pa.array(
+                                    [eq_single_by_col[c]] * int(m.sum()),
+                                    pa.binary(),
+                                )
                             )
                             continue
-                        if c == col and eq_codes is not None:
-                            # IN predicate column: gather kept rows from
-                            # phase 1's cached dictionaries through the
-                            # already-decoded code stream — no second
+                        if c in mem_by_col:
+                            # member predicate column: gather kept rows
+                            # from phase 1's cached dictionaries through
+                            # the already-decoded code stream — no second
                             # sidecar read, no second payload decode
+                            pi = mem_by_col[c]
+                            vals, voffs, _ = _decode_col(c)
                             parts = []
                             for j, bi in enumerate(survivors):
                                 sl = slice(int(voffs[j]),
                                            int(voffs[j + 1]))
                                 codes = vals[sl][m[sl]]
                                 parts.append(
-                                    eq_dicts[(seq, bi)].take(
+                                    mem_dicts[pi][(seq, bi)].take(
                                         pa.array(codes)
                                     )
                                 )
@@ -1219,11 +1274,11 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                             # gather; a NULL code gathers a NULL value
                             parts = []
                             for bi in survivors:
-                                if per[c][bi][0] != per[col][bi][0]:
+                                if per[c][bi][0] != per[anchor][bi][0]:
                                     raise ValueError(
-                                        f"column {c!r} and {col!r} disagree "
-                                        f"on rows in block {bi} — corrupt "
-                                        "dataset"
+                                        f"column {c!r} and {anchor!r} "
+                                        f"disagree on rows in block {bi} "
+                                        "— corrupt dataset"
                                     )
                                 codes, _, cv = (
                                     B.decode_blocks_batch_nullable(
@@ -1245,28 +1300,14 @@ def _make_scan_worker(schema: dict, col: str, lo: int, hi: int,
                                 [p.combine_chunks() if hasattr(p, "chunks")
                                  else p for p in parts]
                             )
-                            if len(arr) != vals.size:
+                            if len(arr) != m.size:
                                 raise ValueError(
-                                    f"column {c!r} and {col!r} blocks "
+                                    f"column {c!r} and {anchor!r} blocks "
                                     "disagree on row counts"
                                 )
                             outs[c].append(arr.filter(pa.array(m)))
                         else:
-                            cv_vals, cv_offs, cv_valid = (
-                                B.decode_blocks_batch_nullable(
-                                    [per[c][bi][4] for bi in survivors],
-                                    np.int64,
-                                    expected=[
-                                        per[c][bi][0] for bi in survivors
-                                    ],
-                                )
-                            )
-                            if not np.array_equal(cv_offs, voffs):
-                                raise ValueError(
-                                    f"column {c!r} and {col!r} blocks "
-                                    "disagree on row counts — corrupt "
-                                    "dataset"
-                                )
+                            cv_vals, _, cv_valid = _decode_col(c)
                             outs[c].append((cv_vals[m], ~cv_valid[m]))
                 if not outs[out_names[0]]:
                     yield _empty_frame()
@@ -1324,7 +1365,9 @@ def scan_table_files(
     schema = _require_int_col(enc_dir, col)
     out_names = _scan_out_names(schema, col, columns)
     worker = _make_scan_worker(
-        schema, col, int(lo), int(hi), out_names,
+        schema,
+        [{"kind": "range", "col": col, "lo": int(lo), "hi": int(hi)}],
+        out_names,
         symbols_hex=_symbols_hex(enc_dir),
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
@@ -1359,10 +1402,13 @@ def scan_table_files_eq(
             "scan_table_files(col, v, v)"
         )
     out_names = _scan_out_names(schema, col, columns)
+    v = value.encode("utf-8")
     worker = _make_scan_worker(
-        schema, col, 0, 0, out_names,
+        schema,
+        [{"kind": "member", "col": col,
+          "match": _literals_matcher((v,)), "eq_single": v}],
+        out_names,
         symbols_hex=_symbols_hex(enc_dir),
-        eq_values=(value.encode("utf-8"),),
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 
@@ -1398,9 +1444,12 @@ def scan_table_files_in(
         raise ValueError("values must name at least one literal")
     out_names = _scan_out_names(schema, col, columns)
     worker = _make_scan_worker(
-        schema, col, 0, 0, out_names,
+        schema,
+        [{"kind": "member", "col": col,
+          "match": _literals_matcher(uniq),
+          "eq_single": uniq[0] if len(uniq) == 1 else None}],
+        out_names,
         symbols_hex=_symbols_hex(enc_dir),
-        eq_values=uniq,
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 
@@ -1478,11 +1527,14 @@ def scan_table_files_str_range(
     schema = _require_str_col(enc_dir, col, "ranges")
     out_names = _scan_out_names(schema, col, columns)
     worker = _make_scan_worker(
-        schema, col, 0, 0, out_names,
+        schema,
+        [{"kind": "member", "col": col,
+          "match": _str_range_matcher(
+              lo.encode("utf-8"), hi.encode("utf-8")
+          ),
+          "eq_single": None}],
+        out_names,
         symbols_hex=_symbols_hex(enc_dir),
-        dict_match=_str_range_matcher(
-            lo.encode("utf-8"), hi.encode("utf-8")
-        ),
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 
@@ -1504,9 +1556,112 @@ def scan_table_files_prefix(
     schema = _require_str_col(enc_dir, col, "prefixes")
     out_names = _scan_out_names(schema, col, columns)
     worker = _make_scan_worker(
-        schema, col, 0, 0, out_names,
+        schema,
+        [{"kind": "member", "col": col,
+          "match": _str_prefix_matcher(prefix.encode("utf-8")),
+          "eq_single": None}],
+        out_names,
         symbols_hex=_symbols_hex(enc_dir),
-        dict_match=_str_prefix_matcher(prefix.encode("utf-8")),
+    )
+    return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
+
+
+def _norm_preds(schema: dict, preds) -> list[dict]:
+    """Normalize user predicate tuples to worker specs.  Accepted forms:
+    ``("between", int_col, lo, hi)``, ``("eq", str_col, value)``,
+    ``("in", str_col, [values...])``, ``("str_between", str_col, lo, hi)``,
+    ``("prefix", str_col, p)``.  Column kinds are validated here so a typo
+    fails on the driver, not in a task."""
+    specs: list[dict] = []
+    for p in preds:
+        if not isinstance(p, (tuple, list)) or len(p) < 3:
+            raise ValueError(f"malformed predicate {p!r}")
+        kind, col = p[0], p[1]
+        if kind not in ("between", "eq", "in", "str_between", "prefix"):
+            raise ValueError(f"unknown predicate kind {kind!r}")
+        if kind == "between":
+            if col not in schema["int_cols"]:
+                raise ValueError(
+                    f"{col!r} is not an int column "
+                    f"(int_cols={schema['int_cols']}); 'between' predicates "
+                    "need a zone-mapped int column"
+                )
+            specs.append({"kind": "range", "col": col,
+                          "lo": int(p[2]), "hi": int(p[3])})
+            continue
+        if col not in schema["str_cols"]:
+            raise ValueError(
+                f"{col!r} is not a string column "
+                f"(str_cols={schema['str_cols']}); {kind!r} predicates "
+                "run on dictionary string columns"
+            )
+        if kind == "eq":
+            v = p[2].encode("utf-8")
+            specs.append({"kind": "member", "col": col,
+                          "match": _literals_matcher((v,)), "eq_single": v})
+        elif kind == "in":
+            uniq = tuple(sorted({v.encode("utf-8") for v in p[2]}))
+            if not uniq:
+                raise ValueError("IN predicate needs at least one literal")
+            specs.append({
+                "kind": "member", "col": col,
+                "match": _literals_matcher(uniq),
+                "eq_single": uniq[0] if len(uniq) == 1 else None,
+            })
+        elif kind == "str_between":
+            specs.append({
+                "kind": "member", "col": col,
+                "match": _str_range_matcher(
+                    p[2].encode("utf-8"), p[3].encode("utf-8")
+                ),
+                "eq_single": None,
+            })
+        elif kind == "prefix":
+            specs.append({
+                "kind": "member", "col": col,
+                "match": _str_prefix_matcher(p[2].encode("utf-8")),
+                "eq_single": None,
+            })
+    if not specs:
+        raise ValueError("preds must name at least one predicate")
+    return specs
+
+
+def scan_table_files_where(
+    spark: SparkSession, enc_dir: str, preds,
+    columns: list[str] | None = None,
+):
+    """CONJUNCTIVE (AND) predicate pushdown into the encoded format: rows
+    satisfying EVERY predicate in ``preds``, projected to ``columns``
+    (default: the order column plus each predicate column, in order).
+
+    ``preds`` is an iterable of tuples — ``("between", int_col, lo, hi)``
+    zone-map range, ``("eq", str_col, v)`` / ``("in", str_col, [v...])`` /
+    ``("str_between", str_col, lo, hi)`` / ``("prefix", str_col, p)``
+    dictionary membership — the same five predicates the single-predicate
+    scans push down, here evaluated together in ONE pass.
+
+    The per-file surviving block set is the INTERSECTION of every
+    predicate's block prune (int ranges via parquet filters on the
+    payload-free metadata read; memberships via the dictionary sidecars),
+    so payload IO is bounded by the MOST selective predicate — the same
+    multiplicative skipping a warehouse gets from stacking page-stat and
+    dictionary filters.  Row masks AND together; each predicate keeps SQL
+    NULL semantics (NULL never matches), and all projection paths (int
+    widths, string gathers, NULL preservation) are shared with the
+    single-predicate scans.  One task per live blocks file, zero
+    shuffle."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    specs = _norm_preds(schema, list(preds))
+    pred_cols = list(dict.fromkeys(s["col"] for s in specs))
+    if columns is None:
+        out_names = list(dict.fromkeys([schema["order_col"], *pred_cols]))
+    else:
+        out_names = _scan_out_names(schema, pred_cols[0], columns)
+    worker = _make_scan_worker(
+        schema, specs, out_names, symbols_hex=_symbols_hex(enc_dir),
     )
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 

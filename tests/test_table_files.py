@@ -1373,6 +1373,112 @@ def test_str_range_and_prefix_scan_match_sql(spark, tmp_path):
         table_files.scan_table_files_prefix(spark, out, "v_n", "x")
 
 
+def test_where_multi_predicate_scan_matches_sql(spark, tmp_path):
+    """Conjunctive (AND) pushdown must equal plain SQL WHERE with every
+    predicate kind stacked — int range × IN-list × prefix × second int
+    range — with NULL semantics per predicate, before and after
+    compaction; the eq fast path must hold inside a conjunction;
+    contradictory ranges are SQL-empty; malformed predicates are
+    refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "band_n": pa.array(
+                [None if i % 17 == 5 else f"band{i // 1500}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"],
+        str_cols=["tag_n", "band_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check():
+        got = sorted(
+            (r["k"], r["v_n"], r["tag_n"], r["band_n"]) for r in
+            table_files.scan_table_files_where(
+                spark, out,
+                [("between", "v_n", 100, 600),
+                 ("in", "tag_n", ["w03", "w07", "w11"]),
+                 ("prefix", "band_n", "band"),
+                 ("between", "k", 500, 5500)],
+                columns=["k", "v_n", "tag_n", "band_n"]).collect()
+        )
+        want = sorted(duckdb.sql(
+            f"SELECT k, v_n, tag_n, band_n FROM read_parquet('{src}') "
+            "WHERE v_n BETWEEN 100 AND 600 "
+            "AND tag_n IN ('w03', 'w07', 'w11') "
+            "AND band_n LIKE 'band%' AND k BETWEEN 500 AND 5500"
+        ).fetchall())
+        assert got == want and len(got) > 0
+        # eq fast path inside a conjunction: kept rows ARE the literal
+        gote = sorted(
+            (r["k"], r["band_n"], r["tag_n"]) for r in
+            table_files.scan_table_files_where(
+                spark, out,
+                [("eq", "band_n", "band2"),
+                 ("str_between", "tag_n", "w02", "w06")],
+                columns=["k", "band_n", "tag_n"]).collect()
+        )
+        wante = sorted(duckdb.sql(
+            f"SELECT k, band_n, tag_n FROM read_parquet('{src}') "
+            "WHERE band_n = 'band2' AND tag_n BETWEEN 'w02' AND 'w06'"
+        ).fetchall())
+        assert gote == wante and len(gote) > 0
+        # contradictory ranges on one column: SQL-empty
+        assert table_files.scan_table_files_where(
+            spark, out,
+            [("between", "v_n", 10, 20), ("between", "v_n", 500, 600)],
+        ).count() == 0
+
+    check()
+    # default projection: order col + predicate cols, in order
+    df = table_files.scan_table_files_where(
+        spark, out, [("between", "v_n", 0, 50), ("eq", "band_n", "band2")]
+    )
+    assert df.columns == ["k", "v_n", "band_n"]
+
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+    with pytest.raises(ValueError, match="at least one predicate"):
+        table_files.scan_table_files_where(spark, out, [])
+    with pytest.raises(ValueError, match="unknown predicate kind"):
+        table_files.scan_table_files_where(spark, out, [("gt", "v_n", 3)])
+    with pytest.raises(ValueError, match="int column"):
+        table_files.scan_table_files_where(
+            spark, out, [("between", "tag_n", 0, 1)])
+    with pytest.raises(ValueError, match="string column"):
+        table_files.scan_table_files_where(
+            spark, out, [("prefix", "v_n", "x")])
+
+
 def test_topk_survivors_int64_min_block_descending():
     """Descending plan must not wrap when a block's min_val is int64 min
     (negating int64 min is UB-ish in numpy: it stays negative and would
