@@ -1323,6 +1323,66 @@ def _q_where_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dpp_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-pruning-style JOIN over the encoded format
+    (:func:`rlv.table_files.semijoin_scan_table_files`): the dimension
+    side is filtered at runtime, its distinct keys are collected at the
+    driver (the bounded runtime filter a warehouse derives from the dim
+    side of a selective join), and pushed into the fact scan as
+    dictionary-sidecar IN-list membership — fact blocks containing NO dim
+    key never touch payload.  The surviving fact rows then broadcast-join
+    back to the dim for its attribute.  The fact's key column is NULLABLE
+    (SQL join: NULL never matches); the oracle is the plain SQL
+    join-with-filter."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_dpp_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    # runtime-filtered dim: the priorities sorting below '4', with an
+    # attribute to carry through the join
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderpriority").alias("pri"))
+        .where(F.col("pri") < "4")
+        .distinct()
+        .withColumn("pri_len", F.length("pri").cast("bigint"))
+    )
+    fact = TF.semijoin_scan_table_files(
+        spark, out, "pri_n", dim, dim_key="pri",
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["pri_n"] == dim["pri"])
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "pri_n",
+            F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+            "pri_len",
+        )
+    )
+
+
 def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation pushed INTO the encoded format
     (:func:`rlv.table_files.agg_table_files`): count/sum/min/max over a
@@ -2181,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_range_scan": _q_dict_range_scan,
         "dict_prefix_scan": _q_dict_prefix_scan,
         "where_pushdown": _q_where_pushdown,
+        "dpp_semijoin": _q_dpp_semijoin,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -2854,6 +2915,24 @@ FROM v
 WHERE custkey_n BETWEEN 100 AND 1200
   AND pri_n IN ('1-URGENT', '3-MEDIUM')
   AND tag_n LIKE 'grp0%'
+""",
+        "dpp_semijoin": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey
+  FROM orders
+),
+d AS (
+  SELECT DISTINCT o_orderpriority AS pri,
+         CAST(length(o_orderpriority) AS BIGINT) AS pri_len
+  FROM orders WHERE o_orderpriority < '4'
+)
+SELECT CAST(v.o_orderkey AS BIGINT) AS o_orderkey, v.pri_n,
+       CAST(v.opt_custkey AS BIGINT) AS opt_custkey, d.pri_len
+FROM v JOIN d ON v.pri_n = d.pri
 """,
         "topk_pushdown": """
 WITH v AS (

@@ -1666,6 +1666,80 @@ def scan_table_files_where(
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 
 
+def semijoin_scan_table_files(
+    spark: SparkSession, enc_dir: str, col: str, dim_df,
+    dim_key: str | None = None,
+    columns: list[str] | None = None,
+    max_keys: int = 10_000,
+):
+    """Dynamic-partition-pruning-style SEMI-JOIN pushdown: rows of the
+    encoded table whose ``col`` appears in ``dim_df[dim_key]`` — the
+    runtime filter a warehouse derives from the dimension side of a join,
+    here pushed into OUR encoded format.
+
+    The dim side's distinct non-NULL keys are collected at the driver
+    (bounded by ``max_keys`` — beyond that the collect is the wrong plan
+    and a plain join should run instead, so this raises).  A string
+    ``col`` pushes the keys as an IN-list through the dictionary-sidecar
+    membership scan (blocks containing NO dim key never touch payload); an
+    int ``col`` pushes the keys' [min, max] envelope through the zone-map
+    range scan and finishes exactly with a broadcast LEFT SEMI join — the
+    range bounds the IO, the semi join restores exactness.  NULL fact rows
+    never match (SQL semi-join semantics); an empty dim side returns the
+    empty result without touching the table."""
+    from pyspark.sql import functions as F
+
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    known = set(schema["int_cols"]) | set(schema["str_cols"])
+    if col not in known:
+        raise ValueError(
+            f"{col!r} is not a column of this dataset "
+            f"(int_cols={schema['int_cols']} str_cols={schema['str_cols']})"
+        )
+    dim_key = dim_key if dim_key is not None else col
+    keys_df = (
+        dim_df.select(F.col(dim_key).alias("__rlv_dpp_key"))
+        .where(F.col("__rlv_dpp_key").isNotNull())
+        .distinct()
+    )
+    keys = [r["__rlv_dpp_key"]
+            for r in keys_df.limit(max_keys + 1).collect()]
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"dim side exceeds max_keys={max_keys} distinct values — a "
+            "driver-collected runtime filter is the wrong plan at that "
+            "cardinality; run a plain join instead"
+        )
+    out_names = _scan_out_names(schema, col, columns)
+    if not keys:
+        str_cols = set(schema["str_cols"])
+        empty = spark.createDataFrame([], ", ".join(
+            f"`{c}` {'string' if c in str_cols else 'bigint'}"
+            for c in out_names
+        ))
+        return empty.select(
+            *[F.col(c).cast(_typed_field_type(schema, c)).alias(c)
+              for c in out_names]
+        )
+    if col in schema["str_cols"]:
+        return scan_table_files_in(spark, enc_dir, col, keys,
+                                   columns=out_names)
+    # the semi join needs the key column even when the caller's projection
+    # omits it — ride it along, drop it after
+    scan_names = out_names if col in out_names else [*out_names, col]
+    scanned = scan_table_files(
+        spark, enc_dir, col, min(keys), max(keys), columns=scan_names
+    )
+    joined = scanned.join(
+        F.broadcast(keys_df),
+        scanned[col] == keys_df["__rlv_dpp_key"],
+        "left_semi",
+    )
+    return joined.select(*out_names)
+
+
 def strdict_stats(enc_dir: str, col: str, value: str) -> dict:
     """Driver-side membership-pruning estimate for a string literal from the
     dictionary sidecars alone (no payload touched):

@@ -1479,6 +1479,88 @@ def test_where_multi_predicate_scan_matches_sql(spark, tmp_path):
             spark, out, [("prefix", "v_n", "x")])
 
 
+def test_semijoin_scan_pushdown(spark, tmp_path):
+    """DPP-style semi-join pushdown must equal SQL WHERE col IN (SELECT key
+    FROM dim) on BOTH key types: string keys via the dictionary IN-list
+    scan, int keys via the zone-map envelope + broadcast left-semi finish.
+    NULL dim keys never match, an empty dim returns empty without IO, and
+    an over-cardinality dim is refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 50 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    # string keys: dim with a NULL key and an absent key
+    dim_s = spark.createDataFrame(
+        [("w03",), ("w11",), ("nosuch",), (None,)], "key string"
+    )
+    got = sorted(
+        (r["k"], r["tag_n"], r["v_n"]) for r in
+        table_files.semijoin_scan_table_files(
+            spark, out, "tag_n", dim_s, dim_key="key",
+            columns=["k", "tag_n", "v_n"]).collect()
+    )
+    want = sorted(duckdb.sql(
+        f"SELECT k, tag_n, v_n FROM read_parquet('{src}') "
+        "WHERE tag_n IN ('w03', 'w11')"
+    ).fetchall())
+    assert got == want and len(got) > 0
+
+    # int keys: envelope scan + exact semi join (gaps inside [min, max]
+    # must NOT leak through), projection omitting the key column
+    dim_i = spark.createDataFrame([(3,), (17,), (44,)], "vv bigint")
+    goti = sorted(
+        (r["k"], r["tag_n"]) for r in
+        table_files.semijoin_scan_table_files(
+            spark, out, "v_n", dim_i, dim_key="vv",
+            columns=["k", "tag_n"]).collect()
+    )
+    wanti = sorted(duckdb.sql(
+        f"SELECT k, tag_n FROM read_parquet('{src}') "
+        "WHERE v_n IN (3, 17, 44)"
+    ).fetchall())
+    assert goti == wanti and len(goti) > 0
+
+    # empty dim: empty result, right shape
+    empty = table_files.semijoin_scan_table_files(
+        spark, out, "tag_n", dim_s.where("key = 'zzz'"), dim_key="key")
+    assert empty.count() == 0 and empty.columns == ["k", "tag_n"]
+
+    with pytest.raises(ValueError, match="max_keys"):
+        table_files.semijoin_scan_table_files(
+            spark, out, "v_n", dim_i, dim_key="vv", max_keys=2)
+    with pytest.raises(ValueError, match="not a column"):
+        table_files.semijoin_scan_table_files(
+            spark, out, "missing", dim_i, dim_key="vv")
+
+
 def test_topk_survivors_int64_min_block_descending():
     """Descending plan must not wrap when a block's min_val is int64 min
     (negating int64 min is UB-ish in numpy: it stays negative and would
