@@ -1383,6 +1383,53 @@ def _q_dpp_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY write path
+    (:func:`rlv.table_files.cluster_encode_table_files`): the table is
+    globally sorted by a value-scattered NULLABLE column (range partition
+    + partition sort — Spark's distributed sort), a cluster-order ordinal
+    becomes the dataset's order column, and the encode runs zero-shuffle
+    per sorted partition.  The checkable facet is exactness THROUGH the
+    reorganization: a zone-map range scan over the clustered layout must
+    return precisely what plain SQL WHERE returns on the source — same
+    rows, same NULL preservation — while the layout change turns the
+    zone maps from useless (every block spans the range) to
+    O(selectivity).  The oracle is the plain SELECT-WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_clu_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 11 = 7 THEN NULL "
+        "     ELSE (o_orderkey * 37) % 1000 END AS val_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    # no leading underscore: spark.read.parquet treats _-prefixed files
+    # as metadata and would see an empty source
+    src_path = f"{out}/src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    enc = f"{out}/enc"
+    TF.cluster_encode_table_files(
+        spark, [src_path], enc, cluster_by="val_n",
+        int_cols=["o_orderkey", "val_n"],
+        rows_per_block=2048, num_tasks=4,
+    )
+    got = TF.scan_table_files(
+        spark, enc, "val_n", 100, 299,
+        columns=["o_orderkey", "val_n"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("val_n").cast("bigint").alias("val_n"),
+    )
+
+
 def _q_pushdown_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation pushed INTO the encoded format
     (:func:`rlv.table_files.agg_table_files`): count/sum/min/max over a
@@ -2242,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_prefix_scan": _q_dict_prefix_scan,
         "where_pushdown": _q_where_pushdown,
         "dpp_semijoin": _q_dpp_semijoin,
+        "clustered_scan": _q_clustered_scan,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -2933,6 +2981,17 @@ d AS (
 SELECT CAST(v.o_orderkey AS BIGINT) AS o_orderkey, v.pri_n,
        CAST(v.opt_custkey AS BIGINT) AS opt_custkey, d.pri_len
 FROM v JOIN d ON v.pri_n = d.pri
+""",
+        "clustered_scan": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 7 THEN NULL
+              ELSE (o_orderkey * 37) % 1000 END AS val_n
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(val_n AS BIGINT) AS val_n
+FROM v WHERE val_n BETWEEN 100 AND 299
 """,
         "topk_pushdown": """
 WITH v AS (

@@ -485,6 +485,93 @@ def encode_table_files(
     return summary
 
 
+def cluster_encode_table_files(
+    spark: SparkSession,
+    input_files: list[str],
+    out_dir: str,
+    cluster_by: str,
+    int_cols: list[str],
+    str_cols: list[str] = (),
+    order_col: str = "row_ord",
+    num_tasks: int | None = None,
+    rows_per_block: int = 4096,
+    fsst_symbols: list[bytes] | None = None,
+    stage_dir: str | None = None,
+) -> dict:
+    """CLUSTER BY write path: globally sort the table by ``cluster_by``
+    (range partition + partition-local sort — Spark's distributed sort),
+    mint a cluster-order ordinal as the dataset's order column, and encode
+    the sorted runs zero-shuffle per partition.  Consecutive blocks then
+    hold consecutive ``cluster_by`` values, so the zone-map / dictionary
+    pruning the scan surfaces do becomes O(selectivity) instead of
+    O(blocks) — the reorganization every warehouse sells as CLUSTER BY /
+    ZORDER, here feeding OUR block metadata.
+
+    The minted ``order_col`` (default ``row_ord``) must not collide with a
+    source column; the original row key, if any, just stays a regular
+    column.  ``out_dir`` must be fresh: range boundaries come from Spark's
+    sampling, so a *re-clustering* is not split-for-split reproducible and
+    resuming a half-done cluster-encode against different boundaries would
+    mix block layouts (the ENCODE of a given staged layout remains fully
+    deterministic — determinism starts at the staged files, exactly like
+    any other ingest).  NULLs in ``cluster_by`` sort first and encode like
+    any other NULL."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if _load_table_schema(out_dir) is not None:
+        raise ValueError(
+            f"{out_dir} already holds an encoded table — cluster-encode "
+            "needs a fresh out_dir (range boundaries are sampled, so a "
+            "resume could mix layouts)"
+        )
+    known = list(int_cols) + list(str_cols)
+    if cluster_by not in known:
+        raise ValueError(
+            f"cluster_by {cluster_by!r} must be one of int_cols/str_cols "
+            f"({known})"
+        )
+    if order_col in known:
+        raise ValueError(
+            f"order_col {order_col!r} is minted by cluster-encode and must "
+            "not collide with a source column"
+        )
+    if num_tasks is None:
+        num_tasks = spark.sparkContext.defaultParallelism
+    df = spark.read.parquet(*list(input_files)).select(*known)
+    staged = (
+        df.repartitionByRange(num_tasks, F.col(cluster_by))
+        .sortWithinPartitions(cluster_by)
+        .withColumn(order_col, F.monotonically_increasing_id())
+    )
+    own_stage = stage_dir is None
+    stage = (
+        tempfile.mkdtemp(prefix="rlv_cluster_stage_")
+        if own_stage
+        else stage_dir
+    )
+    try:
+        staged.write.mode("overwrite").parquet(stage)
+        files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+        if not files:
+            raise ValueError("clustering staged zero files — empty input?")
+        return encode_table_files(
+            spark, files, out_dir,
+            order_col=order_col,
+            int_cols=[order_col, *int_cols],
+            str_cols=list(str_cols),
+            rows_per_block=rows_per_block,
+            num_tasks=len(files),
+            fsst_symbols=fsst_symbols,
+        )
+    finally:
+        if own_stage:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
 def _read_dict_sidecar(
     blocks_path: str, default_seq: str,
     col: str | list[str] | None = None,

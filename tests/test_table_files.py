@@ -1561,6 +1561,80 @@ def test_semijoin_scan_pushdown(spark, tmp_path):
             spark, out, "missing", dim_i, dim_key="vv")
 
 
+def test_cluster_encode_improves_pruning(spark, tmp_path):
+    """CLUSTER BY write path: a value-scattered column (zone maps useless —
+    every block spans the whole range) must, after cluster-encode, prune to
+    O(selectivity) of the blocks; the scan result must equal plain SQL
+    WHERE either way (NULLs preserved); a used out_dir and colliding
+    column names are refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 8000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            # scattered: (i*37) % 1000 sweeps the whole range in every block
+            "v_n": pa.array(
+                [None if i % 11 == 7 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+
+    plain = str(tmp_path / "plain")
+    table_files.encode_table_files(
+        spark, [src], plain,
+        order_col="k", int_cols=["k", "v_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    clus = str(tmp_path / "clustered")
+    res = table_files.cluster_encode_table_files(
+        spark, [src], clus, cluster_by="v_n",
+        int_cols=["k", "v_n"], rows_per_block=512, num_tasks=4,
+    )
+    assert res["tokens"] > 0
+
+    want = sorted(duckdb.sql(
+        f"SELECT k, v_n FROM read_parquet('{src}') "
+        "WHERE v_n BETWEEN 100 AND 199"
+    ).fetchall())
+    for enc in (plain, clus):
+        got = sorted(
+            (r["k"], r["v_n"]) for r in
+            table_files.scan_table_files(
+                spark, enc, "v_n", 100, 199,
+                columns=["k", "v_n"]).collect()
+        )
+        assert got == want and len(got) > 0
+
+    sp = table_files.zonemap_stats(plain, "v_n", 100, 199)
+    sc = table_files.zonemap_stats(clus, "v_n", 100, 199)
+    # scattered layout: every block matches; clustered: ~10% selectivity
+    assert sp["blocks_matching"] == sp["blocks_total"]
+    assert sc["blocks_matching"] <= sc["blocks_total"] // 3
+
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        table_files.cluster_encode_table_files(
+            spark, [src], clus, cluster_by="v_n", int_cols=["k", "v_n"])
+    with pytest.raises(ValueError, match="must not collide"):
+        table_files.cluster_encode_table_files(
+            spark, [src], str(tmp_path / "x"), cluster_by="v_n",
+            int_cols=["k", "v_n"], order_col="k")
+    with pytest.raises(ValueError, match="cluster_by"):
+        table_files.cluster_encode_table_files(
+            spark, [src], str(tmp_path / "y"), cluster_by="zz",
+            int_cols=["k", "v_n"])
+
+
 def test_topk_survivors_int64_min_block_descending():
     """Descending plan must not wrap when a block's min_val is int64 min
     (negating int64 min is UB-ish in numpy: it stays negative and would
