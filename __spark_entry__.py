@@ -1383,6 +1383,51 @@ def _q_dpp_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE aggregate pushdown
+    (:func:`rlv.table_files.agg_table_files_where`): count/sum/min/max
+    computed from the blocks under an int zone-map range AND a string
+    IN-list — every predicate classifies blocks pruned / full / partial
+    from metadata and sidecars alone, combined blocks prune when ANY
+    predicate prunes, aggregate without decoding any predicate when ALL
+    full-match, and otherwise decode only the non-full predicates.  All
+    predicate and value columns NULLABLE; the oracle is the plain SQL
+    aggregate under the stacked WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_wagg_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n", "cents_n"],
+        str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.agg_table_files_where(
+        spark, out, "cents_n",
+        [("between", "custkey_n", 100, 900),
+         ("in", "pri_n", ["2-HIGH", "5-LOW"])],
+    )
+
+
 def _q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER BY write path
     (:func:`rlv.table_files.cluster_encode_table_files`): the table is
@@ -2290,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_pushdown": _q_where_pushdown,
         "dpp_semijoin": _q_dpp_semijoin,
         "clustered_scan": _q_clustered_scan,
+        "where_aggregate": _q_where_aggregate,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -2981,6 +3027,25 @@ d AS (
 SELECT CAST(v.o_orderkey AS BIGINT) AS o_orderkey, v.pri_n,
        CAST(v.opt_custkey AS BIGINT) AS opt_custkey, d.pri_len
 FROM v JOIN d ON v.pri_n = d.pri
+""",
+        "where_aggregate": """
+WITH v AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS DECIMAL(38,0)) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v
+WHERE custkey_n BETWEEN 100 AND 900
+  AND pri_n IN ('2-HIGH', '5-LOW')
 """,
         "clustered_scan": """
 WITH v AS (

@@ -1921,8 +1921,23 @@ AGG_PARTIAL_SCHEMA = (
 )
 
 
-def _make_agg_worker(value_col: str, pred_col: str, lo: int, hi: int):
+def _make_agg_worker(value_col: str, preds: list[dict],
+                     symbols_hex: tuple[str, ...] | None = None):
+    """Aggregate worker over one blocks file for a CONJUNCTION of
+    predicates (the specs :func:`_norm_preds` emits — int zone-map ranges
+    and string dictionary memberships).  Every predicate classifies each
+    block pruned / full-match / partial from metadata (+ sidecars) alone;
+    the combined class is pruned if ANY pred prunes, full if ALL preds
+    full-match, else partial.  Full blocks aggregate the value column
+    without decoding any predicate (RLE blocks sum run lists without
+    expanding); partial blocks decode ONLY the predicates not full-matching
+    there, AND the masks, and pick the value rows."""
     from rlv.util import tune_malloc
+
+    int_preds = [p for p in preds if p["kind"] == "range"]
+    mem_preds = [p for p in preds if p["kind"] == "member"]
+    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    all_cols = list(dict.fromkeys([*pred_cols, value_col]))
 
     def run_agg(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -1930,25 +1945,33 @@ def _make_agg_worker(value_col: str, pred_col: str, lo: int, hi: int):
         from rlv import blocks as B
 
         tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # phase 1 — pred-column METADATA only: classify every block
-                # against the zone map.  `full` blocks (range covers the
-                # whole zone, zero NULLs) match every row without decoding
-                # the predicate; `partial` blocks decode; the rest are
-                # pruned and never read again.
+                # phase 1 — METADATA for every involved column in one
+                # payload-free read; member preds additionally decode their
+                # (small) dictionary sidecars.  `full` blocks match every
+                # row without decoding the predicate; `partial` blocks
+                # decode; the rest are pruned and never read again.
                 meta = pq.read_table(
                     path,
-                    columns=["split_seq", "block_idx", "n_values", "n_nulls",
-                             "n_runs", "min_val", "max_val"],
-                    filters=[("col_name", "=", pred_col)],
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val"],
+                    filters=[("col_name", "in", all_cols)],
                 ).combine_chunks()
-                cls: dict[tuple[str, int], str] = {}
-                pred_rows: dict[tuple[str, int], int] = {}
+                info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in all_cols
+                }
                 for seq, seg in _split_segments(meta, file_sid):
-                    for bi, nv, nn, nr, mn, mx in zip(
+                    for name, bi, nv, nn, nr, mn, mx in zip(
+                        seg.column("col_name").to_pylist(),
                         seg.column("block_idx").to_numpy(),
                         seg.column("n_values").to_numpy(),
                         seg.column("n_nulls").to_numpy(),
@@ -1956,119 +1979,171 @@ def _make_agg_worker(value_col: str, pred_col: str, lo: int, hi: int):
                         seg.column("min_val").to_numpy(),
                         seg.column("max_val").to_numpy(),
                     ):
-                        key = (seq, int(bi))
-                        pred_rows[key] = int(nv)
-                        if nr == 0 or mx < lo or mn > hi:
-                            continue  # pruned (all-NULL blocks match nothing)
-                        cls[key] = (
-                            "full" if nn == 0 and mn >= lo and mx <= hi
+                        info[name][(seq, int(bi))] = (
+                            int(nv), int(nn), int(nr), int(mn), int(mx)
+                        )
+                # inventory cross-check BEFORE any early exit: every
+                # involved column must cover the same (segment, block)
+                # keys, or a lost column (partial write, bad compaction)
+                # would silently undercount
+                keys = set(info[all_cols[0]])
+                for c in all_cols[1:]:
+                    if set(info[c]) != keys:
+                        raise ValueError(
+                            f"columns {all_cols[0]!r} and {c!r} cover "
+                            "different blocks — corrupt dataset"
+                        )
+                for key in keys:
+                    rows0 = info[all_cols[0]][key][0]
+                    for c in all_cols[1:]:
+                        if info[c][key][0] != rows0:
+                            raise ValueError(
+                                f"column {c!r} and {all_cols[0]!r} disagree "
+                                f"on rows in block {key[1]} — corrupt "
+                                "dataset"
+                            )
+                # per-pred classification
+                pred_cls: list[dict[tuple[str, int], str]] = []
+                mem_codes: list[dict[tuple[str, int], np.ndarray]] = []
+                mem_full: list[set[tuple[str, int]]] = []
+                for p in int_preds:
+                    cl: dict[tuple[str, int], str] = {}
+                    for key, (nv, nn, nr, mn, mx) in info[p["col"]].items():
+                        if nr == 0 or mx < p["lo"] or mn > p["hi"]:
+                            continue  # pruned (all-NULL matches nothing)
+                        cl[key] = (
+                            "full"
+                            if nn == 0 and mn >= p["lo"] and mx <= p["hi"]
                             else "partial"
                         )
-                # inventory cross-check BEFORE any early exit: a segment
-                # whose pred-column rows were lost (partial write, bad
-                # compaction) must fail loudly, not silently undercount
-                if pred_col != value_col:
-                    vmeta = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx"],
-                        filters=[("col_name", "=", value_col)],
-                    ).combine_chunks()
-                    vkeys: set[tuple[str, int]] = set()
-                    for seq, seg in _split_segments(vmeta, file_sid):
-                        vkeys.update(
-                            (seq, int(bi))
-                            for bi in seg.column("block_idx").to_numpy()
-                        )
-                    missing = vkeys - set(pred_rows)
-                    if missing:
-                        raise ValueError(
-                            f"column {pred_col!r} is missing blocks "
-                            f"{sorted(missing)} — corrupt dataset"
-                        )
+                    pred_cls.append(cl)
+                for p in mem_preds:
+                    side = _read_dict_sidecar(path, file_sid, col=p["col"])
+                    cl = {}
+                    codes: dict[tuple[str, int], np.ndarray] = {}
+                    whole: set[tuple[str, int]] = set()
+                    for (seq, _, bi), blob in side.items():
+                        key = (seq, int(bi))
+                        if key not in info[p["col"]]:
+                            continue
+                        uniq = B.decode_strings_arrow(blob, symbols)
+                        hits = p["match"](uniq)
+                        if not hits.size:
+                            continue  # pruned: no dictionary entry matches
+                        codes[key] = hits
+                        nn = info[p["col"]][key][1]
+                        if hits.size == len(uniq):
+                            whole.add(key)
+                            cl[key] = "full" if nn == 0 else "partial"
+                        else:
+                            cl[key] = "partial"
+                    pred_cls.append(cl)
+                    mem_codes.append(codes)
+                    mem_full.append(whole)
+                # combined class: pruned if ANY pred pruned, full if ALL
+                # full, else partial
+                cls: dict[tuple[str, int], str] = {}
+                for key in keys:
+                    kinds = [cl.get(key) for cl in pred_cls]
+                    if any(k is None for k in kinds):
+                        continue
+                    cls[key] = (
+                        "full" if all(k == "full" for k in kinds)
+                        else "partial"
+                    )
                 if not cls:
                     yield _agg_frame(0, 0, 0, None, None)
                     continue
-                partial_idx = sorted(
-                    {bi for (_, bi), c in cls.items() if c == "partial"}
-                )
                 surviving_idx = sorted({bi for _, bi in cls})
-                # phase 2 — payloads: pred blocks for PARTIAL ordinals only,
-                # value blocks for all survivors (full-pred payloads are
-                # never fetched; the in-filters over-read only ordinals that
-                # survive in another segment — pruned exactly below)
-                pred_tbl = None
-                if partial_idx and pred_col != value_col:
-                    pred_tbl = pq.read_table(
+                # columns needing payload at partial keys: each pred col
+                # where that pred is not full there, plus the value column
+                # everywhere it survives
+                need: dict[str, set[int]] = {value_col: set(surviving_idx)}
+                for key, kind in cls.items():
+                    if kind != "partial":
+                        continue
+                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
+                        if cl.get(key) != "full":
+                            need.setdefault(p["col"], set()).add(key[1])
+                # phase 2 — payloads for needed (column, ordinal) pairs
+                # only (the in-filters over-read only ordinals needed in
+                # another segment; per-key lookups below are exact)
+                blobs: dict[tuple[str, str, int], bytes] = {}
+                for c, idxs in need.items():
+                    if not idxs:
+                        continue
+                    t = pq.read_table(
                         path,
-                        columns=["split_seq", "block_idx", "n_values",
-                                 "block"],
-                        filters=[("col_name", "=", pred_col),
-                                 ("block_idx", "in", partial_idx)],
+                        columns=["split_seq", "block_idx", "block"],
+                        filters=[("col_name", "=", c),
+                                 ("block_idx", "in", sorted(idxs))],
                     ).combine_chunks()
-                val_tbl = pq.read_table(
-                    path,
-                    columns=["split_seq", "block_idx", "n_values", "block"],
-                    filters=[("col_name", "=", value_col),
-                             ("block_idx", "in", surviving_idx)],
-                ).combine_chunks()
-                per_val: dict[tuple[str, int], tuple[int, bytes]] = {}
-                for seq, seg in _split_segments(val_tbl, file_sid):
-                    for bi, nv, blob in zip(
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("block").to_pylist(),
-                    ):
-                        per_val[(seq, int(bi))] = (int(nv), blob)
-                per_pred: dict[tuple[str, int], tuple[int, bytes]] = (
-                    per_val if pred_col == value_col else {}
-                )
-                if pred_tbl is not None:
-                    for seq, seg in _split_segments(pred_tbl, file_sid):
-                        for bi, nv, blob in zip(
+                    for seq, seg in _split_segments(t, file_sid):
+                        for bi, blob in zip(
                             seg.column("block_idx").to_numpy(),
-                            seg.column("n_values").to_numpy(),
                             seg.column("block").to_pylist(),
                         ):
-                            per_pred[(seq, int(bi))] = (int(nv), blob)
+                            blobs[(seq, c, int(bi))] = blob
                 n_rows = n_vals = s = 0
                 mn_acc: int | None = None
                 mx_acc: int | None = None
                 for key in sorted(cls):
-                    if key not in per_val:
+                    seq, bi = key
+                    nv = info[value_col][key][0]
+                    if (seq, value_col, bi) not in blobs:
                         raise ValueError(
                             f"column {value_col!r} is missing block "
-                            f"{key[1]} of segment {key[0]} — corrupt dataset"
+                            f"{bi} of segment {seq} — corrupt dataset"
                         )
-                    vnv, vblob = per_val[key]
-                    if vnv != pred_rows[key]:
-                        raise ValueError(
-                            f"column {value_col!r} and {pred_col!r} disagree "
-                            f"on rows in block {key[1]} — corrupt dataset"
-                        )
+                    vblob = blobs[(seq, value_col, bi)]
+                    bmn: int | None
+                    bmx: int | None
                     if cls[key] == "full":
                         bn, bnv, bs, bmn, bmx = B.agg_block(vblob)
-                        if bn != vnv:
+                        if bn != nv:
                             raise ValueError(
-                                f"block {key[1]} declares {vnv} rows but "
+                                f"block {bi} declares {nv} rows but "
                                 f"decodes {bn} — corrupt dataset"
                             )
                         n_rows += bn
                         n_vals += bnv
                         s += bs
                     else:
-                        pnv, pblob = per_pred[key]
-                        pv, _, pvalid = B.decode_blocks_batch_nullable(
-                            [pblob], np.int64, expected=[pnv]
-                        )
-                        mask = pvalid & (pv >= lo) & (pv <= hi)
+                        decoded: dict[str, tuple] = {}
+
+                        def _dec(c, seq=seq, bi=bi, nv=nv, decoded=decoded):
+                            if c not in decoded:
+                                decoded[c] = B.decode_blocks_batch_nullable(
+                                    [blobs[(seq, c, bi)]], np.int64,
+                                    expected=[nv],
+                                )
+                            return decoded[c]
+
+                        mask = np.ones(nv, bool)
+                        mseen = 0
+                        for cl, p in zip(
+                            pred_cls, [*int_preds, *mem_preds]
+                        ):
+                            is_mem = p["kind"] == "member"
+                            midx = mseen
+                            if is_mem:
+                                mseen += 1
+                            if cl.get(key) == "full":
+                                continue
+                            pv, _, pvalid = _dec(p["col"])
+                            if not is_mem:
+                                mask &= pvalid & (pv >= p["lo"]) \
+                                    & (pv <= p["hi"])
+                            elif key in mem_full[midx]:
+                                # whole dictionary matches; only NULLs drop
+                                mask &= pvalid
+                            else:
+                                mask &= pvalid & np.isin(
+                                    pv, mem_codes[midx][key]
+                                )
                         n_rows += int(mask.sum())
-                        if pred_col == value_col:
-                            picked = pv[mask]
-                        else:
-                            vv, _, vvalid = B.decode_blocks_batch_nullable(
-                                [vblob], np.int64, expected=[vnv]
-                            )
-                            picked = vv[mask & vvalid]
+                        vv, _, vvalid = _dec(value_col)
+                        picked = vv[mask & vvalid]
                         if picked.size == 0:
                             continue
                         n_vals += picked.size
@@ -2126,7 +2201,35 @@ def agg_table_files(
     rows never match; ``n_vals``/``sum``/``min``/``max`` skip NULL values;
     an empty match returns ``(0, 0, NULL, NULL, NULL)``."""
     _require_int_col(enc_dir, pred_col)
+    return agg_table_files_where(
+        spark, enc_dir, value_col,
+        [("between", pred_col, int(lo), int(hi))],
+    )
+
+
+def agg_table_files_where(
+    spark: SparkSession, enc_dir: str, value_col: str, preds,
+):
+    """Aggregation pushed into the encoded format under a CONJUNCTION of
+    predicates: the same ``(n_rows, n_vals, sum_val, min_val, max_val)``
+    row as :func:`agg_table_files`, for ``WHERE p1 AND p2 AND ...`` with
+    the same five predicate kinds :func:`scan_table_files_where` takes
+    (int zone-map ranges; string eq / IN / BETWEEN / prefix via the
+    dictionary sidecars).
+
+    Each predicate classifies every block pruned / full-match / partial
+    from metadata and sidecars alone; the combined class is pruned if ANY
+    predicate prunes (payload never read), full if ALL full-match (the
+    value block aggregates via :func:`rlv.blocks.agg_block` without
+    decoding any predicate — RLE sums its run list without expanding), and
+    partial otherwise — where only the predicates NOT full-matching that
+    block decode.  SQL NULL semantics per predicate and for the value
+    column throughout."""
     schema = _require_int_col(enc_dir, value_col)
+    specs = _norm_preds(schema, list(preds))
+    worker = _make_agg_worker(
+        value_col, specs, symbols_hex=_symbols_hex(enc_dir)
+    )
     files = _live_block_files(enc_dir)
     from pyspark.sql import functions as F
 
@@ -2141,10 +2244,7 @@ def agg_table_files(
     tasks_df = spark.createDataFrame(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
-    partials = tasks_df.mapInPandas(
-        _make_agg_worker(value_col, pred_col, int(lo), int(hi)),
-        AGG_PARTIAL_SCHEMA,
-    )
+    partials = tasks_df.mapInPandas(worker, AGG_PARTIAL_SCHEMA)
     return partials.agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_vals").alias("n_vals"),

@@ -1479,6 +1479,86 @@ def test_where_multi_predicate_scan_matches_sql(spark, tmp_path):
             spark, out, [("prefix", "v_n", "x")])
 
 
+def test_agg_where_mixed_predicates_matches_sql(spark, tmp_path):
+    """Conjunctive aggregate pushdown must equal plain SQL aggregate under
+    stacked predicates of every kind — including a whole-dictionary match
+    on a NULLABLE string column (class stays partial: only NULLs drop) and
+    an all-pruned conjunction returning the SQL empty aggregate — before
+    and after compaction."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "band_n": pa.array(
+                [None if i % 17 == 5 else f"band{i // 1500}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"],
+        str_cols=["tag_n", "band_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check():
+        # 'band' prefix whole-dict-matches every block (NULLs still drop)
+        got = table_files.agg_table_files_where(
+            spark, out, "v_n",
+            [("between", "k", 500, 5500),
+             ("in", "tag_n", ["w03", "w07", "w11"]),
+             ("prefix", "band_n", "band")],
+        ).collect()[0]
+        want = duckdb.sql(
+            f"SELECT count(*), count(v_n), sum(v_n), min(v_n), max(v_n) "
+            f"FROM read_parquet('{src}') "
+            "WHERE k BETWEEN 500 AND 5500 "
+            "AND tag_n IN ('w03', 'w07', 'w11') AND band_n LIKE 'band%'"
+        ).fetchone()
+        assert (got["n_rows"], got["n_vals"], int(got["sum_val"]),
+                got["min_val"], got["max_val"]) == (
+            want[0], want[1], int(want[2]), want[3], want[4])
+        assert got["n_rows"] > 0
+        # all-pruned conjunction: the SQL empty aggregate
+        empty = table_files.agg_table_files_where(
+            spark, out, "v_n", [("eq", "tag_n", "nosuch")]
+        ).collect()[0]
+        assert (empty["n_rows"], empty["n_vals"], empty["sum_val"],
+                empty["min_val"], empty["max_val"]) == (0, 0, None, None,
+                                                        None)
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+    with pytest.raises(ValueError, match="int column"):
+        table_files.agg_table_files_where(
+            spark, out, "tag_n", [("between", "k", 0, 10)])
+
+
 def test_semijoin_scan_pushdown(spark, tmp_path):
     """DPP-style semi-join pushdown must equal SQL WHERE col IN (SELECT key
     FROM dim) on BOTH key types: string keys via the dictionary IN-list
