@@ -1428,6 +1428,61 @@ def _q_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_where_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pushdown under a predicate CONJUNCTION
+    (:func:`rlv.table_files.agg_table_files_by` with ``preds``): groups
+    come from per-block dictionary CODES of a NULLABLE string column
+    (NULL keys pool SQL-style), while an int zone-map range AND a
+    LIKE-prefix membership prune/classify blocks exactly like the plain
+    conjunctive aggregate — partial blocks decode only the predicates not
+    full-matching there.  The oracle is the plain SQL GROUP BY under the
+    stacked WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_wgag_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 6 = 2 THEN NULL "
+        "     ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') "
+        "END AS tag_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n", "cents_n"],
+        str_cols=["pri_n", "tag_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.agg_table_files_by(
+        spark, out, "cents_n", "pri_n",
+        preds=[("between", "custkey_n", 100, 1200),
+               ("prefix", "tag_n", "grp0")],
+    )
+    return got.select(
+        F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("grp"),
+        "n_rows",
+        "n_vals",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
 def _q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER BY write path
     (:func:`rlv.table_files.cluster_encode_table_files`): the table is
@@ -2336,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_semijoin": _q_dpp_semijoin,
         "clustered_scan": _q_clustered_scan,
         "where_aggregate": _q_where_aggregate,
+        "where_group_agg": _q_where_group_agg,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3046,6 +3102,29 @@ SELECT count(*) AS n_rows,
 FROM v
 WHERE custkey_n BETWEEN 100 AND 900
   AND pri_n IN ('2-HIGH', '5-LOW')
+""",
+        "where_group_agg": """
+WITH v AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 6 = 2 THEN NULL
+              ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0')
+         END AS tag_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT COALESCE(pri_n, '~null~') AS grp,
+       count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v
+WHERE custkey_n BETWEEN 100 AND 1200 AND tag_n LIKE 'grp0%'
+GROUP BY pri_n
 """,
         "clustered_scan": """
 WITH v AS (

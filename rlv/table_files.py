@@ -1921,6 +1921,82 @@ AGG_PARTIAL_SCHEMA = (
 )
 
 
+def _pred_classify(path: str, file_sid: str, info: dict,
+                   int_preds: list[dict], mem_preds: list[dict], symbols):
+    """Phase-1 per-predicate block classification from metadata alone
+    (+ dictionary sidecars for member preds): returns
+    ``(pred_cls, mem_codes, mem_full)`` — ``pred_cls`` lists the int preds'
+    class maps then the member preds', each mapping (segment, block) ->
+    'full'|'partial' (absent = pruned); ``mem_codes[i]`` holds member pred
+    i's per-block matching code sets; ``mem_full[i]`` the keys whose WHOLE
+    dictionary matches (only NULL rows can fail there)."""
+    from rlv import blocks as B
+
+    pred_cls: list[dict] = []
+    for p in int_preds:
+        cl: dict = {}
+        for key, (nv, nn, nr, mn, mx) in info[p["col"]].items():
+            if nr == 0 or mx < p["lo"] or mn > p["hi"]:
+                continue  # pruned (all-NULL blocks match nothing)
+            cl[key] = (
+                "full"
+                if nn == 0 and mn >= p["lo"] and mx <= p["hi"]
+                else "partial"
+            )
+        pred_cls.append(cl)
+    mem_codes: list[dict] = []
+    mem_full: list[set] = []
+    for p in mem_preds:
+        side = _read_dict_sidecar(path, file_sid, col=p["col"])
+        cl = {}
+        codes: dict = {}
+        whole: set = set()
+        for (seq, _, bi), blob in side.items():
+            key = (seq, int(bi))
+            if key not in info[p["col"]]:
+                continue
+            uniq = B.decode_strings_arrow(blob, symbols)
+            hits = p["match"](uniq)
+            if not hits.size:
+                continue  # pruned: no dictionary entry matches
+            codes[key] = hits
+            nn = info[p["col"]][key][1]
+            if hits.size == len(uniq):
+                whole.add(key)
+                cl[key] = "full" if nn == 0 else "partial"
+            else:
+                cl[key] = "partial"
+        pred_cls.append(cl)
+        mem_codes.append(codes)
+        mem_full.append(whole)
+    return pred_cls, mem_codes, mem_full
+
+
+def _pred_mask(key, nv: int, pred_cls: list[dict],
+               int_preds: list[dict], mem_preds: list[dict],
+               mem_codes: list[dict], mem_full: list[set], dec):
+    """AND row mask for one PARTIAL block: decode (via ``dec(col)``) only
+    the predicates not full-matching there; a member pred whose whole
+    dictionary matches drops NULL rows only (no set test)."""
+    mask = np.ones(nv, bool)
+    for cl, p in zip(pred_cls[:len(int_preds)], int_preds):
+        if cl.get(key) == "full":
+            continue
+        pv, _, pvalid = dec(p["col"])
+        mask &= pvalid & (pv >= p["lo"]) & (pv <= p["hi"])
+    for mi, (cl, p) in enumerate(
+        zip(pred_cls[len(int_preds):], mem_preds)
+    ):
+        if cl.get(key) == "full":
+            continue
+        pv, _, pvalid = dec(p["col"])
+        if key in mem_full[mi]:
+            mask &= pvalid
+        else:
+            mask &= pvalid & np.isin(pv, mem_codes[mi][key])
+    return mask
+
+
 def _make_agg_worker(value_col: str, preds: list[dict],
                      symbols_hex: tuple[str, ...] | None = None):
     """Aggregate worker over one blocks file for a CONJUNCTION of
@@ -2002,44 +2078,9 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                                 f"on rows in block {key[1]} — corrupt "
                                 "dataset"
                             )
-                # per-pred classification
-                pred_cls: list[dict[tuple[str, int], str]] = []
-                mem_codes: list[dict[tuple[str, int], np.ndarray]] = []
-                mem_full: list[set[tuple[str, int]]] = []
-                for p in int_preds:
-                    cl: dict[tuple[str, int], str] = {}
-                    for key, (nv, nn, nr, mn, mx) in info[p["col"]].items():
-                        if nr == 0 or mx < p["lo"] or mn > p["hi"]:
-                            continue  # pruned (all-NULL matches nothing)
-                        cl[key] = (
-                            "full"
-                            if nn == 0 and mn >= p["lo"] and mx <= p["hi"]
-                            else "partial"
-                        )
-                    pred_cls.append(cl)
-                for p in mem_preds:
-                    side = _read_dict_sidecar(path, file_sid, col=p["col"])
-                    cl = {}
-                    codes: dict[tuple[str, int], np.ndarray] = {}
-                    whole: set[tuple[str, int]] = set()
-                    for (seq, _, bi), blob in side.items():
-                        key = (seq, int(bi))
-                        if key not in info[p["col"]]:
-                            continue
-                        uniq = B.decode_strings_arrow(blob, symbols)
-                        hits = p["match"](uniq)
-                        if not hits.size:
-                            continue  # pruned: no dictionary entry matches
-                        codes[key] = hits
-                        nn = info[p["col"]][key][1]
-                        if hits.size == len(uniq):
-                            whole.add(key)
-                            cl[key] = "full" if nn == 0 else "partial"
-                        else:
-                            cl[key] = "partial"
-                    pred_cls.append(cl)
-                    mem_codes.append(codes)
-                    mem_full.append(whole)
+                pred_cls, mem_codes, mem_full = _pred_classify(
+                    path, file_sid, info, int_preds, mem_preds, symbols
+                )
                 # combined class: pruned if ANY pred pruned, full if ALL
                 # full, else partial
                 cls: dict[tuple[str, int], str] = {}
@@ -2119,28 +2160,10 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                                 )
                             return decoded[c]
 
-                        mask = np.ones(nv, bool)
-                        mseen = 0
-                        for cl, p in zip(
-                            pred_cls, [*int_preds, *mem_preds]
-                        ):
-                            is_mem = p["kind"] == "member"
-                            midx = mseen
-                            if is_mem:
-                                mseen += 1
-                            if cl.get(key) == "full":
-                                continue
-                            pv, _, pvalid = _dec(p["col"])
-                            if not is_mem:
-                                mask &= pvalid & (pv >= p["lo"]) \
-                                    & (pv <= p["hi"])
-                            elif key in mem_full[midx]:
-                                # whole dictionary matches; only NULLs drop
-                                mask &= pvalid
-                            else:
-                                mask &= pvalid & np.isin(
-                                    pv, mem_codes[midx][key]
-                                )
+                        mask = _pred_mask(
+                            key, nv, pred_cls, int_preds, mem_preds,
+                            mem_codes, mem_full, _dec,
+                        )
                         n_rows += int(mask.sum())
                         vv, _, vvalid = _dec(value_col)
                         picked = vv[mask & vvalid]
@@ -2313,17 +2336,23 @@ def _group_seg_agg(keys: np.ndarray, vals: np.ndarray,
 
 def _make_group_agg_worker(value_col: str, group_col: str,
                            group_is_str: bool,
-                           pred: tuple[str, int, int] | None,
+                           preds: list[dict],
                            symbols_hex: tuple[str, ...] | None):
-    """Grouped-aggregate worker over one blocks file: phase 1 classifies
-    blocks against the predicate zone map exactly like
-    :func:`_make_agg_worker` (pruned / full / partial; no predicate =
-    everything full), phase 2 fetches group + value payloads for survivors
-    (predicate payloads for partial ordinals only) and aggregates per group
-    key — dict CODES for a string group (one sidecar decode per block maps
-    codes to names), raw values for an int group, NULL group keys pooled
-    SQL-style.  Emits one partial row per (file, group)."""
+    """Grouped-aggregate worker over one blocks file for a CONJUNCTION of
+    predicates: phase 1 classifies blocks per predicate exactly like
+    :func:`_make_agg_worker` (shared :func:`_pred_classify`; no predicates
+    = everything full-matches), phase 2 fetches group + value payloads for
+    survivors (predicate payloads only for the ordinals where that
+    predicate is not full) and aggregates per group key — dict CODES for a
+    string group (one sidecar decode per block maps codes to names), raw
+    values for an int group, NULL group keys pooled SQL-style.  Emits one
+    partial row per (file, group)."""
     from rlv.util import tune_malloc
+
+    int_preds = [p for p in preds if p["kind"] == "range"]
+    mem_preds = [p for p in preds if p["kind"] == "member"]
+    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    all_cols = list(dict.fromkeys([group_col, value_col, *pred_cols]))
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -2358,77 +2387,75 @@ def _make_group_agg_worker(value_col: str, group_col: str,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # phase 1a — group-column METADATA: the block inventory and
-                # per-block row counts (every encoded column covers all rows)
-                gmeta = pq.read_table(
+                # phase 1a — METADATA for every involved column in one
+                # payload-free read; the inventory cross-check runs BEFORE
+                # any early exit so a lost column fails loudly instead of
+                # silently undercounting
+                meta = pq.read_table(
                     path,
-                    columns=["split_seq", "block_idx", "n_values"],
-                    filters=[("col_name", "=", group_col)],
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val"],
+                    filters=[("col_name", "in", all_cols)],
                 ).combine_chunks()
-                rows_of: dict[tuple[str, int], int] = {}
-                for seq, seg in _split_segments(gmeta, file_sid):
-                    for bi, nv in zip(
+                info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in all_cols
+                }
+                for seq, seg in _split_segments(meta, file_sid):
+                    for name, bi, nv, nn, nr, mn, mx in zip(
+                        seg.column("col_name").to_pylist(),
                         seg.column("block_idx").to_numpy(),
                         seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
                     ):
-                        rows_of[(seq, int(bi))] = int(nv)
-                # phase 1b — predicate classification from zone maps (no
-                # predicate: every block matches in full)
-                if pred is None:
-                    cls = {k: "full" for k in rows_of}
-                else:
-                    pred_col, lo, hi = pred
-                    pmeta = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx", "n_values",
-                                 "n_nulls", "n_runs", "min_val", "max_val"],
-                        filters=[("col_name", "=", pred_col)],
-                    ).combine_chunks()
-                    cls = {}
-                    seen: set[tuple[str, int]] = set()
-                    for seq, seg in _split_segments(pmeta, file_sid):
-                        for bi, nv, nn, nr, mn, mx in zip(
-                            seg.column("block_idx").to_numpy(),
-                            seg.column("n_values").to_numpy(),
-                            seg.column("n_nulls").to_numpy(),
-                            seg.column("n_runs").to_numpy(),
-                            seg.column("min_val").to_numpy(),
-                            seg.column("max_val").to_numpy(),
-                        ):
-                            key = (seq, int(bi))
-                            seen.add(key)
-                            if key not in rows_of:
-                                raise ValueError(
-                                    f"column {group_col!r} is missing block "
-                                    f"{key[1]} of segment {key[0]} — "
-                                    "corrupt dataset"
-                                )
-                            if int(nv) != rows_of[key]:
-                                raise ValueError(
-                                    f"columns {group_col!r} and {pred_col!r}"
-                                    f" disagree on rows in block {key[1]} — "
-                                    "corrupt dataset"
-                                )
-                            if nr == 0 or mx < lo or mn > hi:
-                                continue  # pruned (all-NULL matches nothing)
-                            cls[key] = (
-                                "full"
-                                if nn == 0 and mn >= lo and mx <= hi
-                                else "partial"
-                            )
-                    missing = set(rows_of) - seen
-                    if missing:
+                        info[name][(seq, int(bi))] = (
+                            int(nv), int(nn), int(nr), int(mn), int(mx)
+                        )
+                keys = set(info[all_cols[0]])
+                for c in all_cols[1:]:
+                    if set(info[c]) != keys:
                         raise ValueError(
-                            f"column {pred_col!r} is missing blocks "
-                            f"{sorted(missing)} — corrupt dataset"
+                            f"columns {all_cols[0]!r} and {c!r} cover "
+                            "different blocks — corrupt dataset"
+                        )
+                for key in keys:
+                    rows0 = info[all_cols[0]][key][0]
+                    for c in all_cols[1:]:
+                        if info[c][key][0] != rows0:
+                            raise ValueError(
+                                f"column {c!r} and {all_cols[0]!r} disagree "
+                                f"on rows in block {key[1]} — corrupt "
+                                "dataset"
+                            )
+                # phase 1b — per-predicate classification, combined:
+                # pruned if ANY pred pruned, full if ALL full, else partial
+                if not preds:
+                    pred_cls: list[dict] = []
+                    mem_codes: list[dict] = []
+                    mem_full: list[set] = []
+                    cls = {k: "full" for k in keys}
+                else:
+                    pred_cls, mem_codes, mem_full = _pred_classify(
+                        path, file_sid, info, int_preds, mem_preds,
+                        symbols,
+                    )
+                    cls = {}
+                    for key in keys:
+                        kinds = [cl.get(key) for cl in pred_cls]
+                        if any(k is None for k in kinds):
+                            continue
+                        cls[key] = (
+                            "full" if all(k == "full" for k in kinds)
+                            else "partial"
                         )
                 if not cls:
                     yield _empty()
                     continue
                 surviving_idx = sorted({bi for _, bi in cls})
-                partial_idx = sorted(
-                    {bi for (_, bi), c in cls.items() if c == "partial"}
-                )
+
                 # phase 2 — payloads for survivors only (the in-filter
                 # over-reads ordinals surviving in another segment; the
                 # keyed loop below prunes segments exactly)
@@ -2450,16 +2477,24 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                             per[(seq, int(bi))] = (int(nv), blob)
                     return per
 
-                per_g = _payloads(group_col, surviving_idx)
-                per_v = (
-                    per_g if value_col == group_col
-                    else _payloads(value_col, surviving_idx)
-                )
-                per_p = (
-                    _payloads(pred[0], partial_idx)
-                    if pred is not None and partial_idx
-                    else {}
-                )
+                per_by_col = {group_col: _payloads(group_col,
+                                                   surviving_idx)}
+                if value_col not in per_by_col:
+                    per_by_col[value_col] = _payloads(
+                        value_col, surviving_idx
+                    )
+                # predicate payloads: per column, only the ordinals where
+                # some partial block needs that predicate decoded
+                pneed: dict[str, set[int]] = {}
+                for key, kind in cls.items():
+                    if kind != "partial":
+                        continue
+                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
+                        if cl.get(key) != "full":
+                            pneed.setdefault(p["col"], set()).add(key[1])
+                for c, idxs in pneed.items():
+                    if c not in per_by_col:
+                        per_by_col[c] = _payloads(c, sorted(idxs))
                 side = (
                     _read_dict_sidecar(path, file_sid, col=group_col)
                     if group_is_str
@@ -2467,40 +2502,40 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                 )
                 acc: dict[object, list] = {}
                 for key in sorted(cls):
-                    nv_rows = rows_of[key]
-                    for cname, per in ((group_col, per_g),
-                                       (value_col, per_v)):
+                    nv_rows = info[group_col][key][0]
+                    decoded: dict[str, tuple] = {}
+
+                    def _dec(c, key=key, nv=nv_rows, decoded=decoded):
+                        if c in decoded:
+                            return decoded[c]
+                        per = per_by_col[c]
                         if key not in per:
                             raise ValueError(
-                                f"column {cname!r} is missing block "
-                                f"{key[1]} of segment {key[0]} — corrupt "
-                                "dataset"
+                                f"column {c!r} is missing block {key[1]} "
+                                f"of segment {key[0]} — corrupt dataset"
                             )
-                        if per[key][0] != nv_rows:
+                        pnv, blob = per[key]
+                        if pnv != nv:
                             raise ValueError(
-                                f"column {cname!r} disagrees on rows in "
-                                f"block {key[1]} — corrupt dataset"
+                                f"column {c!r} disagrees on rows in block "
+                                f"{key[1]} — corrupt dataset"
                             )
-                    gv, _, gvalid = B.decode_blocks_batch_nullable(
-                        [per_g[key][1]], np.int64, expected=[nv_rows]
-                    )
-                    if value_col == group_col:
-                        vv, vvalid = gv, gvalid
-                    else:
-                        vv, _, vvalid = B.decode_blocks_batch_nullable(
-                            [per_v[key][1]], np.int64, expected=[nv_rows]
+                        decoded[c] = B.decode_blocks_batch_nullable(
+                            [blob], np.int64, expected=[nv]
                         )
+                        return decoded[c]
+
                     if cls[key] == "full":
                         mask = np.ones(nv_rows, dtype=bool)
                     else:
-                        pnv, pblob = per_p[key]
-                        pv, _, pvalid = B.decode_blocks_batch_nullable(
-                            [pblob], np.int64, expected=[pnv]
+                        mask = _pred_mask(
+                            key, nv_rows, pred_cls, int_preds, mem_preds,
+                            mem_codes, mem_full, _dec,
                         )
-                        _, lo, hi = pred
-                        mask = pvalid & (pv >= lo) & (pv <= hi)
                         if not mask.any():
                             continue
+                    gv, _, gvalid = _dec(group_col)
+                    vv, _, vvalid = _dec(value_col)
                     if group_is_str:
                         blob = None if side is None else side.get(
                             (key[0], group_col, key[1])
@@ -2569,7 +2604,7 @@ def _make_group_agg_worker(value_col: str, group_col: str,
 def agg_table_files_by(
     spark: SparkSession, enc_dir: str, value_col: str, group_col: str,
     pred_col: str | None = None, lo: int | None = None,
-    hi: int | None = None,
+    hi: int | None = None, preds=None,
 ):
     """GROUP BY pushed into the encoded format: one row per group equal to
 
@@ -2592,7 +2627,13 @@ def agg_table_files_by(
     format.  SQL semantics throughout: NULL group keys pool into one NULL
     group, NULL predicate rows never match, ``n_vals``/``sum``/``min``/
     ``max`` skip NULL values (``sum_val`` is NULL for a group with no valid
-    values, exact decimal(38,0) otherwise)."""
+    values, exact decimal(38,0) otherwise).
+
+    ``preds`` generalizes the single range to a CONJUNCTION of the same
+    five predicate kinds :func:`scan_table_files_where` takes (mutually
+    exclusive with ``pred_col``/``lo``/``hi``): per-predicate block
+    classification and mask semantics are exactly
+    :func:`agg_table_files_where`'s."""
     schema = _require_int_col(enc_dir, value_col)
     group_is_str = group_col in schema["str_cols"]
     if not group_is_str and group_col not in schema["int_cols"]:
@@ -2600,14 +2641,19 @@ def agg_table_files_by(
             f"unknown group column {group_col!r}; dataset has "
             f"int_cols={schema['int_cols']} str_cols={schema['str_cols']}"
         )
-    pred: tuple[str, int, int] | None = None
     if pred_col is not None:
+        if preds is not None:
+            raise ValueError("pass either pred_col/lo/hi or preds, not both")
         if lo is None or hi is None:
             raise ValueError("pred_col requires lo and hi")
         _require_int_col(enc_dir, pred_col)
-        pred = (pred_col, int(lo), int(hi))
+        specs = _norm_preds(
+            schema, [("between", pred_col, int(lo), int(hi))]
+        )
     elif lo is not None or hi is not None:
         raise ValueError("lo/hi require pred_col")
+    else:
+        specs = _norm_preds(schema, list(preds)) if preds else []
     files = _live_block_files(enc_dir)
     from pyspark.sql import functions as F
 
@@ -2623,7 +2669,7 @@ def agg_table_files_by(
     ).repartition(len(files))
     partials = tasks_df.mapInPandas(
         _make_group_agg_worker(
-            value_col, group_col, group_is_str, pred,
+            value_col, group_col, group_is_str, specs,
             _symbols_hex(enc_dir),
         ),
         f"g {g_type}, " + AGG_PARTIAL_SCHEMA,

@@ -1559,6 +1559,74 @@ def test_agg_where_mixed_predicates_matches_sql(spark, tmp_path):
             spark, out, "tag_n", [("between", "k", 0, 10)])
 
 
+def test_group_agg_with_conjunctive_preds(spark, tmp_path):
+    """GROUP BY pushdown under a predicate CONJUNCTION (int range ×
+    IN-list) must equal plain SQL GROUP BY, NULL group keys pooled; the
+    legacy pred_col form and the preds form are mutually exclusive."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "band_n": pa.array(
+                [None if i % 17 == 5 else f"band{i // 1500}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"],
+        str_cols=["tag_n", "band_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    got = {
+        r["band_n"]: (r["n_rows"], r["n_vals"], int(r["sum_val"])
+                      if r["sum_val"] is not None else None,
+                      r["min_val"], r["max_val"])
+        for r in table_files.agg_table_files_by(
+            spark, out, "v_n", "band_n",
+            preds=[("between", "k", 500, 5500),
+                   ("in", "tag_n", ["w03", "w07", "w11"])],
+        ).collect()
+    }
+    want = {
+        g: (nr, nv, int(s) if s is not None else None, mn, mx)
+        for g, nr, nv, s, mn, mx in duckdb.sql(
+            f"SELECT band_n, count(*), count(v_n), sum(v_n), "
+            f"min(v_n), max(v_n) FROM read_parquet('{src}') "
+            "WHERE k BETWEEN 500 AND 5500 "
+            "AND tag_n IN ('w03', 'w07', 'w11') GROUP BY band_n"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 1 and None in got
+    with pytest.raises(ValueError, match="not both"):
+        table_files.agg_table_files_by(
+            spark, out, "v_n", "band_n", pred_col="k", lo=0, hi=9,
+            preds=[("between", "k", 0, 9)])
+
+
 def test_semijoin_scan_pushdown(spark, tmp_path):
     """DPP-style semi-join pushdown must equal SQL WHERE col IN (SELECT key
     FROM dim) on BOTH key types: string keys via the dictionary IN-list
