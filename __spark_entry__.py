@@ -1483,6 +1483,60 @@ def _q_where_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS over the encoded format
+    (:func:`rlv.table_files.ctas_table_files`): the rows matching a
+    dictionary IN-list materialize as a NEW encoded dataset (read side =
+    the conjunctive pruned scan; staged source kept for lineage verify;
+    FSST symbols carried over), and the checkable facet is the ROUND TRIP:
+    a full scan of the child must equal plain SQL SELECT-WHERE on the
+    source derivation — filter exactness, NULL preservation, and width
+    restore THROUGH encode → scan → re-encode → scan."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_ctas_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    src_enc = f"{out}/src_enc"
+    TF.encode_table_files(
+        spark, [src_path], src_enc,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    dst = f"{out}/dst"
+    TF.ctas_table_files(
+        spark, src_enc, dst,
+        preds=[("in", "pri_n", ["1-URGENT", "3-MEDIUM"])],
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+        rows_per_block=2048,
+    )
+    n_rows = int(src.num_rows)
+    got = TF.scan_table_files(
+        spark, dst, "o_orderkey", 0, n_rows + 1,
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "pri_n",
+        F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+    )
+
+
 def _q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER BY write path
     (:func:`rlv.table_files.cluster_encode_table_files`): the table is
@@ -2392,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_scan": _q_clustered_scan,
         "where_aggregate": _q_where_aggregate,
         "where_group_agg": _q_where_group_agg,
+        "ctas_roundtrip": _q_ctas_roundtrip,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3102,6 +3157,19 @@ SELECT count(*) AS n_rows,
 FROM v
 WHERE custkey_n BETWEEN 100 AND 900
   AND pri_n IN ('2-HIGH', '5-LOW')
+""",
+        "ctas_roundtrip": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, pri_n,
+       CAST(opt_custkey AS BIGINT) AS opt_custkey
+FROM v WHERE pri_n IN ('1-URGENT', '3-MEDIUM')
 """,
         "where_group_agg": """
 WITH v AS (

@@ -515,10 +515,13 @@ def cluster_encode_table_files(
     mix block layouts (the ENCODE of a given staged layout remains fully
     deterministic — determinism starts at the staged files, exactly like
     any other ingest).  NULLs in ``cluster_by`` sort first and encode like
-    any other NULL."""
+    any other NULL.
+
+    The sorted staged copy lands at ``out_dir/source`` (or ``stage_dir``)
+    and is KEPT: it is the dataset's recorded input, which lineage verify
+    (:func:`verify_table_files`) replays split-for-split — delete it only
+    when you no longer need verification against the source."""
     import glob as _glob
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -547,29 +550,22 @@ def cluster_encode_table_files(
         .sortWithinPartitions(cluster_by)
         .withColumn(order_col, F.monotonically_increasing_id())
     )
-    own_stage = stage_dir is None
     stage = (
-        tempfile.mkdtemp(prefix="rlv_cluster_stage_")
-        if own_stage
-        else stage_dir
+        os.path.join(out_dir, "source") if stage_dir is None else stage_dir
     )
-    try:
-        staged.write.mode("overwrite").parquet(stage)
-        files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
-        if not files:
-            raise ValueError("clustering staged zero files — empty input?")
-        return encode_table_files(
-            spark, files, out_dir,
-            order_col=order_col,
-            int_cols=[order_col, *int_cols],
-            str_cols=list(str_cols),
-            rows_per_block=rows_per_block,
-            num_tasks=len(files),
-            fsst_symbols=fsst_symbols,
-        )
-    finally:
-        if own_stage:
-            shutil.rmtree(stage, ignore_errors=True)
+    staged.write.mode("overwrite").parquet(stage)
+    files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    if not files:
+        raise ValueError("clustering staged zero files — empty input?")
+    return encode_table_files(
+        spark, files, out_dir,
+        order_col=order_col,
+        int_cols=[order_col, *int_cols],
+        str_cols=list(str_cols),
+        rows_per_block=rows_per_block,
+        num_tasks=len(files),
+        fsst_symbols=fsst_symbols,
+    )
 
 
 def _read_dict_sidecar(
@@ -1825,6 +1821,108 @@ def semijoin_scan_table_files(
         "left_semi",
     )
     return joined.select(*out_names)
+
+
+def ctas_table_files(
+    spark: SparkSession, src_enc: str, dst_dir: str, preds,
+    columns: list[str] | None = None,
+    cluster_by: str | None = None,
+    rows_per_block: int = 4096,
+    stage_dir: str | None = None,
+) -> dict:
+    """CREATE TABLE AS SELECT over the encoded format: materialize the
+    rows matching the predicate CONJUNCTION (``preds`` — the same five
+    kinds :func:`scan_table_files_where` takes), projected to ``columns``,
+    as a NEW encoded dataset at ``dst_dir`` — the derived-dataset step of
+    a curation pipeline (filter a corpus, keep the good slice encoded).
+
+    The read side is the zero-shuffle conjunctive pruned scan (source
+    blocks the predicates exclude are never decoded); the scan output
+    stages as parquet at its recorded source widths and re-encodes with
+    the standard per-file planning.  By default the source's order column
+    must ride the projection (it keeps the new dataset self-describing
+    and its strict order survives filtering); pass ``cluster_by`` to
+    instead re-cluster the result on one of the projected columns
+    (:func:`cluster_encode_table_files` mints the new order column).
+    The source's corpus FSST symbol table, if any, carries over so string
+    encoding stays consistent.  For a full unfiltered copy use
+    :func:`decode_table_files` + re-encode; CTAS requires ≥1 predicate.
+
+    The staged scan output lands at ``dst_dir/source`` (or ``stage_dir``)
+    and is KEPT — it is the child dataset's recorded input, which lineage
+    verify replays split-for-split (the clustered variant keeps its SORTED
+    stage there instead, via :func:`cluster_encode_table_files`)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    schema = _load_table_schema(src_enc)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {src_enc}")
+    if _load_table_schema(dst_dir) is not None:
+        raise ValueError(
+            f"{dst_dir} already holds an encoded table — CTAS needs a "
+            "fresh dst_dir (each run stages its own scan output; resuming "
+            "against another run's stage would mix lineages)"
+        )
+    specs = _norm_preds(schema, list(preds))
+    pred_cols = list(dict.fromkeys(s["col"] for s in specs))
+    if columns is None:
+        out_names = list(dict.fromkeys([schema["order_col"], *pred_cols]))
+    else:
+        out_names = _scan_out_names(schema, pred_cols[0], columns)
+    order_col = schema["order_col"]
+    if cluster_by is None:
+        if order_col not in out_names:
+            raise ValueError(
+                f"projection must keep the source order column "
+                f"{order_col!r} (or pass cluster_by to mint a new one)"
+            )
+    elif cluster_by not in out_names:
+        raise ValueError(
+            f"cluster_by {cluster_by!r} must be one of the projected "
+            f"columns {out_names}"
+        )
+    df = scan_table_files_where(spark, src_enc, preds, columns=out_names)
+    int_out = [c for c in out_names if c in schema["int_cols"]]
+    str_out = [c for c in out_names if c in schema["str_cols"]]
+    symbols = engine_files._load_symbols(src_enc)
+    if cluster_by is not None:
+        # the clustered variant re-sorts anyway, so the scan output is
+        # only a transient input: cluster-encode keeps ITS sorted stage
+        # as the recorded source under dst_dir/source
+        tmp_stage = tempfile.mkdtemp(prefix="rlv_ctas_stage_")
+        try:
+            df.write.mode("overwrite").parquet(tmp_stage)
+            files = sorted(
+                _glob.glob(os.path.join(tmp_stage, "part-*.parquet"))
+            )
+            if not files:
+                raise ValueError(
+                    "CTAS staged zero files — empty scan output"
+                )
+            return cluster_encode_table_files(
+                spark, files, dst_dir, cluster_by=cluster_by,
+                int_cols=int_out, str_cols=str_out,
+                rows_per_block=rows_per_block,
+                fsst_symbols=symbols,
+                stage_dir=stage_dir,
+            )
+        finally:
+            shutil.rmtree(tmp_stage, ignore_errors=True)
+    stage = (
+        os.path.join(dst_dir, "source") if stage_dir is None else stage_dir
+    )
+    df.write.mode("overwrite").parquet(stage)
+    files = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))
+    if not files:
+        raise ValueError("CTAS staged zero files — empty scan output")
+    return encode_table_files(
+        spark, files, dst_dir,
+        order_col=order_col, int_cols=int_out, str_cols=str_out,
+        rows_per_block=rows_per_block, num_tasks=len(files),
+        fsst_symbols=symbols,
+    )
 
 
 def strdict_stats(enc_dir: str, col: str, value: str) -> dict:

@@ -1627,6 +1627,97 @@ def test_group_agg_with_conjunctive_preds(spark, tmp_path):
             preds=[("between", "k", 0, 9)])
 
 
+def test_ctas_table_files(spark, tmp_path):
+    """CTAS must materialize exactly the predicate's rows as a NEW encoded
+    dataset: lineage verify green, a full scan of the child equals plain
+    SQL WHERE on the source, NULLs survive the round trip; the clustered
+    variant re-keys on the cluster column and improves its pruning; a
+    projection dropping the order column without cluster_by is refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    src_enc = str(tmp_path / "src_enc")
+    table_files.encode_table_files(
+        spark, [src], src_enc,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    dst = str(tmp_path / "dst")
+    res = table_files.ctas_table_files(
+        spark, src_enc, dst,
+        preds=[("in", "tag_n", ["w03", "w07", "w11"])],
+        columns=["k", "tag_n", "v_n"],
+        rows_per_block=512,
+    )
+    assert res["tokens"] > 0
+    chk = table_files.verify_table_files(spark, dst)
+    assert chk["mismatches"] == 0
+    got = sorted(
+        (r["k"], r["tag_n"], r["v_n"]) for r in
+        table_files.scan_table_files(
+            spark, dst, "k", 0, n, columns=["k", "tag_n", "v_n"]
+        ).collect()
+    )
+    want = sorted(duckdb.sql(
+        f"SELECT k, tag_n, v_n FROM read_parquet('{src}') "
+        "WHERE tag_n IN ('w03', 'w07', 'w11')"
+    ).fetchall())
+    assert got == want and len(got) > 0
+
+    # clustered CTAS: child is re-keyed on the cluster column and its
+    # zone maps actually prune
+    dst2 = str(tmp_path / "dst2")
+    table_files.ctas_table_files(
+        spark, src_enc, dst2,
+        preds=[("in", "tag_n", ["w03", "w07", "w11"])],
+        columns=["k", "tag_n", "v_n"],
+        cluster_by="v_n", rows_per_block=256,
+    )
+    got2 = sorted(
+        (r["k"], r["v_n"]) for r in
+        table_files.scan_table_files(
+            spark, dst2, "v_n", 100, 299, columns=["k", "v_n"]
+        ).collect()
+    )
+    want2 = sorted(duckdb.sql(
+        f"SELECT k, v_n FROM read_parquet('{src}') "
+        "WHERE tag_n IN ('w03', 'w07', 'w11') "
+        "AND v_n BETWEEN 100 AND 299"
+    ).fetchall())
+    assert got2 == want2 and len(got2) > 0
+    zs = table_files.zonemap_stats(dst2, "v_n", 100, 299)
+    assert zs["blocks_matching"] <= max(2, zs["blocks_total"] // 2)
+
+    with pytest.raises(ValueError, match="order column"):
+        table_files.ctas_table_files(
+            spark, src_enc, str(tmp_path / "bad"),
+            preds=[("eq", "tag_n", "w03")], columns=["tag_n", "v_n"])
+
+
 def test_semijoin_scan_pushdown(spark, tmp_path):
     """DPP-style semi-join pushdown must equal SQL WHERE col IN (SELECT key
     FROM dim) on BOTH key types: string keys via the dictionary IN-list
