@@ -1834,6 +1834,52 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_where_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K under a predicate CONJUNCTION
+    (:func:`rlv.table_files.topk_table_files` with ``preds``): the
+    threshold pass bounds from FULL-matching blocks' exact counts only
+    (partial blocks may match fewer rows, so their counts cannot tighten
+    the bound — correctness over pruning) and masks partial blocks; the
+    final pass stacks ``col <= T`` onto the conjunction through the
+    conjunctive scan.  Tie-heavy NULLABLE sort column, NULLABLE string
+    predicate, both directions.  Oracle = plain ``WHERE ... AND col IS NOT
+    NULL ORDER BY col [DESC], key LIMIT k`` per direction, UNION ALL."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_wtopk_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE o_custkey % 97 END AS v_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "v_n"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    preds = [("in", "pri_n", ["1-URGENT", "4-NOT SPECIFIED"]),
+             ("between", "o_orderkey", 1000, 14000)]
+    asc = TF.topk_table_files(spark, out, "v_n", 25, ascending=True,
+                              preds=preds)
+    desc = TF.topk_table_files(spark, out, "v_n", 25, ascending=False,
+                               preds=preds)
+    return asc.withColumn("direction", F.lit("asc")).unionAll(
+        desc.withColumn("direction", F.lit("desc"))
+    )
+
+
 def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only ANALYZE (:func:`rlv.table_files.stats_table_files`):
     per-column n_rows / n_nulls, int zone-map min/max, and string
@@ -2447,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_aggregate": _q_where_aggregate,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
+        "where_topk": _q_where_topk,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3157,6 +3204,32 @@ SELECT count(*) AS n_rows,
 FROM v
 WHERE custkey_n BETWEEN 100 AND 900
   AND pri_n IN ('2-HIGH', '5-LOW')
+""",
+        "where_topk": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE o_custkey % 97 END AS v_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+),
+f AS (
+  SELECT * FROM v
+  WHERE pri_n IN ('1-URGENT', '4-NOT SPECIFIED')
+    AND o_orderkey BETWEEN 1000 AND 14000 AND v_n IS NOT NULL
+)
+SELECT * FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(v_n AS BIGINT) AS v_n, 'asc' AS direction
+  FROM f ORDER BY v_n, o_orderkey LIMIT 25
+)
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(v_n AS BIGINT) AS v_n, 'desc' AS direction
+  FROM f ORDER BY v_n DESC, o_orderkey LIMIT 25
+)
 """,
         "ctas_roundtrip": """
 WITH v AS (

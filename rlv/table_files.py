@@ -3100,6 +3100,7 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
 def _topk_survivors(
     nvalid: np.ndarray, n_runs: np.ndarray,
     mn: np.ndarray, mx: np.ndarray, k: int, ascending: bool,
+    is_full: np.ndarray | None = None,
 ) -> np.ndarray:
     """Pure zone-map plan for a local top-k: boolean mask of block entries
     that can contribute to the k smallest (``ascending``) or largest valid
@@ -3107,32 +3108,51 @@ def _topk_survivors(
     the cumulative VALID count reaches k — that block's bound caps the k-th
     extreme value, so any block whose min_val exceeds it (resp. max_val
     falls below) holds only strictly-beaten values and prunes.  All-NULL
-    blocks (``n_runs == 0``) never survive."""
+    blocks (``n_runs == 0``) never survive.
+
+    Under a predicate conjunction (``is_full`` given) only FULL-matching
+    blocks' valid counts are exact lower bounds on their contribution —
+    partial blocks may match fewer rows — so the cumulative walk runs over
+    full blocks alone, and the resulting bound prunes full AND partial
+    blocks alike.  Too few full-block values to reach k → no valid bound →
+    every live block survives (correctness over pruning)."""
     live = n_runs > 0
-    if not live.any() or int(nvalid[live].sum()) <= k:
+    full = live if is_full is None else (live & is_full)
+    if not live.any() or int(nvalid[full].sum()) <= k:
         return live
-    nv, lo_, hi_ = nvalid[live], mn[live], mx[live]
+    nv, lo_f, hi_f = nvalid[full], mn[full], mx[full]
     if ascending:
-        o = np.argsort(hi_, kind="stable")
+        o = np.argsort(hi_f, kind="stable")
         cum = np.cumsum(nv[o])
-        bound = int(hi_[o][int(np.searchsorted(cum, k))])
-        inside = lo_ <= bound
+        bound = int(hi_f[o][int(np.searchsorted(cum, k))])
+        keep = live & (mn <= bound)
     else:
         # descending sort via reversed ascending argsort: negating int64
         # would wrap at int64 min and mis-sort that block first
-        o = np.argsort(lo_, kind="stable")[::-1]
+        o = np.argsort(lo_f, kind="stable")[::-1]
         cum = np.cumsum(nv[o])
-        bound = int(lo_[o][int(np.searchsorted(cum, k))])
-        inside = hi_ >= bound
-    keep = live.copy()
-    keep[live] = inside
+        bound = int(lo_f[o][int(np.searchsorted(cum, k))])
+        keep = live & (mx >= bound)
     return keep
 
 
-def _make_topk_vals_worker(col: str, k: int, ascending: bool):
+def _make_topk_vals_worker(col: str, k: int, ascending: bool,
+                           preds: list[dict] | None = None,
+                           symbols_hex: tuple[str, ...] | None = None):
     """Threshold worker over one blocks file: the file's k extreme VALID
-    values of ``col``, decoding only blocks the zone-map plan keeps."""
+    values of ``col`` among rows matching the predicate conjunction
+    (``preds`` empty/None = all rows), decoding only blocks the zone-map
+    plan keeps.  Blocks any predicate prunes never contribute; the top-k
+    bound comes from FULL-matching blocks' exact counts
+    (:func:`_topk_survivors` with ``is_full``); surviving partial blocks
+    decode their non-full predicates and mask before contributing."""
     from rlv.util import tune_malloc
+
+    preds = preds or []
+    int_preds = [p for p in preds if p["kind"] == "range"]
+    mem_preds = [p for p in preds if p["kind"] == "member"]
+    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    all_cols = list(dict.fromkeys([col, *pred_cols]))
 
     def run_topk(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -3140,68 +3160,143 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool):
         from rlv import blocks as B
 
         tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 meta = pq.read_table(
                     path,
-                    columns=["split_seq", "block_idx", "n_values",
-                             "n_nulls", "n_runs", "min_val", "max_val"],
-                    filters=[("col_name", "=", col)],
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val"],
+                    filters=[("col_name", "in", all_cols)],
                 ).combine_chunks()
                 if len(meta) == 0:
                     yield pd.DataFrame({"val": np.empty(0, np.int64)})
                     continue
-                seqs = [
-                    str(s) for s in meta.column("split_seq").to_pylist()
-                ]
-                bis = meta.column("block_idx").to_numpy()
-                keep = _topk_survivors(
-                    (meta.column("n_values").to_numpy()
-                     - meta.column("n_nulls").to_numpy()),
-                    meta.column("n_runs").to_numpy(),
-                    meta.column("min_val").to_numpy(),
-                    meta.column("max_val").to_numpy(),
-                    k, ascending,
-                )
-                surv = {
-                    (seqs[i], int(bis[i]))
-                    for i in np.flatnonzero(keep)
+                info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in all_cols
                 }
+                for seq, seg in _split_segments(meta, file_sid):
+                    for name, bi, nv, nn, nr, mn, mx in zip(
+                        seg.column("col_name").to_pylist(),
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
+                    ):
+                        info[name][(seq, int(bi))] = (
+                            int(nv), int(nn), int(nr), int(mn), int(mx)
+                        )
+                keys = set(info[all_cols[0]])
+                for c in all_cols[1:]:
+                    if set(info[c]) != keys:
+                        raise ValueError(
+                            f"columns {all_cols[0]!r} and {c!r} cover "
+                            "different blocks — corrupt dataset"
+                        )
+                # predicate classification (no preds: everything full)
+                if preds:
+                    pred_cls, mem_codes, mem_full = _pred_classify(
+                        path, file_sid, info, int_preds, mem_preds,
+                        symbols,
+                    )
+                    cls = {}
+                    for key in keys:
+                        kinds = [cl.get(key) for cl in pred_cls]
+                        if any(kk is None for kk in kinds):
+                            continue
+                        cls[key] = (
+                            "full" if all(kk == "full" for kk in kinds)
+                            else "partial"
+                        )
+                else:
+                    pred_cls, mem_codes, mem_full = [], [], []
+                    cls = {kk: "full" for kk in keys}
+                if not cls:
+                    yield pd.DataFrame({"val": np.empty(0, np.int64)})
+                    continue
+                # zone-map plan over pred-surviving blocks: full blocks'
+                # exact counts set the bound, the bound prunes everything
+                ordered = sorted(cls)
+                stats = np.array(
+                    [info[col][kk] for kk in ordered], np.int64
+                ).reshape(len(ordered), 5)
+                keep = _topk_survivors(
+                    stats[:, 0] - stats[:, 1],  # valid values of col
+                    stats[:, 2], stats[:, 3], stats[:, 4],
+                    k, ascending,
+                    is_full=np.array(
+                        [cls[kk] == "full" for kk in ordered], bool
+                    ),
+                )
+                surv = [kk for kk, kp in zip(ordered, keep) if kp]
                 if not surv:
                     yield pd.DataFrame({"val": np.empty(0, np.int64)})
                     continue
-                # payload fetch for surviving ordinals only (the in-filter
-                # over-reads an ordinal surviving in one compacted segment
-                # but not another; the key set prunes exactly below)
-                btbl = pq.read_table(
-                    path,
-                    columns=["split_seq", "block_idx", "n_values", "block"],
-                    filters=[
-                        ("col_name", "=", col),
-                        ("block_idx", "in", sorted({bi for _, bi in surv})),
-                    ],
-                ).combine_chunks()
-                # the unconditional split_seq column select above doubles as
-                # the r4 format check (like the scan worker's)
-                bseqs = [
-                    str(s) for s in btbl.column("split_seq").to_pylist()
-                ]
-                blobs, expected = [], []
-                for seq, bi, nv, blob in zip(
-                    bseqs,
-                    btbl.column("block_idx").to_numpy(),
-                    btbl.column("n_values").to_numpy(),
-                    btbl.column("block").to_pylist(),
-                ):
-                    if (seq, int(bi)) in surv:
-                        blobs.append(blob)
-                        expected.append(int(nv))
-                vals, _, valid = B.decode_blocks_batch_nullable(
-                    blobs, np.int64, expected=expected
+                # payload fetch: col blocks for survivors; pred blocks only
+                # for surviving partial keys where that pred is not full
+                need: dict[str, set[int]] = {
+                    col: {bi for _, bi in surv}
+                }
+                for key in surv:
+                    if cls[key] != "partial":
+                        continue
+                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
+                        if cl.get(key) != "full":
+                            need.setdefault(p["col"], set()).add(key[1])
+                blobs: dict[tuple[str, str, int], bytes] = {}
+                for c, idxs in need.items():
+                    t = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "block"],
+                        filters=[("col_name", "=", c),
+                                 ("block_idx", "in", sorted(idxs))],
+                    ).combine_chunks()
+                    for seq, seg in _split_segments(t, file_sid):
+                        for bi, blob in zip(
+                            seg.column("block_idx").to_numpy(),
+                            seg.column("block").to_pylist(),
+                        ):
+                            blobs[(seq, c, int(bi))] = blob
+                parts: list[np.ndarray] = []
+                for key in surv:
+                    seq, bi = key
+                    nv = info[col][key][0]
+                    if (seq, col, bi) not in blobs:
+                        raise ValueError(
+                            f"column {col!r} is missing block {bi} of "
+                            f"segment {seq} — corrupt dataset"
+                        )
+                    decoded: dict[str, tuple] = {}
+
+                    def _dec(c, seq=seq, bi=bi, nv=nv, decoded=decoded):
+                        if c not in decoded:
+                            decoded[c] = B.decode_blocks_batch_nullable(
+                                [blobs[(seq, c, bi)]], np.int64,
+                                expected=[nv],
+                            )
+                        return decoded[c]
+
+                    vals, _, valid = _dec(col)
+                    if cls[key] == "partial":
+                        mask = _pred_mask(
+                            key, nv, pred_cls, int_preds, mem_preds,
+                            mem_codes, mem_full, _dec,
+                        )
+                        parts.append(vals[mask & valid])
+                    else:
+                        parts.append(vals[valid])
+                vv = np.concatenate(parts) if parts else np.empty(
+                    0, np.int64
                 )
-                vv = vals[valid]
                 if vv.size > k:
                     vv = (
                         np.partition(vv, k - 1)[:k] if ascending
@@ -3215,6 +3310,7 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool):
 def topk_table_files(
     spark: SparkSession, enc_dir: str, col: str, k: int,
     ascending: bool = True, columns: list[str] | None = None,
+    preds=None,
 ):
     """TOP-K pushdown into the encoded format: the k rows with the smallest
     (``ascending``) or largest valid values of int column ``col`` (NULLs
@@ -3233,12 +3329,19 @@ def topk_table_files(
     with predicate ``col <= T`` (resp. ``>= T``), whose block skipping makes
     the data read O(k-selectivity) on clustered columns, followed by
     Spark's TakeOrdered over the surviving sliver.  The shuffle never
-    carries more than k·files candidate values plus the boundary rows."""
+    carries more than k·files candidate values plus the boundary rows.
+
+    ``preds`` restricts the ranking to rows matching a CONJUNCTION of the
+    same five predicate kinds :func:`scan_table_files_where` takes (SQL
+    ``WHERE ... AND col IS NOT NULL ORDER BY col LIMIT k``): the threshold
+    pass bounds from FULL-matching blocks' exact counts and masks partial
+    blocks, and the final pass stacks ``col <= T`` onto the conjunction."""
     from pyspark.sql import functions as F
 
     schema = _require_int_col(enc_dir, col)
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    specs = _norm_preds(schema, list(preds)) if preds else []
     out_names = _scan_out_names(schema, col, columns)
     files = _live_block_files(enc_dir)
     empty_schema = ", ".join(
@@ -3250,7 +3353,11 @@ def topk_table_files(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
     cand = tasks_df.mapInPandas(
-        _make_topk_vals_worker(col, int(k), ascending), "val bigint"
+        _make_topk_vals_worker(
+            col, int(k), ascending, preds=specs,
+            symbols_hex=_symbols_hex(enc_dir),
+        ),
+        "val bigint",
     )
     rows = (
         cand.orderBy(F.col("val").asc() if ascending else F.col("val").desc())
@@ -3266,7 +3373,16 @@ def topk_table_files(
     scan_names = (
         out_names if col in out_names else [*out_names, col]
     )
-    scan = scan_table_files(spark, enc_dir, col, lo, hi, columns=scan_names)
+    if specs:
+        scan = scan_table_files_where(
+            spark, enc_dir,
+            [*list(preds), ("between", col, lo, hi)],
+            columns=scan_names,
+        )
+    else:
+        scan = scan_table_files(
+            spark, enc_dir, col, lo, hi, columns=scan_names
+        )
     sort_cols = [F.col(col).asc() if ascending else F.col(col).desc()]
     order_col = schema["order_col"]
     if order_col in out_names and order_col != col:

@@ -1874,6 +1874,77 @@ def test_cluster_encode_improves_pruning(spark, tmp_path):
             int_cols=["k", "v_n"])
 
 
+def test_topk_with_predicates_matches_sql(spark, tmp_path):
+    """TOP-K under a predicate conjunction must equal SQL WHERE ... ORDER
+    BY LIMIT in both directions (order-col tie-break makes the row set
+    deterministic), including when the filter leaves fewer than k rows;
+    the pure plan must stay conservative when full-block mass cannot
+    reach k."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 200 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    preds = [("in", "tag_n", ["w03", "w07", "w11"]),
+             ("between", "k", 200, 4800)]
+    for asc in (True, False):
+        got = [
+            (r["k"], r["v_n"], r["tag_n"]) for r in
+            table_files.topk_table_files(
+                spark, out, "v_n", 20, ascending=asc,
+                columns=["k", "v_n", "tag_n"], preds=preds,
+            ).collect()
+        ]
+        direction = "" if asc else "DESC"
+        want = duckdb.sql(
+            f"SELECT k, v_n, tag_n FROM read_parquet('{src}') "
+            "WHERE tag_n IN ('w03', 'w07', 'w11') "
+            "AND k BETWEEN 200 AND 4800 AND v_n IS NOT NULL "
+            f"ORDER BY v_n {direction}, k LIMIT 20"
+        ).fetchall()
+        assert sorted(got) == sorted(want) and len(want) == 20
+    # filter leaves fewer than k rows: all of them come back
+    tiny = [("eq", "tag_n", "w03"), ("between", "v_n", 0, 3)]
+    got = [
+        (r["k"], r["v_n"]) for r in
+        table_files.topk_table_files(
+            spark, out, "v_n", 1000, ascending=True,
+            columns=["k", "v_n"], preds=tiny,
+        ).collect()
+    ]
+    want = duckdb.sql(
+        f"SELECT k, v_n FROM read_parquet('{src}') "
+        "WHERE tag_n = 'w03' AND v_n BETWEEN 0 AND 3"
+    ).fetchall()
+    assert sorted(got) == sorted(want) and 0 < len(want) < 1000
+
+
 def test_topk_survivors_int64_min_block_descending():
     """Descending plan must not wrap when a block's min_val is int64 min
     (negating int64 min is UB-ish in numpy: it stays negative and would
