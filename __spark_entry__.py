@@ -1880,6 +1880,50 @@ def _q_where_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_where_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT under a predicate CONJUNCTION
+    (:func:`rlv.table_files.distinct_table_files` with ``preds``):
+    predicate-pruned blocks contribute nothing, FULL blocks keep the
+    metadata-only shape (whole dictionary + ``n_nulls`` for the NULL row),
+    and only PARTIAL blocks decode their non-full predicates and mask —
+    SQL's ``SELECT DISTINCT col WHERE ...`` with the filter's NULL-row
+    semantics (the NULL row appears iff a MATCHING row is NULL, not
+    whenever the column has NULLs).  NULL projects as '~null~' in both
+    engines; the oracle is the plain SQL DISTINCT-WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_wdis_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.distinct_table_files(
+        spark, out, "pri_n",
+        preds=[("between", "custkey_n", 100, 700)],
+    )
+    return got.select(
+        F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("val")
+    )
+
+
 def _q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only ANALYZE (:func:`rlv.table_files.stats_table_files`):
     per-column n_rows / n_nulls, int zone-map min/max, and string
@@ -2494,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
+        "where_distinct": _q_where_distinct,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3204,6 +3249,17 @@ SELECT count(*) AS n_rows,
 FROM v
 WHERE custkey_n BETWEEN 100 AND 900
   AND pri_n IN ('2-HIGH', '5-LOW')
+""",
+        "where_distinct": """
+WITH v AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+)
+SELECT DISTINCT COALESCE(pri_n, '~null~') AS val
+FROM v WHERE custkey_n BETWEEN 100 AND 700
 """,
         "where_topk": """
 WITH v AS (

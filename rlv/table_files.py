@@ -2882,7 +2882,212 @@ def _make_int_distinct_worker(col: str):
     return run_distinct
 
 
-def distinct_table_files(spark: SparkSession, enc_dir: str, col: str):
+def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
+                                symbols_hex: tuple[str, ...] | None = None):
+    """Distinct-values worker under a predicate CONJUNCTION: blocks any
+    predicate prunes contribute nothing; FULL blocks contribute their whole
+    dictionary (string) / codec-level distinct (int) plus the NULL row when
+    they hold NULLs; PARTIAL blocks decode only the non-full predicates,
+    mask, and contribute the matched rows' values."""
+    from rlv.util import tune_malloc
+
+    int_preds = [p for p in preds if p["kind"] == "range"]
+    mem_preds = [p for p in preds if p["kind"] == "member"]
+    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    all_cols = list(dict.fromkeys([col, *pred_cols]))
+
+    def run_distinct(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+
+        def _frame(svals: set, iparts: list, has_null: bool):
+            if is_str:
+                out: list = [v.decode("utf-8") for v in sorted(svals)]
+                if has_null:
+                    out.append(None)  # SQL DISTINCT keeps one NULL row
+                return pd.DataFrame({col: pd.Series(out, dtype=object)})
+            vals = (
+                np.unique(np.concatenate(iparts))
+                if iparts
+                else np.empty(0, np.int64)
+            )
+            mask = np.zeros(vals.size + (1 if has_null else 0), bool)
+            if has_null:
+                vals = np.concatenate([vals, np.zeros(1, np.int64)])
+                mask[-1] = True
+            return pd.DataFrame({col: pd.arrays.IntegerArray(vals, mask)})
+
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                meta = pq.read_table(
+                    path,
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val"],
+                    filters=[("col_name", "in", all_cols)],
+                ).combine_chunks()
+                info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in all_cols
+                }
+                for seq, seg in _split_segments(meta, file_sid):
+                    for name, bi, nv, nn, nr, mn, mx in zip(
+                        seg.column("col_name").to_pylist(),
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
+                    ):
+                        info[name][(seq, int(bi))] = (
+                            int(nv), int(nn), int(nr), int(mn), int(mx)
+                        )
+                keys = set(info[all_cols[0]])
+                for c in all_cols[1:]:
+                    if set(info[c]) != keys:
+                        raise ValueError(
+                            f"columns {all_cols[0]!r} and {c!r} cover "
+                            "different blocks — corrupt dataset"
+                        )
+                pred_cls, mem_codes, mem_full = _pred_classify(
+                    path, file_sid, info, int_preds, mem_preds, symbols
+                )
+                cls: dict[tuple[str, int], str] = {}
+                for key in keys:
+                    kinds = [cl.get(key) for cl in pred_cls]
+                    if any(kk is None for kk in kinds):
+                        continue
+                    cls[key] = (
+                        "full" if all(kk == "full" for kk in kinds)
+                        else "partial"
+                    )
+                if not cls:
+                    yield _frame(set(), [], False)
+                    continue
+                # payload need: int distinct reads the column everywhere it
+                # survives (codec-level distinct), string distinct only at
+                # partial blocks (full blocks ride the sidecar); predicate
+                # columns only where that predicate is not full
+                need: dict[str, set[int]] = {}
+                if not is_str:
+                    need[col] = {bi for _, bi in cls}
+                else:
+                    part = {
+                        bi for (_, bi), kk in cls.items() if kk == "partial"
+                    }
+                    if part:
+                        need[col] = part
+                for key, kind in cls.items():
+                    if kind != "partial":
+                        continue
+                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
+                        if cl.get(key) != "full":
+                            need.setdefault(p["col"], set()).add(key[1])
+                blobs: dict[tuple[str, str, int], bytes] = {}
+                for c, idxs in need.items():
+                    t = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "block"],
+                        filters=[("col_name", "=", c),
+                                 ("block_idx", "in", sorted(idxs))],
+                    ).combine_chunks()
+                    for seq, seg in _split_segments(t, file_sid):
+                        for bi, blob in zip(
+                            seg.column("block_idx").to_numpy(),
+                            seg.column("block").to_pylist(),
+                        ):
+                            blobs[(seq, c, int(bi))] = blob
+                side = (
+                    _read_dict_sidecar(
+                        path, file_sid, col=col,
+                        block_idx=sorted({bi for _, bi in cls}),
+                    )
+                    if is_str
+                    else {}
+                )
+                svals: set[bytes] = set()
+                iparts: list[np.ndarray] = []
+                has_null = False
+                for key in sorted(cls):
+                    seq, bi = key
+                    nv, nn = info[col][key][0], info[col][key][1]
+                    if cls[key] == "full":
+                        if nn > 0:
+                            has_null = True
+                        if is_str:
+                            blob = side.get((seq, col, bi))
+                            if blob is None:
+                                if nv - nn > 0:
+                                    raise ValueError(
+                                        f"column {col!r} is missing the "
+                                        f"dictionary for block {bi} of "
+                                        f"segment {seq} — corrupt dataset"
+                                    )
+                                continue  # all-NULL block: NULL row only
+                            svals.update(
+                                B.decode_strings_arrow(
+                                    blob, symbols
+                                ).to_pylist()
+                            )
+                        else:
+                            iparts.append(
+                                B.distinct_block_values(
+                                    blobs[(seq, col, bi)]
+                                )
+                            )
+                        continue
+                    decoded: dict[str, tuple] = {}
+
+                    def _dec(c, seq=seq, bi=bi, nv=nv, decoded=decoded):
+                        if c not in decoded:
+                            decoded[c] = B.decode_blocks_batch_nullable(
+                                [blobs[(seq, c, bi)]], np.int64,
+                                expected=[nv],
+                            )
+                        return decoded[c]
+
+                    mask = _pred_mask(
+                        key, nv, pred_cls, int_preds, mem_preds,
+                        mem_codes, mem_full, _dec,
+                    )
+                    if not mask.any():
+                        continue
+                    cv, _, cvalid = _dec(col)
+                    if bool((mask & ~cvalid).any()):
+                        has_null = True
+                    sel = mask & cvalid
+                    if not sel.any():
+                        continue
+                    if is_str:
+                        codes = np.unique(cv[sel])
+                        uniq = B.decode_strings_arrow(
+                            side[(seq, col, bi)], symbols
+                        )
+                        svals.update(
+                            uniq.take(pa.array(codes)).to_pylist()
+                        )
+                    else:
+                        iparts.append(np.unique(cv[sel]))
+                yield _frame(svals, iparts, has_null)
+
+    return run_distinct
+
+
+def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
+                         preds=None):
     """``SELECT DISTINCT col`` pushed into the encoded format.
 
     String columns never touch a payload byte: a string column's per-block
@@ -2901,19 +3106,32 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str):
 
     Scale shape (both types): one task per blocks file emits its local
     distinct set; the only shuffle is Spark's ``distinct()`` over per-file
-    distinct values (bounded by NDV x files, never rows)."""
+    distinct values (bounded by NDV x files, never rows).
+
+    ``preds`` restricts DISTINCT to rows matching a CONJUNCTION of the
+    same five predicate kinds :func:`scan_table_files_where` takes (SQL
+    ``SELECT DISTINCT col WHERE ...``): predicate-pruned blocks contribute
+    nothing, FULL blocks keep the metadata-only shape (whole dictionary /
+    codec-level distinct), and only PARTIAL blocks decode their non-full
+    predicates and mask."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    if col in schema["str_cols"]:
-        worker = _make_distinct_worker(col, _symbols_hex(enc_dir))
-    elif col in schema["int_cols"]:
-        worker = _make_int_distinct_worker(col)
-    else:
+    if col not in schema["str_cols"] and col not in schema["int_cols"]:
         raise ValueError(
             f"{col!r} is not a column of this dataset "
             f"(int_cols={schema['int_cols']} str_cols={schema['str_cols']})"
         )
+    is_str = col in schema["str_cols"]
+    if preds:
+        worker = _make_distinct_where_worker(
+            col, is_str, _norm_preds(schema, list(preds)),
+            symbols_hex=_symbols_hex(enc_dir),
+        )
+    elif is_str:
+        worker = _make_distinct_worker(col, _symbols_hex(enc_dir))
+    else:
+        worker = _make_int_distinct_worker(col)
     files = _live_block_files(enc_dir)
     out_schema = f"`{col}` {'string' if col in schema['str_cols'] else 'bigint'}"
     if not files:

@@ -1718,6 +1718,82 @@ def test_ctas_table_files(spark, tmp_path):
             preds=[("eq", "tag_n", "w03")], columns=["tag_n", "v_n"])
 
 
+def test_distinct_with_predicates_matches_sql(spark, tmp_path):
+    """SELECT DISTINCT col WHERE <conjunction> must equal plain SQL on
+    BOTH column types — full blocks keep the metadata-only shape, partial
+    blocks decode and mask, the NULL row appears iff a matching row has a
+    NULL value — before and after compaction; an all-pruned conjunction is
+    empty."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 50 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    preds = [("between", "k", 1000, 5000), ("between", "v_n", 10, 30)]
+
+    def check():
+        gots = sorted(
+            (r["tag_n"] is None, r["tag_n"]) for r in
+            table_files.distinct_table_files(
+                spark, out, "tag_n", preds=preds).collect()
+        )
+        wants = sorted(
+            (g is None, g) for (g,) in duckdb.sql(
+                f"SELECT DISTINCT tag_n FROM read_parquet('{src}') "
+                "WHERE k BETWEEN 1000 AND 5000 AND v_n BETWEEN 10 AND 30"
+            ).fetchall()
+        )
+        assert gots == wants and len(gots) > 1
+        goti = sorted(
+            (r["v_n"] is None, r["v_n"]) for r in
+            table_files.distinct_table_files(
+                spark, out, "v_n",
+                preds=[("in", "tag_n", ["w03", "w07"]),
+                       ("between", "k", 0, 5999)]).collect()
+        )
+        wanti = sorted(
+            (g is None, g) for (g,) in duckdb.sql(
+                f"SELECT DISTINCT v_n FROM read_parquet('{src}') "
+                "WHERE tag_n IN ('w03', 'w07')"
+            ).fetchall()
+        )
+        assert goti == wanti and (True, None) in goti
+        assert table_files.distinct_table_files(
+            spark, out, "tag_n", preds=[("eq", "tag_n", "nosuch")]
+        ).count() == 0
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+
+
 def test_semijoin_scan_pushdown(spark, tmp_path):
     """DPP-style semi-join pushdown must equal SQL WHERE col IN (SELECT key
     FROM dim) on BOTH key types: string keys via the dictionary IN-list
