@@ -1383,6 +1383,53 @@ def _q_dpp_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_int_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT IN-list pushdown (the ``int_in`` predicate of
+    :func:`rlv.table_files.scan_table_files_where`): zone maps prune
+    blocks NO literal falls inside (sorted-literal searchsorted against
+    each block's [min, max] — sparse literals on a clustered column skip
+    the gaps between them), survivors mask with ``np.isin``, and constant
+    blocks whose value is a literal full-match.  Stacked with a string
+    membership so the conjunction machinery carries both.  The oracle is
+    plain SQL ``WHERE v IN (...) AND s IN (...)``."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_iin_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 250 END "
+        "  AS code_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "code_n"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_where(
+        spark, out,
+        [("int_in", "code_n", [7, 41, 88, 199, 998]),
+         ("in", "pri_n", ["2-HIGH", "3-MEDIUM"])],
+        columns=["o_orderkey", "code_n", "pri_n"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("code_n").cast("bigint").alias("code_n"),
+        "pri_n",
+    )
+
+
 def _q_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONJUNCTIVE aggregate pushdown
     (:func:`rlv.table_files.agg_table_files_where`): count/sum/min/max
@@ -2539,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
         "where_distinct": _q_where_distinct,
+        "int_in_scan": _q_int_in_scan,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3249,6 +3297,21 @@ SELECT count(*) AS n_rows,
 FROM v
 WHERE custkey_n BETWEEN 100 AND 900
   AND pri_n IN ('2-HIGH', '5-LOW')
+""",
+        "int_in_scan": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_custkey % 250 END AS code_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(code_n AS BIGINT) AS code_n, pri_n
+FROM v
+WHERE code_n IN (7, 41, 88, 199, 998)
+  AND pri_n IN ('2-HIGH', '3-MEDIUM')
 """,
         "where_distinct": """
 WITH v AS (

@@ -1251,11 +1251,15 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                     # test against THIS segment's metadata and intersect
                     surv: set[int] | None = None
                     for p in int_preds:
+                        # nn=1 forces 'partial': the scan decodes and masks
+                        # every surviving predicate block anyway, so only
+                        # pruned-vs-survive matters here
                         s = {
                             bi
                             for bi, (nv, nr, mn, mx, _)
                             in per[p["col"]].items()
-                            if nr > 0 and mx >= p["lo"] and mn <= p["hi"]
+                            if _int_pred_class(p, 1, nr, mn, mx)
+                            is not None
                         }
                         surv = s if surv is None else (surv & s)
                     for pi, p in enumerate(mem_preds):
@@ -1301,7 +1305,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                     m = None
                     for p in int_preds:
                         vals, _, vvalid = _decode_col(p["col"])
-                        pm = vvalid & (vals >= p["lo"]) & (vals <= p["hi"])
+                        pm = _int_pred_rowmask(p, vals, vvalid)
                         m = pm if m is None else (m & pm)
                     for pi, p in enumerate(mem_preds):
                         vals, voffs, vvalid = _decode_col(p["col"])
@@ -1651,7 +1655,9 @@ def scan_table_files_prefix(
 
 def _norm_preds(schema: dict, preds) -> list[dict]:
     """Normalize user predicate tuples to worker specs.  Accepted forms:
-    ``("between", int_col, lo, hi)``, ``("eq", str_col, value)``,
+    ``("between", int_col, lo, hi)``, ``("int_in", int_col, [values...])``
+    (zone maps prune blocks no literal falls inside; constant blocks whose
+    value is a literal full-match), ``("eq", str_col, value)``,
     ``("in", str_col, [values...])``, ``("str_between", str_col, lo, hi)``,
     ``("prefix", str_col, p)``.  Column kinds are validated here so a typo
     fails on the driver, not in a task."""
@@ -1660,17 +1666,28 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
         if not isinstance(p, (tuple, list)) or len(p) < 3:
             raise ValueError(f"malformed predicate {p!r}")
         kind, col = p[0], p[1]
-        if kind not in ("between", "eq", "in", "str_between", "prefix"):
+        if kind not in ("between", "int_in", "eq", "in", "str_between",
+                        "prefix"):
             raise ValueError(f"unknown predicate kind {kind!r}")
-        if kind == "between":
+        if kind in ("between", "int_in"):
             if col not in schema["int_cols"]:
                 raise ValueError(
                     f"{col!r} is not an int column "
-                    f"(int_cols={schema['int_cols']}); 'between' predicates "
+                    f"(int_cols={schema['int_cols']}); {kind!r} predicates "
                     "need a zone-mapped int column"
                 )
-            specs.append({"kind": "range", "col": col,
-                          "lo": int(p[2]), "hi": int(p[3])})
+            if kind == "between":
+                specs.append({"kind": "range", "col": col,
+                              "lo": int(p[2]), "hi": int(p[3])})
+            else:
+                vals = np.unique(np.asarray(list(p[2]), np.int64))
+                if vals.size == 0:
+                    raise ValueError(
+                        "int_in predicate needs at least one literal"
+                    )
+                specs.append({"kind": "range", "col": col,
+                              "lo": int(vals[0]), "hi": int(vals[-1]),
+                              "vals": vals})
             continue
         if col not in schema["str_cols"]:
             raise ValueError(
@@ -1765,11 +1782,10 @@ def semijoin_scan_table_files(
     and a plain join should run instead, so this raises).  A string
     ``col`` pushes the keys as an IN-list through the dictionary-sidecar
     membership scan (blocks containing NO dim key never touch payload); an
-    int ``col`` pushes the keys' [min, max] envelope through the zone-map
-    range scan and finishes exactly with a broadcast LEFT SEMI join — the
-    range bounds the IO, the semi join restores exactness.  NULL fact rows
-    never match (SQL semi-join semantics); an empty dim side returns the
-    empty result without touching the table."""
+    int ``col`` pushes them as an ``int_in`` zone-map predicate (blocks no
+    key falls inside prune; survivors mask exactly — no join anywhere).
+    NULL fact rows never match (SQL semi-join semantics); an empty dim
+    side returns the empty result without touching the table."""
     from pyspark.sql import functions as F
 
     schema = _load_table_schema(enc_dir)
@@ -1809,18 +1825,9 @@ def semijoin_scan_table_files(
     if col in schema["str_cols"]:
         return scan_table_files_in(spark, enc_dir, col, keys,
                                    columns=out_names)
-    # the semi join needs the key column even when the caller's projection
-    # omits it — ride it along, drop it after
-    scan_names = out_names if col in out_names else [*out_names, col]
-    scanned = scan_table_files(
-        spark, enc_dir, col, min(keys), max(keys), columns=scan_names
+    return scan_table_files_where(
+        spark, enc_dir, [("int_in", col, keys)], columns=out_names
     )
-    joined = scanned.join(
-        F.broadcast(keys_df),
-        scanned[col] == keys_df["__rlv_dpp_key"],
-        "left_semi",
-    )
-    return joined.select(*out_names)
 
 
 def ctas_table_files(
@@ -2019,6 +2026,38 @@ AGG_PARTIAL_SCHEMA = (
 )
 
 
+def _int_pred_class(p: dict, nn: int, nr: int, mn: int, mx: int):
+    """Classify one block against an int predicate spec: ``None`` =
+    pruned, ``'full'`` = every row matches (no decode needed),
+    ``'partial'`` = decode and mask.  A plain range prunes on zone-map
+    disjointness and full-matches when the zone map nests in the range; an
+    IN-list (``p["vals"]`` — sorted int64 array) prunes when no literal
+    falls inside the zone map and full-matches only a constant block whose
+    value is a literal."""
+    if nr == 0 or mx < p["lo"] or mn > p["hi"]:
+        return None  # pruned (all-NULL blocks match nothing)
+    vals = p.get("vals")
+    if vals is None:
+        return (
+            "full" if nn == 0 and mn >= p["lo"] and mx <= p["hi"]
+            else "partial"
+        )
+    j = int(np.searchsorted(vals, mn))
+    if j >= vals.size or int(vals[j]) > mx:
+        return None  # no literal inside the zone map
+    return "full" if nn == 0 and mn == mx and int(vals[j]) == mn \
+        else "partial"
+
+
+def _int_pred_rowmask(p: dict, pv: np.ndarray,
+                      pvalid: np.ndarray) -> np.ndarray:
+    """Row mask of one decoded block against an int predicate spec."""
+    vals = p.get("vals")
+    if vals is None:
+        return pvalid & (pv >= p["lo"]) & (pv <= p["hi"])
+    return pvalid & np.isin(pv, vals)
+
+
 def _pred_classify(path: str, file_sid: str, info: dict,
                    int_preds: list[dict], mem_preds: list[dict], symbols):
     """Phase-1 per-predicate block classification from metadata alone
@@ -2034,13 +2073,9 @@ def _pred_classify(path: str, file_sid: str, info: dict,
     for p in int_preds:
         cl: dict = {}
         for key, (nv, nn, nr, mn, mx) in info[p["col"]].items():
-            if nr == 0 or mx < p["lo"] or mn > p["hi"]:
-                continue  # pruned (all-NULL blocks match nothing)
-            cl[key] = (
-                "full"
-                if nn == 0 and mn >= p["lo"] and mx <= p["hi"]
-                else "partial"
-            )
+            kind = _int_pred_class(p, nn, nr, mn, mx)
+            if kind is not None:
+                cl[key] = kind
         pred_cls.append(cl)
     mem_codes: list[dict] = []
     mem_full: list[set] = []
@@ -2081,7 +2116,7 @@ def _pred_mask(key, nv: int, pred_cls: list[dict],
         if cl.get(key) == "full":
             continue
         pv, _, pvalid = dec(p["col"])
-        mask &= pvalid & (pv >= p["lo"]) & (pv <= p["hi"])
+        mask &= _int_pred_rowmask(p, pv, pvalid)
     for mi, (cl, p) in enumerate(
         zip(pred_cls[len(int_preds):], mem_preds)
     ):

@@ -2021,6 +2021,90 @@ def test_topk_with_predicates_matches_sql(spark, tmp_path):
     assert sorted(got) == sorted(want) and 0 < len(want) < 1000
 
 
+def test_int_in_pred_classification_and_scan(spark, tmp_path):
+    """int_in predicates: zone maps must prune blocks no literal falls
+    inside (sparse literals on a clustered column skip the gaps), constant
+    blocks whose value is a literal full-match, masks are exact, and the
+    predicate composes with aggregates and DISTINCT."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlv.table_files import _int_pred_class
+
+    # pure classification: pruned / partial / full
+    p = {"lo": 10, "hi": 90,
+         "vals": __import__("numpy").array([10, 50, 90], "int64")}
+    assert _int_pred_class(p, 0, 1, 20, 40) is None      # gap 20..40
+    assert _int_pred_class(p, 0, 1, 40, 60) == "partial"
+    assert _int_pred_class(p, 0, 1, 50, 50) == "full"    # constant literal
+    assert _int_pred_class(p, 1, 1, 50, 50) == "partial"  # NULLs present
+    assert _int_pred_class(p, 0, 0, 50, 50) is None      # all-NULL block
+    assert _int_pred_class(p, 0, 1, 91, 99) is None      # outside envelope
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            # clustered: block-sized plateaus, so sparse literals prune
+            "c_n": pa.array(
+                [None if i % 11 == 3 else i // 500 for i in range(n)],
+                pa.int64(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 13) % 100 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "c_n", "v_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    got = sorted(
+        (r["k"], r["c_n"], r["v_n"]) for r in
+        table_files.scan_table_files_where(
+            spark, out, [("int_in", "c_n", [2, 7])],
+            columns=["k", "c_n", "v_n"]).collect()
+    )
+    want = sorted(duckdb.sql(
+        f"SELECT k, c_n, v_n FROM read_parquet('{src}') "
+        "WHERE c_n IN (2, 7)"
+    ).fetchall())
+    assert got == want and len(got) > 0
+    # composes with the aggregate and DISTINCT surfaces
+    agg = table_files.agg_table_files_where(
+        spark, out, "v_n", [("int_in", "c_n", [2, 7])]
+    ).collect()[0]
+    wagg = duckdb.sql(
+        f"SELECT count(*), count(v_n), sum(v_n) FROM read_parquet('{src}')"
+        " WHERE c_n IN (2, 7)"
+    ).fetchone()
+    assert (agg["n_rows"], agg["n_vals"], int(agg["sum_val"])) == (
+        wagg[0], wagg[1], int(wagg[2]))
+    gd = sorted(
+        r["v_n"] for r in table_files.distinct_table_files(
+            spark, out, "v_n",
+            preds=[("int_in", "c_n", [2])]).collect()
+        if r["v_n"] is not None
+    )
+    wd = sorted(g for (g,) in duckdb.sql(
+        f"SELECT DISTINCT v_n FROM read_parquet('{src}') WHERE c_n = 2"
+    ).fetchall() if g is not None)
+    assert gd == wd
+    with pytest.raises(ValueError, match="at least one literal"):
+        table_files.scan_table_files_where(
+            spark, out, [("int_in", "c_n", [])])
+
+
 def test_topk_survivors_int64_min_block_descending():
     """Descending plan must not wrap when a block's min_val is int64 min
     (negating int64 min is UB-ish in numpy: it stays negative and would
