@@ -1430,6 +1430,155 @@ def _q_int_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_null_pred_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-predicate and negated-membership pushdown (the ``isnull`` /
+    ``ne`` predicate kinds of
+    :func:`rlv.table_files.scan_table_files_where`): a validity predicate
+    classifies blocks pruned / full / partial from ``(n_values, n_nulls)``
+    metadata ALONE — ``IS NULL`` reads payload only at blocks that mix
+    NULL and valid rows — and ``ne`` complements a dictionary-membership
+    matcher over ENTRIES (a block whose whole dictionary is the literal
+    prunes; NULL still never matches — SQL three-valued ``<>``).  The
+    oracle is the plain SQL ``IS NULL AND <>`` conjunction."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_nul_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 6 = 2 THEN NULL "
+        "     ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') "
+        "END AS tag_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n"], str_cols=["pri_n", "tag_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_where(
+        spark, out,
+        [("isnull", "custkey_n"), ("ne", "pri_n", "1-URGENT")],
+        columns=["o_orderkey", "custkey_n", "pri_n", "tag_n"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("custkey_n").cast("bigint").alias("custkey_n"),
+        "pri_n", "tag_n",
+    )
+
+
+def _q_neg_pred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated-predicate aggregate pushdown (``not_between`` /
+    ``not_in`` / ``notnull`` under
+    :func:`rlv.table_files.agg_table_files_where`): NOT BETWEEN mirrors
+    the zone-map classification (a block nested INSIDE [lo, hi] prunes, a
+    no-NULL block whose zone map misses it entirely full-matches — so the
+    aggregate still runs decode-free over run lists away from the range's
+    boundary), NOT IN complements dictionary membership, and IS NOT NULL
+    resolves from block null counts.  The oracle is the plain SQL
+    aggregate under the negated conjunction."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_neg_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n", "cents_n"],
+        str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.agg_table_files_where(
+        spark, out, "cents_n",
+        [("not_between", "custkey_n", 200, 1100),
+         ("not_in", "pri_n", ["1-URGENT", "2-HIGH"]),
+         ("notnull", "cents_n")],
+    )
+
+
+def _q_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-disjunction pushdown (`("or", [leaf, ...])` under
+    :func:`rlv.table_files.scan_table_files_where`): a node's surviving
+    blocks are the UNION of its leaf survivors (int zone maps, dictionary
+    sidecars, and null-count metadata each pruning their own branch) and
+    its row mask the union of leaf masks, while the file still
+    INTERSECTS across top-level predicates — full boolean WHERE clauses
+    (conjunctions of disjunctions) pushed into the encoded format.  The
+    three branches here cross types: int range OR string equality OR
+    IS NULL.  The oracle is the plain SQL ``(a OR b OR c) AND d``."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_or_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 6 = 2 THEN NULL "
+        "     ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') "
+        "END AS tag_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n", "tag_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.scan_table_files_where(
+        spark, out,
+        [("or", [("between", "opt_custkey", 100, 400),
+                 ("eq", "pri_n", "5-LOW"),
+                 ("isnull", "tag_n")]),
+         ("notnull", "pri_n")],
+        columns=["o_orderkey", "opt_custkey", "pri_n", "tag_n"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+        "pri_n", "tag_n",
+    )
+
+
 def _q_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONJUNCTIVE aggregate pushdown
     (:func:`rlv.table_files.agg_table_files_where`): count/sum/min/max
@@ -2587,6 +2736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_topk": _q_where_topk,
         "where_distinct": _q_where_distinct,
         "int_in_scan": _q_int_in_scan,
+        "null_pred_scan": _q_null_pred_scan,
+        "neg_pred_agg": _q_neg_pred_agg,
+        "or_pushdown": _q_or_pushdown,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3312,6 +3464,64 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM v
 WHERE code_n IN (7, 41, 88, 199, 998)
   AND pri_n IN ('2-HIGH', '3-MEDIUM')
+""",
+        "null_pred_scan": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 6 = 2 THEN NULL
+              ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0')
+         END AS tag_n
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(custkey_n AS BIGINT) AS custkey_n, pri_n, tag_n
+FROM v
+WHERE custkey_n IS NULL
+  AND pri_n <> '1-URGENT'
+""",
+        "or_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 6 = 2 THEN NULL
+              ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0')
+         END AS tag_n
+  FROM orders
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(opt_custkey AS BIGINT) AS opt_custkey, pri_n, tag_n
+FROM v
+WHERE (opt_custkey BETWEEN 100 AND 400
+       OR pri_n = '5-LOW'
+       OR tag_n IS NULL)
+  AND pri_n IS NOT NULL
+""",
+        "neg_pred_agg": """
+WITH v AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS DECIMAL(38,0)) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v
+WHERE custkey_n NOT BETWEEN 200 AND 1100
+  AND pri_n NOT IN ('1-URGENT', '2-HIGH')
+  AND cents_n IS NOT NULL
 """,
         "where_distinct": """
 WITH v AS (

@@ -4,11 +4,16 @@ Every action reads through the pushdown layer (`rlv.table_files`): blocks
 the predicates exclude are never decoded, aggregates run from the blocks,
 DISTINCT/ANALYZE stay metadata-only where the predicate allows.
 
-Predicates (`--where`) are a JSON list of the five pushdown kinds::
+Predicates (`--where`) are a JSON list of the pushdown kinds::
 
-    '[["between","k",0,99], ["int_in","code",[7,41]],
-      ["eq","tag","w03"],   ["in","tag",["a","b"]],
-      ["str_between","tag","a","mz"], ["prefix","tag","Clerk#0"]]'
+    '[["between","k",0,99], ["not_between","k",40,50],
+      ["int_in","code",[7,41]],
+      ["eq","tag","w03"],   ["ne","tag","w03"],
+      ["in","tag",["a","b"]], ["not_in","tag",["a","b"]],
+      ["str_between","tag","a","mz"],
+      ["prefix","tag","Clerk#0"], ["not_prefix","tag","Clerk#0"],
+      ["isnull","tag"], ["notnull","k"],
+      ["or",[["between","k",0,9], ["eq","tag","w03"]]]]'
 
 Cluster:
     spark-submit --py-files rlv.zip jobs/query_job.py scan \

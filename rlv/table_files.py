@@ -1106,8 +1106,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
         if symbols_hex is not None
         else None
     )
-    int_preds = [p for p in preds if p["kind"] == "range"]
-    mem_preds = [p for p in preds if p["kind"] == "member"]
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
     mem_cols = [p["col"] for p in mem_preds]
     # first member pred per column: its phase-1 dictionaries serve the
     # projection gather for that column (any pred's would do — kept rows
@@ -1123,7 +1122,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
         for p in mem_preds
         if p.get("eq_single") is not None and mem_cols.count(p["col"]) == 1
     }
-    pred_cols = list(dict.fromkeys([p["col"] for p in preds]))
+    pred_cols = _spec_cols(preds)
 
     def _empty_frame() -> pd.DataFrame:
         return pd.DataFrame(
@@ -1152,18 +1151,54 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 # contains a matching entry, recording the per-block code
                 # sets.  The file's surviving ordinals are the INTERSECTION
                 # across preds; pruned blocks never materialize payload.
-                surviving: set[int] | None = None
-                for p in int_preds:
+                def _int_phase1(p, path=path) -> set[int]:
+                    if p["kind"] == "valid":
+                        # compares two metadata columns — not expressible
+                        # as a parquet filter, so prune from the (tiny)
+                        # per-block counts in Python
+                        meta = pq.read_table(
+                            path,
+                            columns=["block_idx", "n_values", "n_nulls"],
+                            filters=[("col_name", "=", p["col"])],
+                        )
+                        nvs = meta.column("n_values").to_numpy()
+                        nns = meta.column("n_nulls").to_numpy()
+                        keep = (nns > 0) if p["want_null"] else (nns < nvs)
+                        return set(
+                            meta.column("block_idx").to_numpy()[keep]
+                            .tolist()
+                        )
+                    if p.get("neg"):
+                        # NOT BETWEEN survives when the zone map escapes
+                        # [lo, hi] on either side (DNF parquet filter)
+                        meta = pq.read_table(
+                            path,
+                            columns=["block_idx"],
+                            filters=[
+                                [("col_name", "=", p["col"]),
+                                 ("n_runs", ">", 0),
+                                 ("min_val", "<", p["lo"])],
+                                [("col_name", "=", p["col"]),
+                                 ("n_runs", ">", 0),
+                                 ("max_val", ">", p["hi"])],
+                            ],
+                        )
+                        return set(meta.column("block_idx").to_pylist())
                     meta = pq.read_table(
                         path,
                         columns=["block_idx"],
                         filters=[
-                            ("col_name", "=", p["col"]), ("n_runs", ">", 0),
+                            ("col_name", "=", p["col"]),
+                            ("n_runs", ">", 0),
                             ("max_val", ">=", p["lo"]),
                             ("min_val", "<=", p["hi"]),
                         ],
                     )
-                    s = set(meta.column("block_idx").to_pylist())
+                    return set(meta.column("block_idx").to_pylist())
+
+                surviving: set[int] | None = None
+                for p in int_preds:
+                    s = _int_phase1(p)
                     surviving = s if surviving is None else (surviving & s)
                     if not surviving:
                         break
@@ -1196,6 +1231,41 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         )
                         if not surviving:
                             break
+                # OR nodes: each node's survivors are the UNION of its
+                # leaf survivors (int leaves via metadata, member leaves
+                # via sidecars); the file still INTERSECTS across nodes
+                or_leaf: list[list] = []
+                if surviving is None or surviving:
+                    for node in or_nodes:
+                        node_surv: set[int] = set()
+                        ldata: list = []
+                        for leaf in node:
+                            if leaf["kind"] in ("range", "valid"):
+                                node_surv |= _int_phase1(leaf)
+                                ldata.append(None)
+                            else:
+                                codes = {}
+                                dicts = {}
+                                side_l = _read_dict_sidecar(
+                                    path, file_sid, col=leaf["col"]
+                                )
+                                for (seq, _, bi), blob in side_l.items():
+                                    uniq = B.decode_strings_arrow(
+                                        blob, symbols
+                                    )
+                                    hits = leaf["match"](uniq)
+                                    if hits.size:
+                                        codes[(seq, int(bi))] = hits
+                                        dicts[(seq, int(bi))] = uniq
+                                ldata.append((codes, dicts))
+                                node_surv |= {bi for _, bi in codes}
+                        or_leaf.append(ldata)
+                        surviving = (
+                            node_surv if surviving is None
+                            else (surviving & node_surv)
+                        )
+                        if not surviving:
+                            break
                 if not surviving:
                     yield _empty_frame()
                     continue
@@ -1207,8 +1277,8 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 btbl = pq.read_table(
                     path,
                     columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_runs", "min_val", "max_val",
-                             "block"],
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val", "block"],
                     filters=[
                         ("col_name", "in", read_names),
                         ("block_idx", "in", surviving_idx),
@@ -1235,30 +1305,32 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                     per: dict[str, dict[int, tuple]] = {
                         c: {} for c in read_names
                     }
-                    for name, bi, nv, nr, mn, mx, blob in zip(
+                    for name, bi, nv, nn, nr, mn, mx, blob in zip(
                         seg.column("col_name").to_pylist(),
                         seg.column("block_idx").to_numpy(),
                         seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
                         seg.column("n_runs").to_numpy(),
                         seg.column("min_val").to_numpy(),
                         seg.column("max_val").to_numpy(),
                         seg.column("block").to_pylist(),
                     ):
                         per[name][int(bi)] = (
-                            int(nv), int(nr), int(mn), int(mx), blob
+                            int(nv), int(nr), int(mn), int(mx), blob,
+                            int(nn),
                         )
                     # segment-exact survivors: re-run every pred's block
                     # test against THIS segment's metadata and intersect
                     surv: set[int] | None = None
                     for p in int_preds:
-                        # nn=1 forces 'partial': the scan decodes and masks
-                        # every surviving predicate block anyway, so only
-                        # pruned-vs-survive matters here
+                        # only pruned-vs-survive matters here: the scan
+                        # decodes and masks every surviving predicate block
+                        # anyway
                         s = {
                             bi
-                            for bi, (nv, nr, mn, mx, _)
+                            for bi, (nv, nr, mn, mx, _, nn)
                             in per[p["col"]].items()
-                            if _int_pred_class(p, 1, nr, mn, mx)
+                            if _int_pred_class(p, nv, nn, nr, mn, mx)
                             is not None
                         }
                         surv = s if surv is None else (surv & s)
@@ -1267,6 +1339,25 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                             bi for bi in per[p["col"]]
                             if (seq, bi) in mem_codes[pi]
                         }
+                        surv = s if surv is None else (surv & s)
+                    for node, ldata in zip(or_nodes, or_leaf):
+                        s = set()
+                        for leaf, ld in zip(node, ldata):
+                            if leaf["kind"] in ("range", "valid"):
+                                s |= {
+                                    bi
+                                    for bi, (nv, nr, mn, mx, _, nn)
+                                    in per[leaf["col"]].items()
+                                    if _int_pred_class(
+                                        leaf, nv, nn, nr, mn, mx
+                                    ) is not None
+                                }
+                            else:
+                                codes, _ = ld
+                                s |= {
+                                    bi for bi in per[leaf["col"]]
+                                    if (seq, bi) in codes
+                                }
                         surv = s if surv is None else (surv & s)
                     survivors = sorted(surv)
                     if not survivors:
@@ -1320,6 +1411,31 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                             sl = slice(int(voffs[j]), int(voffs[j + 1]))
                             pm[sl] &= np.isin(vals[sl], codes)
                         m = pm if m is None else (m & pm)
+                    for node, ldata in zip(or_nodes, or_leaf):
+                        # node mask = UNION of leaf masks (a leaf with no
+                        # survivors at a block contributes nothing there)
+                        nm = None
+                        for leaf, ld in zip(node, ldata):
+                            vals, voffs, vvalid = _decode_col(leaf["col"])
+                            if leaf["kind"] in ("range", "valid"):
+                                pm = _int_pred_rowmask(leaf, vals, vvalid)
+                            else:
+                                codes, dicts = ld
+                                pm = np.zeros(vvalid.size, bool)
+                                for j, bi in enumerate(survivors):
+                                    cs = codes.get((seq, bi))
+                                    if cs is None:
+                                        continue
+                                    sl = slice(int(voffs[j]),
+                                               int(voffs[j + 1]))
+                                    if cs.size == len(dicts[(seq, bi)]):
+                                        pm[sl] = vvalid[sl]
+                                    else:
+                                        pm[sl] = vvalid[sl] & np.isin(
+                                            vals[sl], cs
+                                        )
+                            nm = pm if nm is None else (nm | pm)
+                        m = nm if m is None else (m & nm)
                     for c in out_names:
                         if c in eq_single_by_col:
                             # eq predicate column: every kept row IS the
@@ -1653,32 +1769,86 @@ def scan_table_files_prefix(
     return _run_scan_tasks(spark, enc_dir, schema, out_names, worker)
 
 
+def _invert_matcher(match):
+    """Complement a dictionary matcher: entries the inner matcher does NOT
+    hit.  SQL NULL semantics are unchanged (NULL never matches a negated
+    predicate either — ``x <> v`` is UNKNOWN for NULL x), so negation
+    happens over dictionary ENTRIES, never over the validity plane."""
+    def neg(uniq) -> np.ndarray:
+        hits = match(uniq)
+        keep = np.ones(len(uniq), bool)
+        keep[hits] = False
+        return np.flatnonzero(keep).astype(np.int64)
+
+    return neg
+
+
 def _norm_preds(schema: dict, preds) -> list[dict]:
     """Normalize user predicate tuples to worker specs.  Accepted forms:
-    ``("between", int_col, lo, hi)``, ``("int_in", int_col, [values...])``
-    (zone maps prune blocks no literal falls inside; constant blocks whose
-    value is a literal full-match), ``("eq", str_col, value)``,
-    ``("in", str_col, [values...])``, ``("str_between", str_col, lo, hi)``,
-    ``("prefix", str_col, p)``.  Column kinds are validated here so a typo
-    fails on the driver, not in a task."""
+    ``("between", int_col, lo, hi)`` / ``("not_between", int_col, lo, hi)``,
+    ``("int_in", int_col, [values...])`` (zone maps prune blocks no literal
+    falls inside; constant blocks whose value is a literal full-match),
+    ``("eq", str_col, value)`` / ``("ne", str_col, value)``,
+    ``("in", str_col, [values...])`` / ``("not_in", str_col, [values...])``,
+    ``("str_between", str_col, lo, hi)``, ``("prefix", str_col, p)`` /
+    ``("not_prefix", str_col, p)``, and the validity predicates
+    ``("isnull", col)`` / ``("notnull", col)`` on EITHER column kind
+    (classified from block ``(n_values, n_nulls)`` metadata alone).  Column
+    kinds are validated here so a typo fails on the driver, not in a
+    task."""
     specs: list[dict] = []
+    known_arity = {
+        "between": 4, "not_between": 4, "int_in": 3, "eq": 3, "ne": 3,
+        "in": 3, "not_in": 3, "str_between": 4, "prefix": 3,
+        "not_prefix": 3, "isnull": 2, "notnull": 2,
+    }
     for p in preds:
-        if not isinstance(p, (tuple, list)) or len(p) < 3:
+        if not isinstance(p, (tuple, list)) or len(p) < 2:
             raise ValueError(f"malformed predicate {p!r}")
         kind, col = p[0], p[1]
-        if kind not in ("between", "int_in", "eq", "in", "str_between",
-                        "prefix"):
+        if kind == "or":
+            if len(p) != 2 or not isinstance(col, (tuple, list)):
+                raise ValueError(
+                    f"malformed predicate {p!r}: 'or' takes one list of "
+                    "branch predicates"
+                )
+            branches = _norm_preds(schema, list(col))
+            if any(b["kind"] == "or" for b in branches):
+                raise ValueError("nested OR predicates are not supported")
+            if len(branches) == 1:
+                specs.append(branches[0])
+            else:
+                specs.append({"kind": "or", "specs": branches})
+            continue
+        if kind not in known_arity:
             raise ValueError(f"unknown predicate kind {kind!r}")
-        if kind in ("between", "int_in"):
+        if len(p) != known_arity[kind]:
+            raise ValueError(
+                f"malformed predicate {p!r}: {kind!r} takes "
+                f"{known_arity[kind] - 1} argument(s)"
+            )
+        if kind in ("isnull", "notnull"):
+            if col not in schema["int_cols"] and \
+                    col not in schema["str_cols"]:
+                raise ValueError(
+                    f"{col!r} is not a column of this dataset "
+                    f"(int_cols={schema['int_cols']} "
+                    f"str_cols={schema['str_cols']})"
+                )
+            specs.append({"kind": "valid", "col": col,
+                          "want_null": kind == "isnull"})
+            continue
+        if kind in ("between", "not_between", "int_in"):
             if col not in schema["int_cols"]:
                 raise ValueError(
                     f"{col!r} is not an int column "
                     f"(int_cols={schema['int_cols']}); {kind!r} predicates "
                     "need a zone-mapped int column"
                 )
-            if kind == "between":
+            if kind in ("between", "not_between"):
                 specs.append({"kind": "range", "col": col,
-                              "lo": int(p[2]), "hi": int(p[3])})
+                              "lo": int(p[2]), "hi": int(p[3]),
+                              "neg": kind == "not_between"})
             else:
                 vals = np.unique(np.asarray(list(p[2]), np.int64))
                 if vals.size == 0:
@@ -1687,7 +1857,7 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                     )
                 specs.append({"kind": "range", "col": col,
                               "lo": int(vals[0]), "hi": int(vals[-1]),
-                              "vals": vals})
+                              "vals": vals, "neg": False})
             continue
         if col not in schema["str_cols"]:
             raise ValueError(
@@ -1695,18 +1865,27 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                 f"(str_cols={schema['str_cols']}); {kind!r} predicates "
                 "run on dictionary string columns"
             )
-        if kind == "eq":
+        if kind in ("eq", "ne"):
             v = p[2].encode("utf-8")
-            specs.append({"kind": "member", "col": col,
-                          "match": _literals_matcher((v,)), "eq_single": v})
-        elif kind == "in":
-            uniq = tuple(sorted({v.encode("utf-8") for v in p[2]}))
-            if not uniq:
-                raise ValueError("IN predicate needs at least one literal")
+            match = _literals_matcher((v,))
             specs.append({
                 "kind": "member", "col": col,
-                "match": _literals_matcher(uniq),
-                "eq_single": uniq[0] if len(uniq) == 1 else None,
+                "match": _invert_matcher(match) if kind == "ne" else match,
+                "eq_single": v if kind == "eq" else None,
+            })
+        elif kind in ("in", "not_in"):
+            uniq = tuple(sorted({v.encode("utf-8") for v in p[2]}))
+            if not uniq:
+                raise ValueError(f"{kind} predicate needs at least one "
+                                 "literal")
+            match = _literals_matcher(uniq)
+            specs.append({
+                "kind": "member", "col": col,
+                "match": _invert_matcher(match) if kind == "not_in"
+                else match,
+                "eq_single": (
+                    uniq[0] if kind == "in" and len(uniq) == 1 else None
+                ),
             })
         elif kind == "str_between":
             specs.append({
@@ -1716,10 +1895,12 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                 ),
                 "eq_single": None,
             })
-        elif kind == "prefix":
+        else:  # prefix / not_prefix
+            match = _str_prefix_matcher(p[2].encode("utf-8"))
             specs.append({
                 "kind": "member", "col": col,
-                "match": _str_prefix_matcher(p[2].encode("utf-8")),
+                "match": _invert_matcher(match) if kind == "not_prefix"
+                else match,
                 "eq_single": None,
             })
     if not specs:
@@ -1736,26 +1917,34 @@ def scan_table_files_where(
     (default: the order column plus each predicate column, in order).
 
     ``preds`` is an iterable of tuples — ``("between", int_col, lo, hi)``
-    zone-map range, ``("eq", str_col, v)`` / ``("in", str_col, [v...])`` /
-    ``("str_between", str_col, lo, hi)`` / ``("prefix", str_col, p)``
-    dictionary membership — the same five predicates the single-predicate
-    scans push down, here evaluated together in ONE pass.
+    / ``("not_between", ...)`` zone-map ranges and ``("int_in", ...)``
+    literal sets; ``("eq", str_col, v)`` / ``("ne", ...)``,
+    ``("in", str_col, [v...])`` / ``("not_in", ...)``,
+    ``("str_between", str_col, lo, hi)``, ``("prefix", str_col, p)`` /
+    ``("not_prefix", ...)`` dictionary memberships; ``("isnull", col)`` /
+    ``("notnull", col)`` validity predicates on either column kind; and
+    ``("or", [leaf, ...])`` disjunction nodes over any of the above (one
+    level — AND-of-OR expresses arbitrary WHERE clauses in conjunctive
+    normal form) — the same predicates the single-predicate scans push
+    down, here evaluated together in ONE pass.
 
     The per-file surviving block set is the INTERSECTION of every
     predicate's block prune (int ranges via parquet filters on the
-    payload-free metadata read; memberships via the dictionary sidecars),
-    so payload IO is bounded by the MOST selective predicate — the same
-    multiplicative skipping a warehouse gets from stacking page-stat and
-    dictionary filters.  Row masks AND together; each predicate keeps SQL
-    NULL semantics (NULL never matches), and all projection paths (int
-    widths, string gathers, NULL preservation) are shared with the
-    single-predicate scans.  One task per live blocks file, zero
-    shuffle."""
+    payload-free metadata read; memberships via the dictionary sidecars;
+    validity predicates via block null counts; an OR node's survivors
+    are the UNION of its leaves'), so payload IO is bounded by the MOST
+    selective predicate — the same multiplicative skipping a warehouse
+    gets from stacking page-stat and dictionary filters.  Row masks AND
+    together (OR nodes union their leaf masks first); each predicate
+    keeps SQL NULL semantics (NULL never matches, except ``isnull``),
+    and all projection paths (int widths, string gathers, NULL
+    preservation) are shared with the single-predicate scans.  One task
+    per live blocks file, zero shuffle."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
     specs = _norm_preds(schema, list(preds))
-    pred_cols = list(dict.fromkeys(s["col"] for s in specs))
+    pred_cols = _spec_cols(specs)
     if columns is None:
         out_names = list(dict.fromkeys([schema["order_col"], *pred_cols]))
     else:
@@ -1873,7 +2062,7 @@ def ctas_table_files(
             "against another run's stage would mix lineages)"
         )
     specs = _norm_preds(schema, list(preds))
-    pred_cols = list(dict.fromkeys(s["col"] for s in specs))
+    pred_cols = _spec_cols(specs)
     if columns is None:
         out_names = list(dict.fromkeys([schema["order_col"], *pred_cols]))
     else:
@@ -2026,14 +2215,31 @@ AGG_PARTIAL_SCHEMA = (
 )
 
 
-def _int_pred_class(p: dict, nn: int, nr: int, mn: int, mx: int):
-    """Classify one block against an int predicate spec: ``None`` =
-    pruned, ``'full'`` = every row matches (no decode needed),
-    ``'partial'`` = decode and mask.  A plain range prunes on zone-map
-    disjointness and full-matches when the zone map nests in the range; an
-    IN-list (``p["vals"]`` — sorted int64 array) prunes when no literal
-    falls inside the zone map and full-matches only a constant block whose
-    value is a literal."""
+def _int_pred_class(p: dict, nv: int, nn: int, nr: int, mn: int, mx: int):
+    """Classify one block against a metadata predicate spec: ``None`` =
+    pruned, ``'full'`` = every one of the block's ``nv`` rows matches (no
+    decode needed), ``'partial'`` = decode and mask.  A plain range prunes
+    on zone-map disjointness and full-matches when the zone map nests in
+    the range; a NEGATED range (``p["neg"]``) is the mirror — prunes when
+    the zone map nests INSIDE [lo, hi], full-matches a no-NULL block whose
+    zone map misses it entirely; an IN-list (``p["vals"]`` — sorted int64
+    array) prunes when no literal falls inside the zone map and
+    full-matches only a constant block whose value is a literal; a
+    validity predicate (``kind == "valid"``) classifies from
+    ``(n_values, n_nulls)`` alone and works on either column kind."""
+    if p.get("kind") == "valid":
+        if p["want_null"]:
+            return None if nn == 0 else ("full" if nn == nv else "partial")
+        return None if nn == nv else ("full" if nn == 0 else "partial")
+    if p.get("neg"):
+        # rows match when v < lo OR v > hi (== SQL NOT BETWEEN, also for
+        # the lo > hi empty range, where every valid row matches)
+        if nr == 0 or (mn >= p["lo"] and mx <= p["hi"]):
+            return None  # pruned (all-NULL blocks match nothing)
+        return (
+            "full" if nn == 0 and (mx < p["lo"] or mn > p["hi"])
+            else "partial"
+        )
     if nr == 0 or mx < p["lo"] or mn > p["hi"]:
         return None  # pruned (all-NULL blocks match nothing)
     vals = p.get("vals")
@@ -2051,66 +2257,162 @@ def _int_pred_class(p: dict, nn: int, nr: int, mn: int, mx: int):
 
 def _int_pred_rowmask(p: dict, pv: np.ndarray,
                       pvalid: np.ndarray) -> np.ndarray:
-    """Row mask of one decoded block against an int predicate spec."""
+    """Row mask of one decoded block against a metadata predicate spec."""
+    if p.get("kind") == "valid":
+        return ~pvalid if p["want_null"] else pvalid.copy()
+    if p.get("neg"):
+        return pvalid & ((pv < p["lo"]) | (pv > p["hi"]))
     vals = p.get("vals")
     if vals is None:
         return pvalid & (pv >= p["lo"]) & (pv <= p["hi"])
     return pvalid & np.isin(pv, vals)
 
 
-def _pred_classify(path: str, file_sid: str, info: dict,
-                   int_preds: list[dict], mem_preds: list[dict], symbols):
-    """Phase-1 per-predicate block classification from metadata alone
-    (+ dictionary sidecars for member preds): returns
-    ``(pred_cls, mem_codes, mem_full)`` — ``pred_cls`` lists the int preds'
-    class maps then the member preds', each mapping (segment, block) ->
-    'full'|'partial' (absent = pruned); ``mem_codes[i]`` holds member pred
-    i's per-block matching code sets; ``mem_full[i]`` the keys whose WHOLE
-    dictionary matches (only NULL rows can fail there)."""
+def _spec_parts(preds: list[dict]):
+    """Partition normalized specs into the three worker families:
+    metadata predicates (int ranges + validity), dictionary memberships,
+    and OR nodes (each a list of leaf specs)."""
+    int_preds = [p for p in preds if p["kind"] in ("range", "valid")]
+    mem_preds = [p for p in preds if p["kind"] == "member"]
+    or_nodes = [p["specs"] for p in preds if p["kind"] == "or"]
+    return int_preds, mem_preds, or_nodes
+
+
+def _spec_cols(specs: list[dict]) -> list[str]:
+    """Predicate columns in first-mention order, OR leaves flattened."""
+    cols: list[str] = []
+    for p in specs:
+        for leaf in (p["specs"] if p["kind"] == "or" else (p,)):
+            cols.append(leaf["col"])
+    return list(dict.fromkeys(cols))
+
+
+def _int_leaf_class_map(p: dict, col_info: dict) -> dict:
+    """Class map of one metadata predicate over a file's blocks
+    (absent = pruned)."""
+    cl: dict = {}
+    for key, (nv, nn, nr, mn, mx) in col_info.items():
+        kind = _int_pred_class(p, nv, nn, nr, mn, mx)
+        if kind is not None:
+            cl[key] = kind
+    return cl
+
+
+def _mem_leaf_classify(path: str, file_sid: str, info: dict, p: dict,
+                       symbols):
+    """Class map + matching code sets + whole-dictionary keys of one
+    membership predicate (reads the column's dictionary sidecar)."""
     from rlv import blocks as B
 
+    side = _read_dict_sidecar(path, file_sid, col=p["col"])
+    cl: dict = {}
+    codes: dict = {}
+    whole: set = set()
+    for (seq, _, bi), blob in side.items():
+        key = (seq, int(bi))
+        if key not in info[p["col"]]:
+            continue
+        uniq = B.decode_strings_arrow(blob, symbols)
+        hits = p["match"](uniq)
+        if not hits.size:
+            continue  # pruned: no dictionary entry matches
+        codes[key] = hits
+        nn = info[p["col"]][key][1]
+        if hits.size == len(uniq):
+            whole.add(key)
+            cl[key] = "full" if nn == 0 else "partial"
+        else:
+            cl[key] = "partial"
+    return cl, codes, whole
+
+
+def _pred_classify(path: str, file_sid: str, info: dict,
+                   int_preds: list[dict], mem_preds: list[dict], symbols,
+                   or_nodes: list[list[dict]] = ()):
+    """Phase-1 per-predicate block classification from metadata alone
+    (+ dictionary sidecars for member preds): returns
+    ``(pred_cls, mem_codes, mem_full, or_data)`` — ``pred_cls`` lists the
+    int preds' class maps, then the member preds', then one COMBINED map
+    per OR node, each mapping (segment, block) -> 'full'|'partial'
+    (absent = pruned); ``mem_codes[i]`` holds member pred i's per-block
+    matching code sets; ``mem_full[i]`` the keys whose WHOLE dictionary
+    matches (only NULL rows can fail there).  An OR node classifies as the
+    leaf UNION: pruned only when every leaf prunes, full when ANY leaf
+    full-matches; ``or_data[j] = (leaf_cls, leaf_mem)`` keeps the per-leaf
+    maps (and, for member leaves, their ``(codes, whole)``) for
+    masking."""
     pred_cls: list[dict] = []
     for p in int_preds:
-        cl: dict = {}
-        for key, (nv, nn, nr, mn, mx) in info[p["col"]].items():
-            kind = _int_pred_class(p, nn, nr, mn, mx)
-            if kind is not None:
-                cl[key] = kind
-        pred_cls.append(cl)
+        pred_cls.append(_int_leaf_class_map(p, info[p["col"]]))
     mem_codes: list[dict] = []
     mem_full: list[set] = []
     for p in mem_preds:
-        side = _read_dict_sidecar(path, file_sid, col=p["col"])
-        cl = {}
-        codes: dict = {}
-        whole: set = set()
-        for (seq, _, bi), blob in side.items():
-            key = (seq, int(bi))
-            if key not in info[p["col"]]:
-                continue
-            uniq = B.decode_strings_arrow(blob, symbols)
-            hits = p["match"](uniq)
-            if not hits.size:
-                continue  # pruned: no dictionary entry matches
-            codes[key] = hits
-            nn = info[p["col"]][key][1]
-            if hits.size == len(uniq):
-                whole.add(key)
-                cl[key] = "full" if nn == 0 else "partial"
-            else:
-                cl[key] = "partial"
+        cl, codes, whole = _mem_leaf_classify(
+            path, file_sid, info, p, symbols
+        )
         pred_cls.append(cl)
         mem_codes.append(codes)
         mem_full.append(whole)
-    return pred_cls, mem_codes, mem_full
+    or_data: list[tuple] = []
+    for node in or_nodes:
+        leaf_cls: list[dict] = []
+        leaf_mem: list[tuple | None] = []
+        for leaf in node:
+            if leaf["kind"] in ("range", "valid"):
+                leaf_cls.append(_int_leaf_class_map(leaf,
+                                                    info[leaf["col"]]))
+                leaf_mem.append(None)
+            else:
+                cl, codes, whole = _mem_leaf_classify(
+                    path, file_sid, info, leaf, symbols
+                )
+                leaf_cls.append(cl)
+                leaf_mem.append((codes, whole))
+        ncl: dict = {}
+        for cl in leaf_cls:
+            for key, kind in cl.items():
+                if kind == "full":
+                    ncl[key] = "full"
+                else:
+                    ncl.setdefault(key, "partial")
+        pred_cls.append(ncl)
+        or_data.append((leaf_cls, leaf_mem))
+    return pred_cls, mem_codes, mem_full, or_data
+
+
+def _pred_need_cols(key, pred_cls: list[dict],
+                    int_preds: list[dict], mem_preds: list[dict],
+                    or_nodes: list[list[dict]] = (),
+                    or_data: list[tuple] = ()) -> set[str]:
+    """Columns whose payload one PARTIAL block must decode to mask: every
+    non-full top-level predicate's column, plus — for each non-full OR
+    node — the columns of its partial leaves (pruned leaves contribute
+    nothing, and a full leaf would have made the node full)."""
+    cols: set[str] = set()
+    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
+        if cl.get(key) != "full":
+            cols.add(p["col"])
+    base = len(int_preds) + len(mem_preds)
+    for ni, node in enumerate(or_nodes):
+        if pred_cls[base + ni].get(key) == "full":
+            continue
+        leaf_cls, _ = or_data[ni]
+        for li, leaf in enumerate(node):
+            if leaf_cls[li].get(key) == "partial":
+                cols.add(leaf["col"])
+    return cols
 
 
 def _pred_mask(key, nv: int, pred_cls: list[dict],
                int_preds: list[dict], mem_preds: list[dict],
-               mem_codes: list[dict], mem_full: list[set], dec):
+               mem_codes: list[dict], mem_full: list[set], dec,
+               or_nodes: list[list[dict]] = (),
+               or_data: list[tuple] = ()):
     """AND row mask for one PARTIAL block: decode (via ``dec(col)``) only
     the predicates not full-matching there; a member pred whose whole
-    dictionary matches drops NULL rows only (no set test)."""
+    dictionary matches drops NULL rows only (no set test).  An OR node
+    contributes the UNION of its leaf masks (a leaf pruned at this block
+    contributes nothing; a full leaf cannot occur in a partial node)."""
     mask = np.ones(nv, bool)
     for cl, p in zip(pred_cls[:len(int_preds)], int_preds):
         if cl.get(key) == "full":
@@ -2127,6 +2429,25 @@ def _pred_mask(key, nv: int, pred_cls: list[dict],
             mask &= pvalid
         else:
             mask &= pvalid & np.isin(pv, mem_codes[mi][key])
+    base = len(int_preds) + len(mem_preds)
+    for ni, node in enumerate(or_nodes):
+        if pred_cls[base + ni].get(key) == "full":
+            continue
+        leaf_cls, leaf_mem = or_data[ni]
+        nm = np.zeros(nv, bool)
+        for li, leaf in enumerate(node):
+            if leaf_cls[li].get(key) is None:
+                continue
+            pv, _, pvalid = dec(leaf["col"])
+            if leaf["kind"] in ("range", "valid"):
+                nm |= _int_pred_rowmask(leaf, pv, pvalid)
+            else:
+                codes, whole = leaf_mem[li]
+                if key in whole:
+                    nm |= pvalid
+                else:
+                    nm |= pvalid & np.isin(pv, codes[key])
+        mask &= nm
     return mask
 
 
@@ -2143,9 +2464,8 @@ def _make_agg_worker(value_col: str, preds: list[dict],
     there, AND the masks, and pick the value rows."""
     from rlv.util import tune_malloc
 
-    int_preds = [p for p in preds if p["kind"] == "range"]
-    mem_preds = [p for p in preds if p["kind"] == "member"]
-    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
     all_cols = list(dict.fromkeys([*pred_cols, value_col]))
 
     def run_agg(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2211,8 +2531,9 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                                 f"on rows in block {key[1]} — corrupt "
                                 "dataset"
                             )
-                pred_cls, mem_codes, mem_full = _pred_classify(
-                    path, file_sid, info, int_preds, mem_preds, symbols
+                pred_cls, mem_codes, mem_full, or_data = _pred_classify(
+                    path, file_sid, info, int_preds, mem_preds, symbols,
+                    or_nodes,
                 )
                 # combined class: pruned if ANY pred pruned, full if ALL
                 # full, else partial
@@ -2236,9 +2557,9 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                 for key, kind in cls.items():
                     if kind != "partial":
                         continue
-                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
-                        if cl.get(key) != "full":
-                            need.setdefault(p["col"], set()).add(key[1])
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes, or_data):
+                        need.setdefault(c, set()).add(key[1])
                 # phase 2 — payloads for needed (column, ordinal) pairs
                 # only (the in-filters over-read only ordinals needed in
                 # another segment; per-key lookups below are exact)
@@ -2295,7 +2616,7 @@ def _make_agg_worker(value_col: str, preds: list[dict],
 
                         mask = _pred_mask(
                             key, nv, pred_cls, int_preds, mem_preds,
-                            mem_codes, mem_full, _dec,
+                            mem_codes, mem_full, _dec, or_nodes, or_data,
                         )
                         n_rows += int(mask.sum())
                         vv, _, vvalid = _dec(value_col)
@@ -2482,9 +2803,8 @@ def _make_group_agg_worker(value_col: str, group_col: str,
     partial row per (file, group)."""
     from rlv.util import tune_malloc
 
-    int_preds = [p for p in preds if p["kind"] == "range"]
-    mem_preds = [p for p in preds if p["kind"] == "member"]
-    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
     all_cols = list(dict.fromkeys([group_col, value_col, *pred_cols]))
 
     def _empty() -> pd.DataFrame:
@@ -2571,9 +2891,9 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                     mem_full: list[set] = []
                     cls = {k: "full" for k in keys}
                 else:
-                    pred_cls, mem_codes, mem_full = _pred_classify(
+                    pred_cls, mem_codes, mem_full, or_data = _pred_classify(
                         path, file_sid, info, int_preds, mem_preds,
-                        symbols,
+                        symbols, or_nodes,
                     )
                     cls = {}
                     for key in keys:
@@ -2622,9 +2942,9 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                 for key, kind in cls.items():
                     if kind != "partial":
                         continue
-                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
-                        if cl.get(key) != "full":
-                            pneed.setdefault(p["col"], set()).add(key[1])
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes, or_data):
+                        pneed.setdefault(c, set()).add(key[1])
                 for c, idxs in pneed.items():
                     if c not in per_by_col:
                         per_by_col[c] = _payloads(c, sorted(idxs))
@@ -2663,7 +2983,7 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                     else:
                         mask = _pred_mask(
                             key, nv_rows, pred_cls, int_preds, mem_preds,
-                            mem_codes, mem_full, _dec,
+                            mem_codes, mem_full, _dec, or_nodes, or_data,
                         )
                         if not mask.any():
                             continue
@@ -2926,9 +3246,8 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
     mask, and contribute the matched rows' values."""
     from rlv.util import tune_malloc
 
-    int_preds = [p for p in preds if p["kind"] == "range"]
-    mem_preds = [p for p in preds if p["kind"] == "member"]
-    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
     all_cols = list(dict.fromkeys([col, *pred_cols]))
 
     def run_distinct(
@@ -2997,8 +3316,9 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
                             f"columns {all_cols[0]!r} and {c!r} cover "
                             "different blocks — corrupt dataset"
                         )
-                pred_cls, mem_codes, mem_full = _pred_classify(
-                    path, file_sid, info, int_preds, mem_preds, symbols
+                pred_cls, mem_codes, mem_full, or_data = _pred_classify(
+                    path, file_sid, info, int_preds, mem_preds, symbols,
+                    or_nodes,
                 )
                 cls: dict[tuple[str, int], str] = {}
                 for key in keys:
@@ -3028,9 +3348,9 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
                 for key, kind in cls.items():
                     if kind != "partial":
                         continue
-                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
-                        if cl.get(key) != "full":
-                            need.setdefault(p["col"], set()).add(key[1])
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes, or_data):
+                        need.setdefault(c, set()).add(key[1])
                 blobs: dict[tuple[str, str, int], bytes] = {}
                 for c, idxs in need.items():
                     t = pq.read_table(
@@ -3096,7 +3416,7 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
 
                     mask = _pred_mask(
                         key, nv, pred_cls, int_preds, mem_preds,
-                        mem_codes, mem_full, _dec,
+                        mem_codes, mem_full, _dec, or_nodes, or_data,
                     )
                     if not mask.any():
                         continue
@@ -3402,9 +3722,8 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
     from rlv.util import tune_malloc
 
     preds = preds or []
-    int_preds = [p for p in preds if p["kind"] == "range"]
-    mem_preds = [p for p in preds if p["kind"] == "member"]
-    pred_cols = list(dict.fromkeys(p["col"] for p in preds))
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
     all_cols = list(dict.fromkeys([col, *pred_cols]))
 
     def run_topk(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3457,9 +3776,9 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                         )
                 # predicate classification (no preds: everything full)
                 if preds:
-                    pred_cls, mem_codes, mem_full = _pred_classify(
+                    pred_cls, mem_codes, mem_full, or_data = _pred_classify(
                         path, file_sid, info, int_preds, mem_preds,
-                        symbols,
+                        symbols, or_nodes,
                     )
                     cls = {}
                     for key in keys:
@@ -3471,7 +3790,7 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                             else "partial"
                         )
                 else:
-                    pred_cls, mem_codes, mem_full = [], [], []
+                    pred_cls, mem_codes, mem_full, or_data = [], [], [], []
                     cls = {kk: "full" for kk in keys}
                 if not cls:
                     yield pd.DataFrame({"val": np.empty(0, np.int64)})
@@ -3502,9 +3821,9 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                 for key in surv:
                     if cls[key] != "partial":
                         continue
-                    for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
-                        if cl.get(key) != "full":
-                            need.setdefault(p["col"], set()).add(key[1])
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes, or_data):
+                        need.setdefault(c, set()).add(key[1])
                 blobs: dict[tuple[str, str, int], bytes] = {}
                 for c, idxs in need.items():
                     t = pq.read_table(
@@ -3542,7 +3861,7 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                     if cls[key] == "partial":
                         mask = _pred_mask(
                             key, nv, pred_cls, int_preds, mem_preds,
-                            mem_codes, mem_full, _dec,
+                            mem_codes, mem_full, _dec, or_nodes, or_data,
                         )
                         parts.append(vals[mask & valid])
                     else:

@@ -2037,12 +2037,12 @@ def test_int_in_pred_classification_and_scan(spark, tmp_path):
     # pure classification: pruned / partial / full
     p = {"lo": 10, "hi": 90,
          "vals": __import__("numpy").array([10, 50, 90], "int64")}
-    assert _int_pred_class(p, 0, 1, 20, 40) is None      # gap 20..40
-    assert _int_pred_class(p, 0, 1, 40, 60) == "partial"
-    assert _int_pred_class(p, 0, 1, 50, 50) == "full"    # constant literal
-    assert _int_pred_class(p, 1, 1, 50, 50) == "partial"  # NULLs present
-    assert _int_pred_class(p, 0, 0, 50, 50) is None      # all-NULL block
-    assert _int_pred_class(p, 0, 1, 91, 99) is None      # outside envelope
+    assert _int_pred_class(p, 512, 0, 1, 20, 40) is None    # gap 20..40
+    assert _int_pred_class(p, 512, 0, 1, 40, 60) == "partial"
+    assert _int_pred_class(p, 512, 0, 1, 50, 50) == "full"  # constant lit.
+    assert _int_pred_class(p, 512, 1, 1, 50, 50) == "partial"  # has NULLs
+    assert _int_pred_class(p, 512, 0, 0, 50, 50) is None    # all-NULL blk
+    assert _int_pred_class(p, 512, 0, 1, 91, 99) is None    # off envelope
 
     d = str(tmp_path / "src")
     os.makedirs(d)
@@ -2158,3 +2158,317 @@ def test_topk_projection_without_sort_column(spark, tmp_path):
         ).fetchall()
     }
     assert {r["k"] for r in got.collect()} == want
+
+
+def test_null_and_negated_predicates_match_sql(spark, tmp_path):
+    """The validity (`isnull`/`notnull`) and negated (`ne`, `not_in`,
+    `not_prefix`, `not_between`) predicate kinds: classification from
+    metadata alone must be exact (unit table), every kind must equal
+    plain SQL on a nullable fixture across the scan / aggregate / group /
+    DISTINCT / top-k surfaces, results must survive compaction, and the
+    error surface must refuse bad arity and unknown columns."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlv.table_files import _int_pred_class
+
+    # pure classification — validity predicates resolve from (nv, nn)
+    isn = {"kind": "valid", "want_null": True}
+    notn = {"kind": "valid", "want_null": False}
+    assert _int_pred_class(isn, 512, 0, 9, 0, 9) is None       # no NULLs
+    assert _int_pred_class(isn, 512, 512, 0, 0, 0) == "full"   # all NULL
+    assert _int_pred_class(isn, 512, 7, 9, 0, 9) == "partial"
+    assert _int_pred_class(notn, 512, 512, 0, 0, 0) is None
+    assert _int_pred_class(notn, 512, 0, 9, 0, 9) == "full"
+    assert _int_pred_class(notn, 512, 7, 9, 0, 9) == "partial"
+    # negated range mirrors the zone-map classification
+    nb = {"kind": "range", "lo": 10, "hi": 90, "neg": True}
+    assert _int_pred_class(nb, 512, 0, 9, 20, 80) is None      # nested
+    assert _int_pred_class(nb, 512, 0, 9, 91, 99) == "full"    # disjoint
+    assert _int_pred_class(nb, 512, 1, 9, 91, 99) == "partial"  # NULLs
+    assert _int_pred_class(nb, 512, 0, 9, 5, 20) == "partial"  # straddles
+    assert _int_pred_class(nb, 512, 0, 0, 5, 20) is None       # all-NULL
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    cases = [
+        ([("isnull", "v_n")], "v_n IS NULL"),
+        ([("isnull", "tag_n")], "tag_n IS NULL"),
+        ([("notnull", "v_n")], "v_n IS NOT NULL"),
+        ([("ne", "tag_n", "w03")], "tag_n <> 'w03'"),
+        ([("not_in", "tag_n", ["w03", "w07"])],
+         "tag_n NOT IN ('w03','w07')"),
+        ([("not_prefix", "tag_n", "w0")], "tag_n NOT LIKE 'w0%'"),
+        ([("not_between", "v_n", 100, 800)], "v_n NOT BETWEEN 100 AND 800"),
+        ([("not_between", "v_n", 100, 800), ("isnull", "tag_n")],
+         "v_n NOT BETWEEN 100 AND 800 AND tag_n IS NULL"),
+        ([("notnull", "v_n"), ("ne", "tag_n", "w05"),
+          ("between", "k", 500, 5500)],
+         "v_n IS NOT NULL AND tag_n <> 'w05' AND k BETWEEN 500 AND 5500"),
+        ([("isnull", "v_n"), ("prefix", "tag_n", "w1")],
+         "v_n IS NULL AND tag_n LIKE 'w1%'"),
+    ]
+
+    def check():
+        for preds, where in cases:
+            got = sorted(
+                (r["k"], r["v_n"], r["tag_n"]) for r in
+                table_files.scan_table_files_where(
+                    spark, out, preds,
+                    columns=["k", "v_n", "tag_n"]).collect()
+            )
+            want = sorted(duckdb.sql(
+                f"SELECT k, v_n, tag_n FROM read_parquet('{src}') "
+                f"WHERE {where}"
+            ).fetchall())
+            assert got == want and len(got) > 0, (preds, where)
+        # aggregate surface
+        agg = table_files.agg_table_files_where(
+            spark, out, "v_n",
+            [("notnull", "tag_n"), ("not_between", "k", 1000, 5000)],
+        ).collect()[0]
+        w = duckdb.sql(
+            "SELECT count(*), count(v_n), sum(v_n), min(v_n), max(v_n) "
+            f"FROM read_parquet('{src}') "
+            "WHERE tag_n IS NOT NULL AND k NOT BETWEEN 1000 AND 5000"
+        ).fetchone()
+        assert (agg["n_rows"], agg["n_vals"], int(agg["sum_val"]),
+                agg["min_val"], agg["max_val"]) == (
+            w[0], w[1], int(w[2]), w[3], w[4])
+        # group surface
+        g = sorted(
+            (r["tag_n"], r["n_rows"], int(r["sum_val"])) for r in
+            table_files.agg_table_files_by(
+                spark, out, "v_n", "tag_n",
+                preds=[("notnull", "v_n"), ("not_prefix", "tag_n", "w1")],
+            ).collect()
+        )
+        wg = sorted((t, c, int(s)) for t, c, s in duckdb.sql(
+            f"SELECT tag_n, count(*), sum(v_n) FROM read_parquet('{src}') "
+            "WHERE v_n IS NOT NULL AND tag_n NOT LIKE 'w1%' GROUP BY tag_n"
+        ).fetchall())
+        assert g == wg and len(g) > 0
+        # DISTINCT surface: the NULL row appears iff a matching row is NULL
+        dd = sorted(
+            ("~n~" if r["tag_n"] is None else r["tag_n"]) for r in
+            table_files.distinct_table_files(
+                spark, out, "tag_n", preds=[("isnull", "v_n")]).collect()
+        )
+        wd = sorted(("~n~" if t is None else t) for (t,) in duckdb.sql(
+            f"SELECT DISTINCT tag_n FROM read_parquet('{src}') "
+            "WHERE v_n IS NULL"
+        ).fetchall())
+        assert dd == wd
+        # top-k surface
+        tk = [(r["k"], r["v_n"]) for r in table_files.topk_table_files(
+            spark, out, "v_n", 10, ascending=False,
+            columns=["k", "v_n"],
+            preds=[("ne", "tag_n", "w03"), ("notnull", "v_n")],
+        ).collect()]
+        wt = [tuple(x) for x in duckdb.sql(
+            f"SELECT k, v_n FROM read_parquet('{src}') "
+            "WHERE tag_n <> 'w03' AND v_n IS NOT NULL "
+            "ORDER BY v_n DESC, k LIMIT 10"
+        ).fetchall()]
+        assert tk == wt
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+
+    # error surface: bad arity, unknown column, unknown kind
+    with pytest.raises(ValueError, match="takes 1 argument"):
+        table_files.scan_table_files_where(
+            spark, out, [("isnull", "v_n", 3)])
+    with pytest.raises(ValueError, match="not a column"):
+        table_files.scan_table_files_where(spark, out, [("isnull", "nope")])
+    with pytest.raises(ValueError, match="unknown predicate kind"):
+        table_files.scan_table_files_where(spark, out, [("gt", "v_n", 3)])
+
+
+def test_or_predicate_pushdown_matches_sql(spark, tmp_path):
+    """OR disjunctions (`("or", [leaf, ...])`): a node's block survivors
+    are the UNION of its leaf survivors and its row mask the union of
+    leaf masks, while the file still intersects across top-level
+    predicates — checked vs plain SQL on every surface, with cross-type
+    branches (int × string × validity), results stable under compaction,
+    and nested OR refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    cases = [
+        # cross-type: int range OR string eq
+        ([("or", [("between", "v_n", 0, 50), ("eq", "tag_n", "w03")])],
+         "(v_n BETWEEN 0 AND 50 OR tag_n = 'w03')"),
+        # validity branch
+        ([("or", [("isnull", "v_n"), ("between", "v_n", 900, 999)])],
+         "(v_n IS NULL OR v_n BETWEEN 900 AND 999)"),
+        # OR node ANDed with a top-level predicate
+        ([("or", [("between", "v_n", 0, 100),
+                  ("in", "tag_n", ["w05", "w09"])]),
+          ("between", "k", 500, 5500)],
+         "(v_n BETWEEN 0 AND 100 OR tag_n IN ('w05','w09')) "
+         "AND k BETWEEN 500 AND 5500"),
+        # two OR nodes ANDed
+        ([("or", [("between", "v_n", 0, 300), ("isnull", "v_n")]),
+          ("or", [("prefix", "tag_n", "w0"), ("isnull", "tag_n")])],
+         "(v_n BETWEEN 0 AND 300 OR v_n IS NULL) "
+         "AND (tag_n LIKE 'w0%' OR tag_n IS NULL)"),
+        # negated leaf inside a node
+        ([("or", [("not_between", "v_n", 0, 899),
+                  ("eq", "tag_n", "w01")])],
+         "(v_n NOT BETWEEN 0 AND 899 OR tag_n = 'w01')"),
+    ]
+
+    def check():
+        for preds, where in cases:
+            got = sorted(
+                (r["k"], r["v_n"], r["tag_n"]) for r in
+                table_files.scan_table_files_where(
+                    spark, out, preds,
+                    columns=["k", "v_n", "tag_n"]).collect()
+            )
+            want = sorted(duckdb.sql(
+                f"SELECT k, v_n, tag_n FROM read_parquet('{src}') "
+                f"WHERE {where}"
+            ).fetchall())
+            assert got == want and len(got) > 0, (preds, where)
+        # aggregate
+        agg = table_files.agg_table_files_where(
+            spark, out, "v_n",
+            [("or", [("between", "k", 0, 1000), ("eq", "tag_n", "w07")])],
+        ).collect()[0]
+        w = duckdb.sql(
+            "SELECT count(*), count(v_n), sum(v_n), min(v_n), max(v_n) "
+            f"FROM read_parquet('{src}') "
+            "WHERE (k BETWEEN 0 AND 1000 OR tag_n = 'w07')"
+        ).fetchone()
+        assert (agg["n_rows"], agg["n_vals"], int(agg["sum_val"]),
+                agg["min_val"], agg["max_val"]) == (
+            w[0], w[1], int(w[2]), w[3], w[4])
+        # group (NULL keys pool)
+        key = lambda t: ("" if t[0] is None else "z" + t[0],) + t[1:]
+        g = sorted(
+            ((r["tag_n"], r["n_rows"], int(r["sum_val"])) for r in
+             table_files.agg_table_files_by(
+                 spark, out, "v_n", "tag_n",
+                 preds=[("or", [("between", "v_n", 0, 100),
+                                ("not_between", "v_n", 0, 899)])],
+             ).collect()), key=key)
+        wg = sorted(
+            ((t, c, int(s)) for t, c, s in duckdb.sql(
+                f"SELECT tag_n, count(*), sum(v_n) "
+                f"FROM read_parquet('{src}') "
+                "WHERE (v_n BETWEEN 0 AND 100 OR v_n NOT BETWEEN 0 AND "
+                "899) GROUP BY tag_n"
+            ).fetchall()), key=key)
+        assert g == wg and len(g) > 0
+        # DISTINCT
+        dd = sorted(
+            ("~n~" if r["tag_n"] is None else r["tag_n"]) for r in
+            table_files.distinct_table_files(
+                spark, out, "tag_n",
+                preds=[("or", [("isnull", "v_n"),
+                               ("between", "v_n", 990, 999)])]).collect()
+        )
+        wd = sorted(("~n~" if t is None else t) for (t,) in duckdb.sql(
+            f"SELECT DISTINCT tag_n FROM read_parquet('{src}') "
+            "WHERE (v_n IS NULL OR v_n BETWEEN 990 AND 999)"
+        ).fetchall())
+        assert dd == wd
+        # top-k
+        tk = [(r["k"], r["v_n"]) for r in table_files.topk_table_files(
+            spark, out, "v_n", 12, ascending=True,
+            columns=["k", "v_n"],
+            preds=[("or", [("eq", "tag_n", "w02"),
+                           ("eq", "tag_n", "w04")])],
+        ).collect()]
+        wt = [tuple(x) for x in duckdb.sql(
+            f"SELECT k, v_n FROM read_parquet('{src}') "
+            "WHERE (tag_n = 'w02' OR tag_n = 'w04') "
+            "ORDER BY v_n, k LIMIT 12"
+        ).fetchall()]
+        assert tk == wt
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+
+    # single-branch OR degenerates to the leaf; nested OR refused
+    got1 = table_files.scan_table_files_where(
+        spark, out, [("or", [("between", "v_n", 0, 50)])]).count()
+    want1 = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}') "
+        "WHERE v_n BETWEEN 0 AND 50"
+    ).fetchone()[0]
+    assert got1 == want1
+    with pytest.raises(ValueError, match="nested OR"):
+        table_files.scan_table_files_where(
+            spark, out,
+            [("or", [("or", [("between", "v_n", 0, 1),
+                             ("between", "v_n", 5, 6)]),
+                     ("eq", "tag_n", "w01")])])
+    with pytest.raises(ValueError, match="one list of branch"):
+        table_files.scan_table_files_where(spark, out, [("or", "tag_n")])
+    with pytest.raises(ValueError, match="malformed predicate"):
+        table_files.scan_table_files_where(spark, out, [("or",)])
