@@ -1526,6 +1526,48 @@ def _q_neg_pred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ndv_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) pushdown
+    (:func:`rlv.table_files.ndv_table_files`): the exact distinct COUNT
+    of a dictionary string column under a zone-map range predicate,
+    composed over the predicate DISTINCT pipe — sidecars give each
+    block's distinct set, predicate-full blocks contribute it without
+    payload IO, partial blocks mask, and the shuffle carries ≤ NDV ×
+    files values; ``null_seen`` mirrors SQL's
+    ``count(*) > count(col)`` over the matching rows.  The oracle is the
+    plain SQL COUNT DISTINCT under the same WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_ndv_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 6 = 2 THEN NULL "
+        "     ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') "
+        "END AS tag_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["tag_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.ndv_table_files(
+        spark, out, "tag_n",
+        preds=[("between", "opt_custkey", 100, 900)],
+    )
+
+
 def _q_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-disjunction pushdown (`("or", [leaf, ...])` under
     :func:`rlv.table_files.scan_table_files_where`): a node's surviving
@@ -2739,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_pred_scan": _q_null_pred_scan,
         "neg_pred_agg": _q_neg_pred_agg,
         "or_pushdown": _q_or_pushdown,
+        "ndv_pushdown": _q_ndv_pushdown,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3482,6 +3525,20 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM v
 WHERE custkey_n IS NULL
   AND pri_n <> '1-URGENT'
+""",
+        "ndv_pushdown": """
+WITH v AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey,
+         CASE WHEN o_orderkey % 6 = 2 THEN NULL
+              ELSE 'grp' || lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0')
+         END AS tag_n
+  FROM orders
+)
+SELECT CAST(count(DISTINCT tag_n) AS BIGINT) AS ndv,
+       count(*) > count(tag_n) AS null_seen
+FROM v
+WHERE opt_custkey BETWEEN 100 AND 900
 """,
         "or_pushdown": """
 WITH v AS (

@@ -23,6 +23,7 @@ Cluster:
     spark-submit ... jobs/query_job.py group --data ... --value v --by tag
     spark-submit ... jobs/query_job.py topk --data ... --col v -k 100
     spark-submit ... jobs/query_job.py distinct --data ... --col tag
+    spark-submit ... jobs/query_job.py ndv --data ... --col tag --where ...
     spark-submit ... jobs/query_job.py stats --data ...
     spark-submit ... jobs/query_job.py ctas --data ... --output dst \
         --where '[["prefix","tag","w0"]]' [--cluster-by v]
@@ -60,7 +61,8 @@ def _columns(raw: str | None) -> list[str] | None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("action", choices=[
-        "scan", "agg", "group", "topk", "distinct", "stats", "ctas",
+        "scan", "agg", "group", "topk", "distinct", "ndv", "stats",
+        "ctas",
     ])
     ap.add_argument("--data", required=True, help="encoded dataset dir")
     ap.add_argument("--where", default=None, help="JSON predicate list")
@@ -144,6 +146,12 @@ def main(argv=None) -> int:
             ap.error("distinct requires --col")
         _emit(TF.distinct_table_files(spark, args.data, args.col,
                                       preds=preds), False)
+    elif args.action == "ndv":
+        if not args.col:
+            ap.error("ndv requires --col")
+        out["result"] = TF.ndv_table_files(
+            spark, args.data, args.col, preds=preds
+        ).collect()[0].asDict()
     elif args.action == "stats":
         _emit(TF.stats_table_files(spark, args.data), False)
     else:  # ctas

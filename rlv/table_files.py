@@ -3503,6 +3503,28 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
     )
 
 
+def ndv_table_files(spark: SparkSession, enc_dir: str, col: str,
+                    preds=None):
+    """``SELECT count(DISTINCT col) [WHERE ...]`` pushed into the encoded
+    format: one row ``(ndv, null_seen)`` — ``ndv`` counts distinct
+    NON-NULL values among matching rows (SQL COUNT DISTINCT semantics)
+    and ``null_seen`` is true iff a MATCHING row is NULL.
+
+    A composition over :func:`distinct_table_files`, so it inherits the
+    whole pushdown shape: string columns resolve from dictionary sidecars
+    without a payload byte, int columns from codec-level distinct (run
+    values / dictionary planes, never row expansion), predicates prune /
+    full-match / mask blocks exactly as in the scan; the final count is a
+    driver-side fold over the ≤ NDV × files shuffled distinct values."""
+    df = distinct_table_files(spark, enc_dir, col, preds=preds)
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.col(col)).cast("bigint").alias("ndv"),
+        (F.count(F.lit(1)) > F.count(F.col(col))).alias("null_seen"),
+    )
+
+
 STATS_PARTIAL_SCHEMA = (
     "col_name string, n_rows bigint, n_nulls bigint, "
     "min_int bigint, max_int bigint, sval string"

@@ -2472,3 +2472,59 @@ def test_or_predicate_pushdown_matches_sql(spark, tmp_path):
         table_files.scan_table_files_where(spark, out, [("or", "tag_n")])
     with pytest.raises(ValueError, match="malformed predicate"):
         table_files.scan_table_files_where(spark, out, [("or",)])
+
+
+def test_ndv_pushdown_matches_sql(spark, tmp_path):
+    """COUNT(DISTINCT) pushdown: exact NDV + null_seen on both column
+    types, under predicates (including an all-pruned conjunction -> 0 /
+    false), vs plain SQL."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 300
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    for col, where, preds in [
+        ("tag_n", "1=1", None),
+        ("v_n", "1=1", None),
+        ("tag_n", "v_n BETWEEN 0 AND 100",
+         [("between", "v_n", 0, 100)]),
+        ("v_n", "tag_n LIKE 'w1%' AND k BETWEEN 100 AND 3000",
+         [("prefix", "tag_n", "w1"), ("between", "k", 100, 3000)]),
+        ("tag_n", "v_n BETWEEN 900 AND 999",
+         [("between", "v_n", 900, 999)]),  # all pruned -> 0 / false
+    ]:
+        r = table_files.ndv_table_files(
+            spark, out, col, preds=preds).collect()[0]
+        w = duckdb.sql(
+            f"SELECT count(DISTINCT {col}), count(*) > count({col}) "
+            f"FROM read_parquet('{src}') WHERE {where}"
+        ).fetchone()
+        assert (r["ndv"], r["null_seen"]) == (w[0], w[1]), (col, where)
