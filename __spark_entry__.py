@@ -1526,6 +1526,57 @@ def _q_neg_pred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY pushdown
+    (:func:`rlv.table_files.agg_table_files_by` with a column LIST):
+    ``GROUP BY pri_n, bucket_n`` (string × int, both nullable — NULLs
+    participate in key TUPLES, SQL multi-key semantics) computed from the
+    blocks under a zone-map range predicate; per block each key column
+    maps to a dense local id and the mixed-radix composite aggregates
+    once via argsort+reduceat, so per-group Python stays O(key tuples).
+    The oracle is the plain SQL two-column GROUP BY."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_mga_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 11 = 6 THEN NULL "
+        "     ELSE o_custkey % 4 END AS bucket_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey", "bucket_n"],
+        str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    got = TF.agg_table_files_by(
+        spark, out, "opt_custkey", ["pri_n", "bucket_n"],
+        preds=[("between", "o_orderkey", 100, 13000)],
+    )
+    # NULL keys stay distinct groups through the engine; the projection
+    # names them with sentinels so the sorted-row compare is total
+    return got.select(
+        F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("pri_n"),
+        F.coalesce(F.col("bucket_n").cast("bigint"), F.lit(-1))
+        .alias("bucket_n"),
+        "n_rows", "n_vals", "sum_val", "min_val", "max_val",
+    )
+
+
 def _q_ndv_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) pushdown
     (:func:`rlv.table_files.ndv_table_files`): the exact distinct COUNT
@@ -2782,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neg_pred_agg": _q_neg_pred_agg,
         "or_pushdown": _q_or_pushdown,
         "ndv_pushdown": _q_ndv_pushdown,
+        "multi_group_agg": _q_multi_group_agg,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3525,6 +3577,28 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM v
 WHERE custkey_n IS NULL
   AND pri_n <> '1-URGENT'
+""",
+        "multi_group_agg": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 11 = 6 THEN NULL
+              ELSE o_custkey % 4 END AS bucket_n
+  FROM orders
+)
+SELECT COALESCE(pri_n, '~null~') AS pri_n,
+       CAST(COALESCE(bucket_n, -1) AS BIGINT) AS bucket_n,
+       count(*) AS n_rows,
+       count(opt_custkey) AS n_vals,
+       CAST(sum(opt_custkey) AS DECIMAL(38,0)) AS sum_val,
+       CAST(min(opt_custkey) AS BIGINT) AS min_val,
+       CAST(max(opt_custkey) AS BIGINT) AS max_val
+FROM v
+WHERE o_orderkey BETWEEN 100 AND 13000
+GROUP BY pri_n, bucket_n
 """,
         "ndv_pushdown": """
 WITH v AS (

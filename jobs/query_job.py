@@ -20,7 +20,8 @@ Cluster:
         --data s3://bucket/enc --where '[["between","v",0,9]]' \
         --columns k,v --output s3://bucket/result
     spark-submit ... jobs/query_job.py agg --data ... --value v --where ...
-    spark-submit ... jobs/query_job.py group --data ... --value v --by tag
+    spark-submit ... jobs/query_job.py group --data ... --value v \
+        --by tag[,band,...]
     spark-submit ... jobs/query_job.py topk --data ... --col v -k 100
     spark-submit ... jobs/query_job.py distinct --data ... --col tag
     spark-submit ... jobs/query_job.py ndv --data ... --col tag --where ...
@@ -70,7 +71,8 @@ def main(argv=None) -> int:
     ap.add_argument("--col", default=None,
                     help="topk sort / distinct column")
     ap.add_argument("--value", default=None, help="aggregate value column")
-    ap.add_argument("--by", default=None, help="GROUP BY column")
+    ap.add_argument("--by", default=None,
+                    help="GROUP BY column(s), comma-separated")
     ap.add_argument("-k", type=int, default=100, help="topk k")
     ap.add_argument("--desc", action="store_true")
     ap.add_argument("--cluster-by", default=None, help="ctas re-cluster")
@@ -130,8 +132,9 @@ def main(argv=None) -> int:
     elif args.action == "group":
         if not args.value or not args.by:
             ap.error("group requires --value and --by")
+        by = args.by.split(",") if "," in args.by else args.by
         df = TF.agg_table_files_by(
-            spark, args.data, args.value, args.by, preds=preds
+            spark, args.data, args.value, by, preds=preds
         ).withColumn("sum_val", F.col("sum_val").cast("string"))
         _emit(df, False)
     elif args.action == "topk":

@@ -2889,6 +2889,7 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                     pred_cls: list[dict] = []
                     mem_codes: list[dict] = []
                     mem_full: list[set] = []
+                    or_data: list[tuple] = []
                     cls = {k: "full" for k in keys}
                 else:
                     pred_cls, mem_codes, mem_full, or_data = _pred_classify(
@@ -3054,6 +3055,289 @@ def _make_group_agg_worker(value_col: str, group_col: str,
     return run_group_agg
 
 
+def _make_multi_group_agg_worker(value_col: str, group_cols: list[str],
+                                 str_groups: set[str],
+                                 preds: list[dict],
+                                 symbols_hex: tuple[str, ...] | None):
+    """Multi-key grouped-aggregate worker: the composite-key counterpart
+    of :func:`_make_group_agg_worker`.  Per block, each group column maps
+    to a dense local id (dictionary code + 1 for strings, unique-rank + 1
+    for ints, 0 = NULL — so NULLs participate in key TUPLES, SQL multi-key
+    semantics), then the columns combine one at a time in mixed radix with
+    a ``np.unique`` re-densification after each step — composite values
+    never exceed (block distinct) × (radix), so int64 cannot overflow at
+    any ``rows_per_block``.  Aggregation reuses :func:`_group_seg_agg`
+    with a tuple-naming lookup; one partial row per (file, key tuple)."""
+    from rlv.util import tune_malloc
+
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
+    all_cols = list(dict.fromkeys([*group_cols, value_col, *pred_cols]))
+    side_cols = sorted(str_groups)
+
+    def _empty() -> pd.DataFrame:
+        cols = {
+            g: pd.Series(
+                [], dtype=object if g in str_groups else "Int64"
+            )
+            for g in group_cols
+        }
+        cols.update(
+            {
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_vals": pd.Series([], dtype="int64"),
+                "sum_val": pd.Series([], dtype=object),
+                "min_val": pd.Series([], dtype="Int64"),
+                "max_val": pd.Series([], dtype="Int64"),
+            }
+        )
+        return pd.DataFrame(cols)
+
+    def run_multi_group(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                meta = pq.read_table(
+                    path,
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val"],
+                    filters=[("col_name", "in", all_cols)],
+                ).combine_chunks()
+                info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in all_cols
+                }
+                for seq, seg in _split_segments(meta, file_sid):
+                    for name, bi, nv, nn, nr, mn, mx in zip(
+                        seg.column("col_name").to_pylist(),
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
+                    ):
+                        info[name][(seq, int(bi))] = (
+                            int(nv), int(nn), int(nr), int(mn), int(mx)
+                        )
+                keys = set(info[all_cols[0]])
+                for c in all_cols[1:]:
+                    if set(info[c]) != keys:
+                        raise ValueError(
+                            f"columns {all_cols[0]!r} and {c!r} cover "
+                            "different blocks — corrupt dataset"
+                        )
+                for key in keys:
+                    rows0 = info[all_cols[0]][key][0]
+                    for c in all_cols[1:]:
+                        if info[c][key][0] != rows0:
+                            raise ValueError(
+                                f"column {c!r} and {all_cols[0]!r} "
+                                f"disagree on rows in block {key[1]} — "
+                                "corrupt dataset"
+                            )
+                if not preds:
+                    pred_cls: list[dict] = []
+                    mem_codes: list[dict] = []
+                    mem_full: list[set] = []
+                    or_data: list[tuple] = []
+                    cls = {k: "full" for k in keys}
+                else:
+                    pred_cls, mem_codes, mem_full, or_data = _pred_classify(
+                        path, file_sid, info, int_preds, mem_preds,
+                        symbols, or_nodes,
+                    )
+                    cls = {}
+                    for key in keys:
+                        kinds = [cl.get(key) for cl in pred_cls]
+                        if any(k is None for k in kinds):
+                            continue
+                        cls[key] = (
+                            "full" if all(k == "full" for k in kinds)
+                            else "partial"
+                        )
+                if not cls:
+                    yield _empty()
+                    continue
+                surviving_idx = sorted({bi for _, bi in cls})
+
+                def _payloads(col: str, idx: list[int]):
+                    per: dict[tuple[str, int], tuple[int, bytes]] = {}
+                    tbl = pq.read_table(
+                        path,
+                        columns=["split_seq", "block_idx", "n_values",
+                                 "block"],
+                        filters=[("col_name", "=", col),
+                                 ("block_idx", "in", idx)],
+                    ).combine_chunks()
+                    for seq, seg in _split_segments(tbl, file_sid):
+                        for bi, nv, blob in zip(
+                            seg.column("block_idx").to_numpy(),
+                            seg.column("n_values").to_numpy(),
+                            seg.column("block").to_pylist(),
+                        ):
+                            per[(seq, int(bi))] = (int(nv), blob)
+                    return per
+
+                per_by_col = {
+                    c: _payloads(c, surviving_idx)
+                    for c in dict.fromkeys([*group_cols, value_col])
+                }
+                pneed: dict[str, set[int]] = {}
+                for key, kind in cls.items():
+                    if kind != "partial":
+                        continue
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes, or_data):
+                        pneed.setdefault(c, set()).add(key[1])
+                for c, idxs in pneed.items():
+                    if c not in per_by_col:
+                        per_by_col[c] = _payloads(c, sorted(idxs))
+                side = (
+                    _read_dict_sidecar(path, file_sid, col=side_cols)
+                    if side_cols
+                    else {}
+                )
+                acc: dict[tuple, list] = {}
+                for key in sorted(cls):
+                    nv_rows = info[group_cols[0]][key][0]
+                    decoded: dict[str, tuple] = {}
+
+                    def _dec(c, key=key, nv=nv_rows, decoded=decoded):
+                        if c in decoded:
+                            return decoded[c]
+                        per = per_by_col[c]
+                        if key not in per:
+                            raise ValueError(
+                                f"column {c!r} is missing block {key[1]} "
+                                f"of segment {key[0]} — corrupt dataset"
+                            )
+                        pnv, blob = per[key]
+                        if pnv != nv:
+                            raise ValueError(
+                                f"column {c!r} disagrees on rows in block "
+                                f"{key[1]} — corrupt dataset"
+                            )
+                        decoded[c] = B.decode_blocks_batch_nullable(
+                            [blob], np.int64, expected=[nv]
+                        )
+                        return decoded[c]
+
+                    if cls[key] == "full":
+                        mask = np.ones(nv_rows, dtype=bool)
+                    else:
+                        mask = _pred_mask(
+                            key, nv_rows, pred_cls, int_preds, mem_preds,
+                            mem_codes, mem_full, _dec, or_nodes, or_data,
+                        )
+                        if not mask.any():
+                            continue
+                    # per-column dense local ids (0 = NULL) + name slots
+                    comp: np.ndarray | None = None
+                    lookup: list[tuple] = []
+                    for g in group_cols:
+                        gv, _, gvalid = _dec(g)
+                        if g in str_groups:
+                            blob = side.get((key[0], g, key[1]))
+                            if blob is None and bool(gvalid.any()):
+                                raise ValueError(
+                                    f"column {g!r} is missing the "
+                                    f"dictionary for block {key[1]} of "
+                                    f"segment {key[0]} — corrupt dataset"
+                                )
+                            gnames = (
+                                []
+                                if blob is None
+                                else B.decode_strings_arrow(
+                                    blob, symbols
+                                ).to_pylist()
+                            )
+                            names_g = [None, *gnames]
+                            ids = np.where(gvalid, gv + 1, 0)
+                        else:
+                            uniq = np.unique(gv[gvalid])
+                            names_g = [None, *(int(u) for u in uniq)]
+                            ids = np.where(
+                                gvalid, np.searchsorted(uniq, gv) + 1, 0
+                            )
+                        radix = len(names_g)
+                        if comp is None:
+                            dense, inv = np.unique(
+                                ids, return_inverse=True
+                            )
+                            lookup = [(names_g[int(d)],) for d in dense]
+                            comp = inv.astype(np.int64)
+                        else:
+                            dense, inv = np.unique(
+                                comp * radix + ids, return_inverse=True
+                            )
+                            lookup = [
+                                lookup[int(d // radix)]
+                                + (names_g[int(d % radix)],)
+                                for d in dense
+                            ]
+                            comp = inv.astype(np.int64)
+                    vv, _, vvalid = _dec(value_col)
+                    _group_seg_agg(
+                        comp[mask], vv[mask], vvalid[mask], acc,
+                        lookup.__getitem__,
+                    )
+                if not acc:
+                    yield _empty()
+                    continue
+                groups = sorted(
+                    acc,
+                    key=lambda t: tuple(
+                        (v is not None, v) for v in t
+                    ),
+                )
+                cols = {
+                    g: pd.Series(
+                        [t[i] for t in groups],
+                        dtype=object if g in str_groups else "Int64",
+                    )
+                    for i, g in enumerate(group_cols)
+                }
+                cols.update(
+                    {
+                        "n_rows": pd.Series(
+                            [acc[t][0] for t in groups], dtype="int64"
+                        ),
+                        "n_vals": pd.Series(
+                            [acc[t][1] for t in groups], dtype="int64"
+                        ),
+                        "sum_val": pd.Series(
+                            [Decimal(acc[t][2]) for t in groups],
+                            dtype=object,
+                        ),
+                        "min_val": pd.Series(
+                            [acc[t][3] for t in groups], dtype="Int64"
+                        ),
+                        "max_val": pd.Series(
+                            [acc[t][4] for t in groups], dtype="Int64"
+                        ),
+                    }
+                )
+                yield pd.DataFrame(cols)
+
+    return run_multi_group
+
+
 def agg_table_files_by(
     spark: SparkSession, enc_dir: str, value_col: str, group_col: str,
     pred_col: str | None = None, lo: int | None = None,
@@ -3083,17 +3367,40 @@ def agg_table_files_by(
     values, exact decimal(38,0) otherwise).
 
     ``preds`` generalizes the single range to a CONJUNCTION of the same
-    five predicate kinds :func:`scan_table_files_where` takes (mutually
+    predicate kinds :func:`scan_table_files_where` takes (mutually
     exclusive with ``pred_col``/``lo``/``hi``): per-predicate block
     classification and mask semantics are exactly
-    :func:`agg_table_files_where`'s."""
+    :func:`agg_table_files_where`'s.
+
+    ``group_col`` may also be a LIST of columns (``GROUP BY a, b, ...``,
+    any mix of int and string): per block each key column maps to a dense
+    local id (dictionary code for strings, unique rank for ints, with a
+    NULL slot — NULLs participate in key tuples, SQL multi-key
+    semantics), the ids combine in mixed radix with re-densification so
+    the composite can never overflow, and the same argsort+reduceat
+    aggregation runs once over the composite; the shuffle carries
+    ≤ (distinct key tuples) × files partial rows."""
     schema = _require_int_col(enc_dir, value_col)
-    group_is_str = group_col in schema["str_cols"]
-    if not group_is_str and group_col not in schema["int_cols"]:
-        raise ValueError(
-            f"unknown group column {group_col!r}; dataset has "
-            f"int_cols={schema['int_cols']} str_cols={schema['str_cols']}"
-        )
+    if isinstance(group_col, (list, tuple)):
+        group_cols = list(group_col)
+        if len(group_cols) != len(set(group_cols)):
+            raise ValueError(f"duplicate group column in {group_cols}")
+        if not group_cols:
+            raise ValueError("group_col list must name at least one "
+                             "column")
+        if len(group_cols) == 1:
+            group_col = group_cols[0]
+            group_cols = None
+    else:
+        group_cols = None
+    for g in group_cols if group_cols is not None else [group_col]:
+        if g not in schema["str_cols"] and g not in schema["int_cols"]:
+            raise ValueError(
+                f"unknown group column {g!r}; dataset has "
+                f"int_cols={schema['int_cols']} "
+                f"str_cols={schema['str_cols']}"
+            )
+    group_is_str = group_cols is None and group_col in schema["str_cols"]
     if pred_col is not None:
         if preds is not None:
             raise ValueError("pass either pred_col/lo/hi or preds, not both")
@@ -3109,6 +3416,45 @@ def agg_table_files_by(
         specs = _norm_preds(schema, list(preds)) if preds else []
     files = _live_block_files(enc_dir)
     from pyspark.sql import functions as F
+
+    if group_cols is not None:
+        # multi-key GROUP BY: composite dense keys per block, tuple
+        # accumulator, final combine on every key column
+        str_groups = {g for g in group_cols if g in schema["str_cols"]}
+        g_schema = ", ".join(
+            f"`{g}` {'string' if g in str_groups else 'bigint'}"
+            for g in group_cols
+        )
+        out_schema = g_schema + ", " + AGG_PARTIAL_SCHEMA
+        if not files:
+            return spark.createDataFrame([], out_schema)
+        tasks_df = spark.createDataFrame(
+            pd.DataFrame({"file": files})
+        ).repartition(len(files))
+        partials = tasks_df.mapInPandas(
+            _make_multi_group_agg_worker(
+                value_col, group_cols, str_groups, specs,
+                _symbols_hex(enc_dir),
+            ),
+            out_schema,
+        )
+        return partials.groupBy(*group_cols).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
+            F.sum("sum_val").alias("_sum"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        ).select(
+            *group_cols,
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_vals").cast("bigint").alias("n_vals"),
+            F.when(F.col("n_vals") == 0, F.lit(None))
+            .otherwise(F.col("_sum"))
+            .cast("decimal(38,0)")
+            .alias("sum_val"),
+            F.col("min_val").cast("bigint").alias("min_val"),
+            F.col("max_val").cast("bigint").alias("max_val"),
+        )
 
     g_type = "string" if group_is_str else "bigint"
     out_schema = (

@@ -2528,3 +2528,107 @@ def test_ndv_pushdown_matches_sql(spark, tmp_path):
             f"FROM read_parquet('{src}') WHERE {where}"
         ).fetchone()
         assert (r["ndv"], r["null_seen"]) == (w[0], w[1]), (col, where)
+
+
+def test_multi_key_group_by_matches_sql(spark, tmp_path):
+    """Multi-key GROUP BY pushdown: composite dense keys per block must
+    equal plain SQL GROUP BY a, b [, c] on any int/string mix, with NULLs
+    participating in key tuples, under predicates (incl. OR), across
+    compaction; a single-element list degenerates to the single-key path
+    and duplicates are refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 7:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "band_n": pa.array(
+                [None if i % 17 == 5 else f"b{i // 1250}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 11 == 4 else (i * 37) % 5
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"],
+        str_cols=["tag_n", "band_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def norm(t):
+        return tuple((x is not None, x) for x in t)
+
+    def check():
+        for cols, where, preds in [
+            (["tag_n", "v_n"], "1=1", None),
+            (["v_n", "tag_n"], "1=1", None),          # order matters
+            (["tag_n", "band_n", "v_n"], "1=1", None),  # 3 keys, 2 str
+            (["band_n", "v_n"],
+             "(v_n BETWEEN 1 AND 3 OR v_n IS NULL) AND k BETWEEN 100 "
+             "AND 4500",
+             [("or", [("between", "v_n", 1, 3), ("isnull", "v_n")]),
+              ("between", "k", 100, 4500)]),
+        ]:
+            got = sorted(
+                (
+                    tuple(r[c] for c in cols)
+                    + (r["n_rows"], r["n_vals"],
+                       int(r["sum_val"]) if r["sum_val"] is not None
+                       else None, r["min_val"], r["max_val"])
+                    for r in table_files.agg_table_files_by(
+                        spark, out, "k", cols, preds=preds).collect()
+                ),
+                key=lambda t: norm(t[:len(cols)]),
+            )
+            want = sorted(
+                (
+                    tuple(w[:len(cols)])
+                    + (w[len(cols)], w[len(cols) + 1],
+                       int(w[len(cols) + 2])
+                       if w[len(cols) + 2] is not None else None,
+                       w[len(cols) + 3], w[len(cols) + 4])
+                    for w in duckdb.sql(
+                        f"SELECT {', '.join(cols)}, count(*), count(k), "
+                        f"sum(k), min(k), max(k) "
+                        f"FROM read_parquet('{src}') WHERE {where} "
+                        f"GROUP BY {', '.join(cols)}"
+                    ).fetchall()
+                ),
+                key=lambda t: norm(t[:len(cols)]),
+            )
+            assert got == want and len(got) > 0, (cols, where)
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+
+    # single-element list -> single-key path, same columns
+    df = table_files.agg_table_files_by(spark, out, "k", ["tag_n"])
+    assert df.columns == ["tag_n", "n_rows", "n_vals", "sum_val",
+                          "min_val", "max_val"]
+    with pytest.raises(ValueError, match="duplicate group column"):
+        table_files.agg_table_files_by(spark, out, "k",
+                                       ["tag_n", "tag_n"])
+    with pytest.raises(ValueError, match="at least one"):
+        table_files.agg_table_files_by(spark, out, "k", [])
