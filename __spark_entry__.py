@@ -1526,6 +1526,75 @@ def _q_neg_pred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded × encoded join: BOTH sides of a fact/dim join live in our
+    format — the dim side reads through an int-predicate pushdown scan of
+    its own encoded dataset, its surviving keys push into the encoded
+    FACT scan as a dictionary-membership runtime filter
+    (:func:`rlv.table_files.semijoin_scan_table_files`), and the final
+    broadcast join carries the dim attribute.  This is the plan a
+    warehouse runs for a selective star join, with every byte on both
+    sides served by our blocks: dim blocks prune on zone maps, fact
+    blocks containing no surviving dim key never touch payload.  The
+    oracle is the plain SQL join under the same dim filter."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    fact_out = tempfile.mkdtemp(prefix="rlv_ejf_q_")
+    dim_out = tempfile.mkdtemp(prefix="rlv_ejd_q_")
+    fact = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    pq.write_table(fact, f"{fact_out}/_src.parquet", row_group_size=2048)
+    TF.encode_table_files(
+        spark, [f"{fact_out}/_src.parquet"], fact_out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    dim = duckdb.sql(
+        "SELECT row_number() OVER (ORDER BY pri) AS pri_id, pri, pri_len "
+        "FROM (SELECT DISTINCT o_orderpriority AS pri, "
+        "      CAST(length(o_orderpriority) AS BIGINT) AS pri_len "
+        f"     FROM read_parquet('{sf_dir}/orders.parquet'))"
+    ).arrow()
+    pq.write_table(dim, f"{dim_out}/_src.parquet")
+    TF.encode_table_files(
+        spark, [f"{dim_out}/_src.parquet"], dim_out,
+        order_col="pri_id",
+        int_cols=["pri_id", "pri_len"], str_cols=["pri"],
+        rows_per_block=2048, num_tasks=1,
+    )
+    dim_df = TF.scan_table_files_where(
+        spark, dim_out, [("between", "pri_len", 5, 8)],
+        columns=["pri", "pri_len"],
+    )
+    fact_df = TF.semijoin_scan_table_files(
+        spark, fact_out, "pri_n", dim_df, dim_key="pri",
+        columns=["o_orderkey", "pri_n", "opt_custkey"],
+    )
+    return (
+        fact_df.join(F.broadcast(dim_df),
+                     fact_df["pri_n"] == dim_df["pri"])
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "pri_n",
+            F.col("opt_custkey").cast("bigint").alias("opt_custkey"),
+            F.col("pri_len").cast("bigint").alias("pri_len"),
+        )
+    )
+
+
 def _q_multi_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key GROUP BY pushdown
     (:func:`rlv.table_files.agg_table_files_by` with a column LIST):
@@ -2834,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_pushdown": _q_or_pushdown,
         "ndv_pushdown": _q_ndv_pushdown,
         "multi_group_agg": _q_multi_group_agg,
+        "enc_join": _q_enc_join,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3577,6 +3647,26 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM v
 WHERE custkey_n IS NULL
   AND pri_n <> '1-URGENT'
+""",
+        "enc_join": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+),
+d AS (
+  SELECT DISTINCT o_orderpriority AS pri,
+         CAST(length(o_orderpriority) AS BIGINT) AS pri_len
+  FROM orders
+),
+df AS (SELECT * FROM d WHERE pri_len BETWEEN 5 AND 8)
+SELECT CAST(v.o_orderkey AS BIGINT) AS o_orderkey, v.pri_n,
+       CAST(v.opt_custkey AS BIGINT) AS opt_custkey,
+       CAST(df.pri_len AS BIGINT) AS pri_len
+FROM v JOIN df ON v.pri_n = df.pri
 """,
         "multi_group_agg": """
 WITH v AS (
