@@ -25,6 +25,9 @@ Cluster:
     spark-submit ... jobs/query_job.py topk --data ... --col v -k 100
     spark-submit ... jobs/query_job.py distinct --data ... --col tag
     spark-submit ... jobs/query_job.py ndv --data ... --col tag --where ...
+    spark-submit ... jobs/query_job.py explain --data ... --where ...
+        (what WOULD a scan read: block classes + exact payload bytes,
+         from metadata alone)
     spark-submit ... jobs/query_job.py stats --data ...
     spark-submit ... jobs/query_job.py ctas --data ... --output dst \
         --where '[["prefix","tag","w0"]]' [--cluster-by v]
@@ -63,7 +66,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("action", choices=[
         "scan", "agg", "group", "topk", "distinct", "ndv", "stats",
-        "ctas",
+        "ctas", "explain",
     ])
     ap.add_argument("--data", required=True, help="encoded dataset dir")
     ap.add_argument("--where", default=None, help="JSON predicate list")
@@ -157,6 +160,12 @@ def main(argv=None) -> int:
         ).collect()[0].asDict()
     elif args.action == "stats":
         _emit(TF.stats_table_files(spark, args.data), False)
+    elif args.action == "explain":
+        if not preds:
+            ap.error("explain requires --where")
+        out["result"] = TF.explain_scan_table_files(
+            spark, args.data, preds, columns=cols
+        ).collect()[0].asDict()
     else:  # ctas
         if not args.output or not preds:
             ap.error("ctas requires --output and --where")

@@ -3849,6 +3849,167 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
     )
 
 
+EXPLAIN_SCHEMA = (
+    "files bigint, blocks_total bigint, blocks_pruned bigint, "
+    "blocks_full bigint, blocks_partial bigint, rows_total bigint, "
+    "rows_pruned bigint, rows_surviving bigint, payload_bytes bigint"
+)
+
+
+def _make_explain_worker(preds: list[dict], read_cols: list[str],
+                         symbols_hex: tuple[str, ...] | None):
+    """EXPLAIN worker over one blocks file: run the EXACT phase-1
+    classification the scan would run (shared :func:`_pred_classify` —
+    metadata + dictionary sidecars, zero payload bytes) and report what
+    phase 2 WOULD read: per-class block/row counts and the exact sum of
+    surviving blocks' ``enc_bytes`` across the columns the scan fetches
+    (predicate + projected)."""
+    from rlv.util import tune_malloc
+
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
+    all_cols = list(dict.fromkeys([*pred_cols, *read_cols]))
+
+    def run_explain(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                meta = pq.read_table(
+                    path,
+                    columns=["split_seq", "col_name", "block_idx",
+                             "n_values", "n_nulls", "n_runs", "min_val",
+                             "max_val", "enc_bytes"],
+                    filters=[("col_name", "in", all_cols)],
+                ).combine_chunks()
+                info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in all_cols
+                }
+                ebytes: dict[str, dict[tuple[str, int], int]] = {
+                    c: {} for c in all_cols
+                }
+                for seq, seg in _split_segments(meta, file_sid):
+                    for name, bi, nv, nn, nr, mn, mx, eb in zip(
+                        seg.column("col_name").to_pylist(),
+                        seg.column("block_idx").to_numpy(),
+                        seg.column("n_values").to_numpy(),
+                        seg.column("n_nulls").to_numpy(),
+                        seg.column("n_runs").to_numpy(),
+                        seg.column("min_val").to_numpy(),
+                        seg.column("max_val").to_numpy(),
+                        seg.column("enc_bytes").to_numpy(),
+                    ):
+                        key = (seq, int(bi))
+                        info[name][key] = (
+                            int(nv), int(nn), int(nr), int(mn), int(mx)
+                        )
+                        ebytes[name][key] = int(eb)
+                keys = set(info[all_cols[0]])
+                pred_cls, _, _, _ = _pred_classify(
+                    path, file_sid, info, int_preds, mem_preds, symbols,
+                    or_nodes,
+                )
+                n_full = n_part = rows_surv = rows_total = 0
+                payload = 0
+                for key in keys:
+                    nv = info[all_cols[0]][key][0]
+                    rows_total += nv
+                    kinds = [cl.get(key) for cl in pred_cls]
+                    if any(k is None for k in kinds):
+                        continue
+                    if all(k == "full" for k in kinds):
+                        n_full += 1
+                    else:
+                        n_part += 1
+                    rows_surv += nv
+                    payload += sum(
+                        ebytes[c].get(key, 0) for c in all_cols
+                    )
+                yield pd.DataFrame(
+                    {
+                        "files": pd.Series([1], dtype="int64"),
+                        "blocks_total": pd.Series([len(keys)],
+                                                  dtype="int64"),
+                        "blocks_pruned": pd.Series(
+                            [len(keys) - n_full - n_part], dtype="int64"
+                        ),
+                        "blocks_full": pd.Series([n_full], dtype="int64"),
+                        "blocks_partial": pd.Series([n_part],
+                                                    dtype="int64"),
+                        "rows_total": pd.Series([rows_total],
+                                                dtype="int64"),
+                        "rows_pruned": pd.Series(
+                            [rows_total - rows_surv], dtype="int64"
+                        ),
+                        "rows_surviving": pd.Series([rows_surv],
+                                                    dtype="int64"),
+                        "payload_bytes": pd.Series([payload],
+                                                   dtype="int64"),
+                    }
+                )
+
+    return run_explain
+
+
+def explain_scan_table_files(
+    spark: SparkSession, enc_dir: str, preds,
+    columns: list[str] | None = None,
+):
+    """EXPLAIN for the pruned scan: ONE row reporting, from metadata and
+    dictionary sidecars alone (no payload byte is read anywhere in this
+    plan), exactly what :func:`scan_table_files_where` with the same
+    arguments would do — per-class block and row counts (pruned blocks
+    are never fetched; full blocks skip predicate masking; partial blocks
+    decode and mask) and the EXACT payload bytes phase 2 would read
+    (the surviving blocks' recorded ``enc_bytes`` over predicate +
+    projected columns; sizes are exact by wire invariant, so this is the
+    query's true IO bill, not an estimate).  The operator-facing answer
+    to "how much will this query read?" before committing a 100 TB
+    scan."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    specs = _norm_preds(schema, list(preds))
+    pred_cols = _spec_cols(specs)
+    if columns is None:
+        out_names = list(dict.fromkeys([schema["order_col"], *pred_cols]))
+    else:
+        out_names = _scan_out_names(schema, pred_cols[0], columns)
+    worker = _make_explain_worker(
+        specs, out_names, symbols_hex=_symbols_hex(enc_dir),
+    )
+    files = _live_block_files(enc_dir)
+    from pyspark.sql import functions as F
+
+    if not files:
+        parts = spark.createDataFrame([], EXPLAIN_SCHEMA)
+    else:
+        tasks_df = spark.createDataFrame(
+            pd.DataFrame({"file": files})
+        ).repartition(len(files))
+        parts = tasks_df.mapInPandas(worker, EXPLAIN_SCHEMA)
+    return parts.agg(
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
+            for c in [
+                "files", "blocks_total", "blocks_pruned", "blocks_full",
+                "blocks_partial", "rows_total", "rows_pruned",
+                "rows_surviving", "payload_bytes",
+            ]
+        ]
+    )
+
+
 def ndv_table_files(spark: SparkSession, enc_dir: str, col: str,
                     preds=None):
     """``SELECT count(DISTINCT col) [WHERE ...]`` pushed into the encoded

@@ -2632,3 +2632,89 @@ def test_multi_key_group_by_matches_sql(spark, tmp_path):
                                        ["tag_n", "tag_n"])
     with pytest.raises(ValueError, match="at least one"):
         table_files.agg_table_files_by(spark, out, "k", [])
+
+
+def test_explain_scan_reports_exact_plan(spark, tmp_path):
+    """EXPLAIN must report, without reading a payload byte, exactly what
+    the scan would do: class counts tie out against zonemap_stats, the
+    surviving-row bound is exact on block boundaries, payload_bytes under
+    an always-true predicate equals the metadata's enc_bytes sum over the
+    involved columns, and an all-pruned predicate reports zero IO."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    # 1. class counts tie out against zonemap_stats on a pure range
+    lo, hi = 1000, 1999
+    ex = table_files.explain_scan_table_files(
+        spark, out, [("between", "k", lo, hi)], columns=["k", "v_n"]
+    ).collect()[0]
+    zs = table_files.zonemap_stats(out, "k", lo, hi)
+    assert ex["blocks_total"] == zs["blocks_total"]
+    assert ex["blocks_full"] + ex["blocks_partial"] == \
+        zs["blocks_matching"]
+    assert ex["rows_surviving"] == zs["rows_in_matching"]
+    assert ex["rows_total"] == zs["rows_total"] == n
+    # the actual scan returns a subset of the surviving rows
+    got = table_files.scan_table_files(
+        spark, out, "k", lo, hi, columns=["k", "v_n"]).count()
+    assert got <= ex["rows_surviving"]
+    assert ex["payload_bytes"] > 0
+
+    # 2. always-true predicate: payload = full enc_bytes of involved cols
+    ex_all = table_files.explain_scan_table_files(
+        spark, out, [("notnull", "k")], columns=["k", "v_n", "tag_n"]
+    ).collect()[0]
+    want_bytes = 0
+    for f in _glob.glob(f"{out}/blocks/*.parquet"):
+        t = pq.read_table(f, columns=["col_name", "enc_bytes"],
+                          filters=[("col_name", "in",
+                                    ["k", "v_n", "tag_n"])])
+        want_bytes += sum(t.column("enc_bytes").to_pylist())
+    assert ex_all["payload_bytes"] == want_bytes
+    assert ex_all["blocks_pruned"] == 0
+    assert ex_all["rows_surviving"] == n
+
+    # 3. all-pruned: zero IO, full prune accounting
+    ex0 = table_files.explain_scan_table_files(
+        spark, out, [("between", "k", 10 * n, 11 * n)]
+    ).collect()[0]
+    assert ex0["blocks_pruned"] == ex0["blocks_total"] > 0
+    assert ex0["payload_bytes"] == 0 and ex0["rows_surviving"] == 0
+
+    # 4. membership predicates classify through sidecars in the plan
+    exm = table_files.explain_scan_table_files(
+        spark, out,
+        [("eq", "tag_n", "w03"), ("between", "k", 0, 999)],
+    ).collect()[0]
+    assert 0 < exm["blocks_full"] + exm["blocks_partial"] <= \
+        ex["blocks_total"]
