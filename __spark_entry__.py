@@ -1526,6 +1526,48 @@ def _q_neg_pred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column aggregate pushdown
+    (:func:`rlv.table_files.agg_table_files_where` with a value-column
+    LIST): the predicate conjunction classifies and masks ONCE and every
+    listed column aggregates in the same pass — k aggregate sets for one
+    predicate evaluation, one labeled row per column.  The oracle is the
+    per-column SQL aggregate UNION ALL under the same WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_mag_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS opt_custkey, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "opt_custkey", "cents_n"],
+        str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.agg_table_files_where(
+        spark, out, ["cents_n", "opt_custkey"],
+        [("between", "o_orderkey", 50, 12000),
+         ("in", "pri_n", ["2-HIGH", "4-NOT SPECIFIED"])],
+    )
+
+
 def _q_enc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoded × encoded join: BOTH sides of a fact/dim join live in our
     format — the dim side reads through an int-predicate pushdown scan of
@@ -2904,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndv_pushdown": _q_ndv_pushdown,
         "multi_group_agg": _q_multi_group_agg,
         "enc_join": _q_enc_join,
+        "multi_agg": _q_multi_agg,
         "table_stats": _q_table_stats,
         "topk_pushdown": _q_topk_pushdown,
         "doc_length_stats": _q_doc_length_stats,
@@ -3647,6 +3690,36 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM v
 WHERE custkey_n IS NULL
   AND pri_n <> '1-URGENT'
+""",
+        "multi_agg": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS opt_custkey,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+),
+m AS (
+  SELECT * FROM v
+  WHERE o_orderkey BETWEEN 50 AND 12000
+    AND pri_n IN ('2-HIGH', '4-NOT SPECIFIED')
+)
+SELECT 'cents_n' AS val_col, count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS DECIMAL(38,0)) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM m
+UNION ALL
+SELECT 'opt_custkey' AS val_col, count(*) AS n_rows,
+       count(opt_custkey) AS n_vals,
+       CAST(sum(opt_custkey) AS DECIMAL(38,0)) AS sum_val,
+       CAST(min(opt_custkey) AS BIGINT) AS min_val,
+       CAST(max(opt_custkey) AS BIGINT) AS max_val
+FROM m
 """,
         "enc_join": """
 WITH v AS (

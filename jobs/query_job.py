@@ -73,7 +73,8 @@ def main(argv=None) -> int:
     ap.add_argument("--columns", default=None, help="comma-separated")
     ap.add_argument("--col", default=None,
                     help="topk sort / distinct column")
-    ap.add_argument("--value", default=None, help="aggregate value column")
+    ap.add_argument("--value", default=None,
+                    help="aggregate value column(s), comma-separated")
     ap.add_argument("--by", default=None,
                     help="GROUP BY column(s), comma-separated")
     ap.add_argument("-k", type=int, default=100, help="topk k")
@@ -125,13 +126,21 @@ def main(argv=None) -> int:
     elif args.action == "agg":
         if not args.value or not preds:
             ap.error("agg requires --value and --where")
-        row = TF.agg_table_files_where(
-            spark, args.data, args.value, preds
-        ).collect()[0].asDict()
-        row["sum_val"] = (
-            str(row["sum_val"]) if row["sum_val"] is not None else None
+        value = (
+            args.value.split(",") if "," in args.value else args.value
         )
-        out["result"] = row
+        rows = [
+            r.asDict()
+            for r in TF.agg_table_files_where(
+                spark, args.data, value, preds
+            ).collect()
+        ]
+        for row in rows:
+            row["sum_val"] = (
+                str(row["sum_val"]) if row["sum_val"] is not None
+                else None
+            )
+        out["result"] = rows[0] if isinstance(value, str) else rows
     elif args.action == "group":
         if not args.value or not args.by:
             ap.error("group requires --value and --by")

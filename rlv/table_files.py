@@ -2451,22 +2451,24 @@ def _pred_mask(key, nv: int, pred_cls: list[dict],
     return mask
 
 
-def _make_agg_worker(value_col: str, preds: list[dict],
+def _make_agg_worker(value_cols: list[str], preds: list[dict],
                      symbols_hex: tuple[str, ...] | None = None):
     """Aggregate worker over one blocks file for a CONJUNCTION of
     predicates (the specs :func:`_norm_preds` emits — int zone-map ranges
     and string dictionary memberships).  Every predicate classifies each
     block pruned / full-match / partial from metadata (+ sidecars) alone;
     the combined class is pruned if ANY pred prunes, full if ALL preds
-    full-match, else partial.  Full blocks aggregate the value column
+    full-match, else partial.  Full blocks aggregate the value columns
     without decoding any predicate (RLE blocks sum run lists without
     expanding); partial blocks decode ONLY the predicates not full-matching
-    there, AND the masks, and pick the value rows."""
+    there, AND the masks, and pick the value rows.  One pass classifies
+    and masks for ALL value columns: k aggregate sets cost one predicate
+    evaluation, not k.  Emits one labeled row per value column."""
     from rlv.util import tune_malloc
 
     int_preds, mem_preds, or_nodes = _spec_parts(preds)
     pred_cols = _spec_cols(preds)
-    all_cols = list(dict.fromkeys([*pred_cols, value_col]))
+    all_cols = list(dict.fromkeys([*pred_cols, *value_cols]))
 
     def run_agg(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -2547,13 +2549,18 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                         else "partial"
                     )
                 if not cls:
-                    yield _agg_frame(0, 0, 0, None, None)
+                    yield _agg_frame(
+                        value_cols, 0,
+                        {vc: [0, 0, None, None] for vc in value_cols},
+                    )
                     continue
                 surviving_idx = sorted({bi for _, bi in cls})
                 # columns needing payload at partial keys: each pred col
-                # where that pred is not full there, plus the value column
-                # everywhere it survives
-                need: dict[str, set[int]] = {value_col: set(surviving_idx)}
+                # where that pred is not full there, plus the value columns
+                # everywhere they survive
+                need: dict[str, set[int]] = {
+                    vc: set(surviving_idx) for vc in value_cols
+                }
                 for key, kind in cls.items():
                     if kind != "partial":
                         continue
@@ -2579,30 +2586,38 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                             seg.column("block").to_pylist(),
                         ):
                             blobs[(seq, c, int(bi))] = blob
-                n_rows = n_vals = s = 0
-                mn_acc: int | None = None
-                mx_acc: int | None = None
+                n_rows = 0
+                stats: dict[str, list] = {
+                    vc: [0, 0, None, None] for vc in value_cols
+                }
                 for key in sorted(cls):
                     seq, bi = key
-                    nv = info[value_col][key][0]
-                    if (seq, value_col, bi) not in blobs:
-                        raise ValueError(
-                            f"column {value_col!r} is missing block "
-                            f"{bi} of segment {seq} — corrupt dataset"
-                        )
-                    vblob = blobs[(seq, value_col, bi)]
-                    bmn: int | None
-                    bmx: int | None
-                    if cls[key] == "full":
-                        bn, bnv, bs, bmn, bmx = B.agg_block(vblob)
-                        if bn != nv:
+                    nv = info[value_cols[0]][key][0]
+                    for vc in value_cols:
+                        if (seq, vc, bi) not in blobs:
                             raise ValueError(
-                                f"block {bi} declares {nv} rows but "
-                                f"decodes {bn} — corrupt dataset"
+                                f"column {vc!r} is missing block "
+                                f"{bi} of segment {seq} — corrupt dataset"
                             )
-                        n_rows += bn
-                        n_vals += bnv
-                        s += bs
+                    if cls[key] == "full":
+                        n_rows += nv
+                        for vc in value_cols:
+                            bn, bnv, bs, bmn, bmx = B.agg_block(
+                                blobs[(seq, vc, bi)]
+                            )
+                            if bn != nv:
+                                raise ValueError(
+                                    f"block {bi} declares {nv} rows but "
+                                    f"decodes {bn} — corrupt dataset"
+                                )
+                            st = stats[vc]
+                            st[0] += bnv
+                            st[1] += bs
+                            if bmn is not None:
+                                st[2] = bmn if st[2] is None \
+                                    else min(st[2], bmn)
+                                st[3] = bmx if st[3] is None \
+                                    else max(st[3], bmx)
                     else:
                         decoded: dict[str, tuple] = {}
 
@@ -2619,32 +2634,43 @@ def _make_agg_worker(value_col: str, preds: list[dict],
                             mem_codes, mem_full, _dec, or_nodes, or_data,
                         )
                         n_rows += int(mask.sum())
-                        vv, _, vvalid = _dec(value_col)
-                        picked = vv[mask & vvalid]
-                        if picked.size == 0:
-                            continue
-                        n_vals += picked.size
-                        s += B.exact_sum_i64(picked)
-                        bmn, bmx = int(picked.min()), int(picked.max())
-                    if bmn is not None:
-                        mn_acc = bmn if mn_acc is None else min(mn_acc, bmn)
-                        mx_acc = bmx if mx_acc is None else max(mx_acc, bmx)
-                yield _agg_frame(n_rows, n_vals, s, mn_acc, mx_acc)
+                        for vc in value_cols:
+                            vv, _, vvalid = _dec(vc)
+                            picked = vv[mask & vvalid]
+                            if picked.size == 0:
+                                continue
+                            st = stats[vc]
+                            st[0] += picked.size
+                            st[1] += B.exact_sum_i64(picked)
+                            bmn, bmx = int(picked.min()), int(picked.max())
+                            st[2] = bmn if st[2] is None \
+                                else min(st[2], bmn)
+                            st[3] = bmx if st[3] is None \
+                                else max(st[3], bmx)
+                yield _agg_frame(value_cols, n_rows, stats)
 
     return run_agg
 
 
-def _agg_frame(n_rows: int, n_vals: int, s: int,
-               mn: int | None, mx: int | None) -> pd.DataFrame:
+def _agg_frame(value_cols: list[str], n_rows: int,
+               stats: dict[str, list]) -> pd.DataFrame:
     from decimal import Decimal
 
     return pd.DataFrame(
         {
-            "n_rows": pd.Series([n_rows], dtype="int64"),
-            "n_vals": pd.Series([n_vals], dtype="int64"),
-            "sum_val": pd.Series([Decimal(s)], dtype=object),
-            "min_val": pd.Series([mn], dtype="Int64"),
-            "max_val": pd.Series([mx], dtype="Int64"),
+            "val_col": pd.Series(list(value_cols), dtype=object),
+            "n_rows": pd.Series([n_rows] * len(value_cols),
+                                dtype="int64"),
+            "n_vals": pd.Series([stats[vc][0] for vc in value_cols],
+                                dtype="int64"),
+            "sum_val": pd.Series(
+                [Decimal(stats[vc][1]) for vc in value_cols],
+                dtype=object,
+            ),
+            "min_val": pd.Series([stats[vc][2] for vc in value_cols],
+                                 dtype="Int64"),
+            "max_val": pd.Series([stats[vc][3] for vc in value_cols],
+                                 dtype="Int64"),
         }
     )
 
@@ -2701,34 +2727,53 @@ def agg_table_files_where(
     decoding any predicate — RLE sums its run list without expanding), and
     partial otherwise — where only the predicates NOT full-matching that
     block decode.  SQL NULL semantics per predicate and for the value
-    column throughout."""
-    schema = _require_int_col(enc_dir, value_col)
+    column throughout.
+
+    ``value_col`` may be a LIST of int columns: the predicate evaluates
+    ONCE and every listed column aggregates in the same pass (k aggregate
+    sets for one classification + mask), returning one row per column
+    with a leading ``val_col`` label."""
+    multi = isinstance(value_col, (list, tuple))
+    value_cols = list(value_col) if multi else [value_col]
+    if not value_cols:
+        raise ValueError("value_col list must name at least one column")
+    if len(value_cols) != len(set(value_cols)):
+        raise ValueError(f"duplicate value column in {value_cols}")
+    for vc in value_cols:
+        schema = _require_int_col(enc_dir, vc)
     specs = _norm_preds(schema, list(preds))
     worker = _make_agg_worker(
-        value_col, specs, symbols_hex=_symbols_hex(enc_dir)
+        value_cols, specs, symbols_hex=_symbols_hex(enc_dir)
     )
     files = _live_block_files(enc_dir)
     from pyspark.sql import functions as F
 
     if not files:
-        return spark.range(1).select(
+        base = spark.createDataFrame(
+            pd.DataFrame({"val_col": value_cols})
+        ).select(
+            "val_col",
             F.lit(0).cast("bigint").alias("n_rows"),
             F.lit(0).cast("bigint").alias("n_vals"),
             F.lit(None).cast("decimal(38,0)").alias("sum_val"),
             F.lit(None).cast("bigint").alias("min_val"),
             F.lit(None).cast("bigint").alias("max_val"),
         )
+        return base if multi else base.drop("val_col")
     tasks_df = spark.createDataFrame(
         pd.DataFrame({"file": files})
     ).repartition(len(files))
-    partials = tasks_df.mapInPandas(worker, AGG_PARTIAL_SCHEMA)
-    return partials.agg(
+    partials = tasks_df.mapInPandas(
+        worker, "val_col string, " + AGG_PARTIAL_SCHEMA
+    )
+    combined = partials.groupBy("val_col").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_vals").alias("n_vals"),
         F.sum("sum_val").alias("_sum"),
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     ).select(
+        "val_col",
         F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.coalesce(F.col("n_vals"), F.lit(0)).cast("bigint").alias("n_vals"),
         F.when(F.coalesce(F.col("n_vals"), F.lit(0)) == 0, F.lit(None))
@@ -2738,6 +2783,7 @@ def agg_table_files_where(
         F.col("min_val").cast("bigint").alias("min_val"),
         F.col("max_val").cast("bigint").alias("max_val"),
     )
+    return combined if multi else combined.drop("val_col")
 
 
 def _group_seg_agg(keys: np.ndarray, vals: np.ndarray,

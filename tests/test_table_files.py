@@ -2718,3 +2718,76 @@ def test_explain_scan_reports_exact_plan(spark, tmp_path):
     ).collect()[0]
     assert 0 < exm["blocks_full"] + exm["blocks_partial"] <= \
         ex["blocks_total"]
+
+
+def test_multi_value_aggregate_matches_sql(spark, tmp_path):
+    """agg_table_files_where with a value-column LIST: one predicate
+    evaluation aggregates every listed column (labeled rows), equal to
+    the per-column SQL aggregates; the single-column path keeps its
+    classic unlabeled one-row shape; duplicates/empty refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "a_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+            "b_n": pa.array(
+                [None if i % 5 == 2 else (i * 13) % 50 - 25
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "a_n", "b_n"], str_cols=[],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    rows = {r["val_col"]: r for r in table_files.agg_table_files_where(
+        spark, out, ["a_n", "b_n", "k"],
+        [("between", "k", 100, 3500), ("notnull", "a_n")],
+    ).collect()}
+    assert set(rows) == {"a_n", "b_n", "k"}
+    for col in rows:
+        w = duckdb.sql(
+            f"SELECT count(*), count({col}), sum({col}), min({col}), "
+            f"max({col}) FROM read_parquet('{src}') "
+            "WHERE k BETWEEN 100 AND 3500 AND a_n IS NOT NULL"
+        ).fetchone()
+        r = rows[col]
+        assert (r["n_rows"], r["n_vals"], int(r["sum_val"]),
+                r["min_val"], r["max_val"]) == (
+            w[0], w[1], int(w[2]), w[3], w[4]), col
+
+    # single-column path: classic unlabeled one-row shape
+    df = table_files.agg_table_files_where(
+        spark, out, "a_n", [("between", "k", 0, 100)])
+    assert df.columns == ["n_rows", "n_vals", "sum_val", "min_val",
+                          "max_val"]
+    # all-pruned multi: zero rows per column, NULL aggregates
+    empty = {r["val_col"]: (r["n_rows"], r["sum_val"]) for r in
+             table_files.agg_table_files_where(
+                 spark, out, ["a_n", "b_n"],
+                 [("between", "k", 10 * n, 11 * n)]).collect()}
+    assert empty == {"a_n": (0, None), "b_n": (0, None)}
+    with pytest.raises(ValueError, match="duplicate value column"):
+        table_files.agg_table_files_where(
+            spark, out, ["a_n", "a_n"], [("between", "k", 0, 1)])
+    with pytest.raises(ValueError, match="at least one"):
+        table_files.agg_table_files_where(
+            spark, out, [], [("between", "k", 0, 1)])
