@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--work", default="/tmp/rlv_query_drill")
+    ap.add_argument("--compact-target", type=int, default=None,
+                    help="after the first battery, compact the dataset "
+                         "to bins of this many bytes and run the whole "
+                         "battery again (every cross-check re-asserts)")
     args = ap.parse_args(argv)
 
     import duckdb
@@ -100,6 +104,8 @@ def main(argv=None) -> int:
         "queries": {},
     }
 
+    qd = res["queries"]
+
     def timed(name, fn, want=None):
         t = time.monotonic()
         got = fn()
@@ -108,102 +114,118 @@ def main(argv=None) -> int:
         if want is not None:
             assert got == want, f"{name}: {got} != {want}"
             entry["checked"] = got
-        res["queries"][name] = entry
+        qd[name] = entry
         return entry
 
     dsql = lambda q: con.sql(
         q.replace("SRC", f"read_parquet('{work}/src/*.parquet')")
     ).fetchone()
 
-    # 1. full scan (every block decodes): the no-pruning baseline
-    timed("scan_full", lambda: TF.scan_table_files(
-        spark, out, "k", 0, kmax, columns=["k", "cents"]).count(),
-        want=n_rows)
+    def run_battery():
+        # 1. full scan (every block decodes): the no-pruning baseline
+        timed("scan_full", lambda: TF.scan_table_files(
+            spark, out, "k", 0, kmax, columns=["k", "cents"]).count(),
+            want=n_rows)
 
-    # 2. 1% range on the clustered order column
-    lo, hi = kmax // 2, kmax // 2 + kmax // 100
-    e = timed("scan_range_1pct", lambda: TF.scan_table_files(
-        spark, out, "k", lo, hi, columns=["k", "cents"]).count(),
-        want=dsql(f"SELECT count(*) FROM SRC WHERE k BETWEEN {lo} "
-                  f"AND {hi}")[0])
-    zs = TF.zonemap_stats(out, "k", lo, hi)
-    e["blocks_matching"] = zs["blocks_matching"]
-    e["blocks_total"] = zs["blocks_total"]
+        # 2. 1% range on the clustered order column
+        lo, hi = kmax // 2, kmax // 2 + kmax // 100
+        e = timed("scan_range_1pct", lambda: TF.scan_table_files(
+            spark, out, "k", lo, hi, columns=["k", "cents"]).count(),
+            want=dsql(f"SELECT count(*) FROM SRC WHERE k BETWEEN {lo} "
+                      f"AND {hi}")[0])
+        zs = TF.zonemap_stats(out, "k", lo, hi)
+        e["blocks_matching"] = zs["blocks_matching"]
+        e["blocks_total"] = zs["blocks_total"]
 
-    # 3. selective string equality via dictionary sidecars (clerk NDV is
-    #    ~1e5, so a literal appears in O(rows_with_literal) blocks)
-    lit = "Clerk#" + str(
-        dsql("SELECT custkey_n FROM SRC WHERE custkey_n IS NOT NULL "
-             "ORDER BY custkey_n LIMIT 1 OFFSET 1000")[0]
-    ).zfill(6)
-    e = timed("scan_str_eq", lambda: TF.scan_table_files_eq(
-        spark, out, "clerk", lit,
-        columns=["k", "clerk"]).count(),
-        want=dsql(f"SELECT count(*) FROM SRC WHERE clerk = '{lit}'")[0])
-    ss = TF.strdict_stats(out, "clerk", lit)
-    e["blocks_matching"] = ss["blocks_matching"]
-    e["blocks_total"] = ss["blocks_total"]
+        # 3. selective string equality via dictionary sidecars (clerk NDV is
+        #    ~1e5, so a literal appears in O(rows_with_literal) blocks)
+        lit = "Clerk#" + str(
+            dsql("SELECT custkey_n FROM SRC WHERE custkey_n IS NOT NULL "
+                 "ORDER BY custkey_n LIMIT 1 OFFSET 1000")[0]
+        ).zfill(6)
+        e = timed("scan_str_eq", lambda: TF.scan_table_files_eq(
+            spark, out, "clerk", lit,
+            columns=["k", "clerk"]).count(),
+            want=dsql(f"SELECT count(*) FROM SRC WHERE clerk = '{lit}'")[0])
+        ss = TF.strdict_stats(out, "clerk", lit)
+        e["blocks_matching"] = ss["blocks_matching"]
+        e["blocks_total"] = ss["blocks_total"]
 
-    # 4. conjunction: 10% range x IN-list x LIKE-prefix
-    lo10, hi10 = 0, kmax // 10
-    timed("scan_conj", lambda: TF.scan_table_files_where(
-        spark, out,
-        [("between", "k", lo10, hi10),
-         ("in", "pri_n", ["1-URGENT", "5-LOW"]),
-         ("prefix", "clerk", "Clerk#0")],
-        columns=["k", "pri_n", "clerk"]).count(),
-        want=dsql(f"SELECT count(*) FROM SRC WHERE k BETWEEN {lo10} AND "
-                  f"{hi10} AND pri_n IN ('1-URGENT','5-LOW') AND clerk "
-                  "LIKE 'Clerk#0%'")[0])
-
-    # 5. decode-free aggregate (full-range predicate: every block
-    #    full-matches, value blocks aggregate from run lists)
-    def agg_full():
-        r = TF.agg_table_files(
-            spark, out, "cents", "k", 0, kmax).collect()[0]
-        return (r["n_rows"], int(r["sum_val"]))
-    timed("agg_pushdown_full", agg_full,
-          want=tuple(dsql("SELECT count(*), sum(cents) FROM SRC")))
-
-    # 6. aggregate under the conjunction
-    def agg_sel():
-        r = TF.agg_table_files_where(
-            spark, out, "cents",
+        # 4. conjunction: 10% range x IN-list x LIKE-prefix
+        lo10, hi10 = 0, kmax // 10
+        timed("scan_conj", lambda: TF.scan_table_files_where(
+            spark, out,
             [("between", "k", lo10, hi10),
-             ("in", "pri_n", ["1-URGENT", "5-LOW"])]).collect()[0]
-        return (r["n_rows"], int(r["sum_val"]))
-    timed("agg_pushdown_conj", agg_sel,
-          want=tuple(dsql(
-              f"SELECT count(*), sum(cents) FROM SRC WHERE k BETWEEN "
-              f"{lo10} AND {hi10} AND pri_n IN ('1-URGENT','5-LOW')")))
+             ("in", "pri_n", ["1-URGENT", "5-LOW"]),
+             ("prefix", "clerk", "Clerk#0")],
+            columns=["k", "pri_n", "clerk"]).count(),
+            want=dsql(f"SELECT count(*) FROM SRC WHERE k BETWEEN {lo10} AND "
+                      f"{hi10} AND pri_n IN ('1-URGENT','5-LOW') AND clerk "
+                      "LIKE 'Clerk#0%'")[0])
 
-    # 7. top-k without a full sort
-    def topk():
-        rows = TF.topk_table_files(
-            spark, out, "cents", 100, ascending=False,
-            columns=["k", "cents"]).collect()
-        return (len(rows), min(r["cents"] for r in rows))
-    timed("topk_100", topk,
-          want=(100, dsql("SELECT min(cents) FROM (SELECT cents FROM SRC "
-                          "ORDER BY cents DESC LIMIT 100)")[0]))
+        # 5. decode-free aggregate (full-range predicate: every block
+        #    full-matches, value blocks aggregate from run lists)
+        def agg_full():
+            r = TF.agg_table_files(
+                spark, out, "cents", "k", 0, kmax).collect()[0]
+            return (r["n_rows"], int(r["sum_val"]))
+        timed("agg_pushdown_full", agg_full,
+              want=tuple(dsql("SELECT count(*), sum(cents) FROM SRC")))
 
-    # 8. metadata-only DISTINCT (no payload byte read)
-    timed("distinct_meta", lambda: TF.distinct_table_files(
-        spark, out, "pri_n").count(),
-        want=dsql("SELECT count(*) FROM (SELECT DISTINCT pri_n "
-                  "FROM SRC)")[0])
+        # 6. aggregate under the conjunction
+        def agg_sel():
+            r = TF.agg_table_files_where(
+                spark, out, "cents",
+                [("between", "k", lo10, hi10),
+                 ("in", "pri_n", ["1-URGENT", "5-LOW"])]).collect()[0]
+            return (r["n_rows"], int(r["sum_val"]))
+        timed("agg_pushdown_conj", agg_sel,
+              want=tuple(dsql(
+                  f"SELECT count(*), sum(cents) FROM SRC WHERE k BETWEEN "
+                  f"{lo10} AND {hi10} AND pri_n IN ('1-URGENT','5-LOW')")))
 
-    # 9. metadata-only ANALYZE
-    timed("analyze_meta", lambda: TF.stats_table_files(spark, out).count(),
-          want=5)
+        # 7. top-k without a full sort
+        def topk():
+            rows = TF.topk_table_files(
+                spark, out, "cents", 100, ascending=False,
+                columns=["k", "cents"]).collect()
+            return (len(rows), min(r["cents"] for r in rows))
+        timed("topk_100", topk,
+              want=(100, dsql("SELECT min(cents) FROM (SELECT cents FROM SRC "
+                              "ORDER BY cents DESC LIMIT 100)")[0]))
 
-    # 10. OR node: validity branch x tiny range branch
-    timed("scan_or_isnull", lambda: TF.scan_table_files_where(
-        spark, out,
-        [("or", [("isnull", "custkey_n"), ("between", "k", 0, 1000)])],
-        columns=["k", "custkey_n"]).count(),
-        want=dsql("SELECT count(*) FROM SRC WHERE custkey_n IS NULL OR "
-                  "k BETWEEN 0 AND 1000")[0])
+        # 8. metadata-only DISTINCT (no payload byte read)
+        timed("distinct_meta", lambda: TF.distinct_table_files(
+            spark, out, "pri_n").count(),
+            want=dsql("SELECT count(*) FROM (SELECT DISTINCT pri_n "
+                      "FROM SRC)")[0])
+
+        # 9. metadata-only ANALYZE
+        timed("analyze_meta", lambda: TF.stats_table_files(spark, out).count(),
+              want=5)
+
+        # 10. OR node: validity branch x tiny range branch
+        timed("scan_or_isnull", lambda: TF.scan_table_files_where(
+            spark, out,
+            [("or", [("isnull", "custkey_n"), ("between", "k", 0, 1000)])],
+            columns=["k", "custkey_n"]).count(),
+            want=dsql("SELECT count(*) FROM SRC WHERE custkey_n IS NULL OR "
+                      "k BETWEEN 0 AND 1000")[0])
+
+    run_battery()
+    if args.compact_target:
+        from rlv import engine_files
+
+        t1 = time.monotonic()
+        c = engine_files.compact_blocks(
+            spark, out, target_bytes=args.compact_target)
+        res["compaction"] = {
+            "sec": round(time.monotonic() - t1, 2),
+            "bins_written": c["bins_written"],
+            "files_absorbed": c["files_absorbed"],
+        }
+        qd = res["queries_after_compaction"] = {}
+        run_battery()
 
     print(json.dumps(res))
     spark.stop()
