@@ -1069,15 +1069,13 @@ def _literals_matcher(values: tuple[bytes, ...]):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        hits = sorted(
-            h
-            for h in (
-                pc.index(uniq, pa.scalar(v, uniq.type)).as_py()
-                for v in values
-            )
-            if h >= 0
-        )
-        return np.asarray(hits, np.int64)
+        # one is_in pass over the dictionary: O(ndv + literals), not a
+        # full-dictionary pc.index scan per literal (the DPP path routes
+        # up to 10k keys through here)
+        mask = pc.is_in(
+            uniq, value_set=pa.array(values, uniq.type)
+        ).to_numpy(zero_copy_only=False)
+        return np.flatnonzero(mask).astype(np.int64)
 
     return match
 
@@ -1874,6 +1872,14 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                 "eq_single": v if kind == "eq" else None,
             })
         elif kind in ("in", "not_in"):
+            if isinstance(p[2], (str, bytes)):
+                # a bare string would iterate as characters and silently
+                # match per-character literals
+                raise ValueError(
+                    f"{kind} predicate takes a list of literals, got a "
+                    f"single string {p[2]!r}; use ('eq', col, value) for "
+                    "one literal"
+                )
             uniq = tuple(sorted({v.encode("utf-8") for v in p[2]}))
             if not uniq:
                 raise ValueError(f"{kind} predicate needs at least one "
