@@ -572,6 +572,7 @@ def _read_dict_sidecar(
     blocks_path: str, default_seq: str,
     col: str | list[str] | None = None,
     block_idx: list[int] | None = None,
+    seg: str | None = None,
 ) -> dict[tuple[str, str, int], bytes]:
     """{(split_seq, col_name, block_idx): STRDICT dict block} for one blocks
     file (empty when the dataset has no string columns).  ``split_seq``
@@ -582,7 +583,10 @@ def _read_dict_sidecar(
     :func:`scan_table_files_eq`; the projection pass of both scans);
     ``block_idx`` additionally restricts to those block ordinals (the
     over-read across compacted segments is harmless — callers key by
-    (seq, col, block))."""
+    (seq, col, block)); ``seg`` restricts a segment-scoped task of a
+    compacted file to its own split's dictionaries (merged sidecars carry
+    the ``split_seq`` column and one row group per segment, so the filter
+    prunes the read exactly)."""
     import pyarrow.parquet as pq
 
     spath = os.path.join(
@@ -596,6 +600,8 @@ def _read_dict_sidecar(
         filters.append(("col_name", "in", cols))
     if block_idx is not None:
         filters.append(("block_idx", "in", list(block_idx)))
+    if seg is not None:
+        filters.append(("split_seq", "=", seg))
     side: dict[tuple[str, str, int], bytes] = {}
     if os.path.exists(spath):
         stbl = pq.read_table(
@@ -2305,12 +2311,12 @@ def _int_leaf_class_map(p: dict, col_info: dict) -> dict:
 
 
 def _mem_leaf_classify(path: str, file_sid: str, info: dict, p: dict,
-                       symbols):
+                       symbols, seg: str | None = None):
     """Class map + matching code sets + whole-dictionary keys of one
     membership predicate (reads the column's dictionary sidecar)."""
     from rlv import blocks as B
 
-    side = _read_dict_sidecar(path, file_sid, col=p["col"])
+    side = _read_dict_sidecar(path, file_sid, col=p["col"], seg=seg)
     cl: dict = {}
     codes: dict = {}
     whole: set = set()
@@ -2334,7 +2340,8 @@ def _mem_leaf_classify(path: str, file_sid: str, info: dict, p: dict,
 
 def _pred_classify(path: str, file_sid: str, info: dict,
                    int_preds: list[dict], mem_preds: list[dict], symbols,
-                   or_nodes: list[list[dict]] = ()):
+                   or_nodes: list[list[dict]] = (),
+                   seg: str | None = None):
     """Phase-1 per-predicate block classification from metadata alone
     (+ dictionary sidecars for member preds): returns
     ``(pred_cls, mem_codes, mem_full, or_data)`` — ``pred_cls`` lists the
@@ -2354,7 +2361,7 @@ def _pred_classify(path: str, file_sid: str, info: dict,
     mem_full: list[set] = []
     for p in mem_preds:
         cl, codes, whole = _mem_leaf_classify(
-            path, file_sid, info, p, symbols
+            path, file_sid, info, p, symbols, seg=seg
         )
         pred_cls.append(cl)
         mem_codes.append(codes)
@@ -2370,7 +2377,7 @@ def _pred_classify(path: str, file_sid: str, info: dict,
                 leaf_mem.append(None)
             else:
                 cl, codes, whole = _mem_leaf_classify(
-                    path, file_sid, info, leaf, symbols
+                    path, file_sid, info, leaf, symbols, seg=seg
                 )
                 leaf_cls.append(cl)
                 leaf_mem.append((codes, whole))
@@ -2457,6 +2464,139 @@ def _pred_mask(key, nv: int, pred_cls: list[dict],
     return mask
 
 
+def _task_seg(row) -> str | None:
+    """Segment a task row is scoped to (None = the whole file): workers
+    read it from the optional ``segment`` task column so a compacted file
+    fans out to one task per absorbed split."""
+    seg = row.get("segment")
+    if seg is None or (isinstance(seg, float) and np.isnan(seg)):
+        return None
+    return str(seg)
+
+
+def _classify_file(path: str, file_sid: str, seg: str | None,
+                   all_cols: list[str], int_preds: list[dict],
+                   mem_preds: list[dict], or_nodes: list[list[dict]],
+                   symbols, with_enc_bytes: bool = False):
+    """Shared phase 1 of every per-file pushdown worker (agg / group /
+    distinct / top-k / explain): ONE payload-free metadata read over the
+    involved columns, the per-(segment, block) info map, the inventory
+    cross-checks (every column covers the same keys with the same row
+    counts — a lost column fails loudly instead of silently
+    undercounting), predicate classification, and the combined class per
+    key: pruned if ANY predicate prunes, full if ALL full-match, else
+    partial; no predicates = every key full.
+
+    ``seg`` scopes a segment task of a compacted file to its own split
+    (the ``split_seq`` filter prunes to that segment's row groups).
+    Returns ``(info, keys, cls, pred_cls, mem_codes, mem_full, or_data,
+    ebytes)`` — ``ebytes`` is the per-column ``{key: enc_bytes}`` map when
+    ``with_enc_bytes`` else None."""
+    import pyarrow.parquet as pq
+
+    meta_cols = ["split_seq", "col_name", "block_idx", "n_values",
+                 "n_nulls", "n_runs", "min_val", "max_val"]
+    if with_enc_bytes:
+        meta_cols.append("enc_bytes")
+    filters: list = [("col_name", "in", all_cols)]
+    if seg is not None:
+        filters.append(("split_seq", "=", seg))
+    meta = pq.read_table(
+        path, columns=meta_cols, filters=filters,
+    ).combine_chunks()
+    info: dict[str, dict[tuple[str, int], tuple]] = {
+        c: {} for c in all_cols
+    }
+    ebytes: dict[str, dict[tuple[str, int], int]] | None = (
+        {c: {} for c in all_cols} if with_enc_bytes else None
+    )
+    for sid, segment in _split_segments(meta, file_sid):
+        cols = [
+            segment.column("col_name").to_pylist(),
+            segment.column("block_idx").to_numpy(),
+            segment.column("n_values").to_numpy(),
+            segment.column("n_nulls").to_numpy(),
+            segment.column("n_runs").to_numpy(),
+            segment.column("min_val").to_numpy(),
+            segment.column("max_val").to_numpy(),
+        ]
+        if with_enc_bytes:
+            cols.append(segment.column("enc_bytes").to_numpy())
+        for name, bi, nv, nn, nr, mn, mx, *rest in zip(*cols):
+            key = (sid, int(bi))
+            info[name][key] = (
+                int(nv), int(nn), int(nr), int(mn), int(mx)
+            )
+            if with_enc_bytes:
+                ebytes[name][key] = int(rest[0])
+    keys = set(info[all_cols[0]])
+    for c in all_cols[1:]:
+        if set(info[c]) != keys:
+            raise ValueError(
+                f"columns {all_cols[0]!r} and {c!r} cover different "
+                "blocks — corrupt dataset"
+            )
+    for key in keys:
+        rows0 = info[all_cols[0]][key][0]
+        for c in all_cols[1:]:
+            if info[c][key][0] != rows0:
+                raise ValueError(
+                    f"column {c!r} and {all_cols[0]!r} disagree on rows "
+                    f"in block {key[1]} — corrupt dataset"
+                )
+    if int_preds or mem_preds or or_nodes:
+        pred_cls, mem_codes, mem_full, or_data = _pred_classify(
+            path, file_sid, info, int_preds, mem_preds, symbols,
+            or_nodes, seg=seg,
+        )
+        cls: dict[tuple[str, int], str] = {}
+        for key in keys:
+            kinds = [cl.get(key) for cl in pred_cls]
+            if any(k is None for k in kinds):
+                continue
+            cls[key] = (
+                "full" if all(k == "full" for k in kinds) else "partial"
+            )
+    else:
+        pred_cls, mem_codes, mem_full, or_data = [], [], [], []
+        cls = {k: "full" for k in keys}
+    return info, keys, cls, pred_cls, mem_codes, mem_full, or_data, ebytes
+
+
+def _fetch_payloads(path: str, file_sid: str, seg: str | None,
+                    need: dict[str, set[int]]
+                    ) -> dict[tuple[str, str, int], bytes]:
+    """Shared phase 2 of the pushdown workers: one filtered payload read
+    per needed column, returning ``{(split_seq, col, block_idx): blob}``.
+    The ``block_idx`` in-filter over-reads only ordinals needed in another
+    segment of a compacted file (callers look up exact keys); a
+    segment-scoped task pushes the ``split_seq`` filter so the read prunes
+    to its own row groups instead."""
+    import pyarrow.parquet as pq
+
+    blobs: dict[tuple[str, str, int], bytes] = {}
+    for c in sorted(need):
+        idxs = need[c]
+        if not idxs:
+            continue
+        filters: list = [("col_name", "=", c),
+                         ("block_idx", "in", sorted(idxs))]
+        if seg is not None:
+            filters.append(("split_seq", "=", seg))
+        t = pq.read_table(
+            path,
+            columns=["split_seq", "block_idx", "block"],
+            filters=filters,
+        ).combine_chunks()
+        for sid, segment in _split_segments(t, file_sid):
+            for bi, blob in zip(
+                segment.column("block_idx").to_numpy(),
+                segment.column("block").to_pylist(),
+            ):
+                blobs[(sid, c, int(bi))] = blob
+    return blobs
+
+
 def _make_agg_worker(value_cols: list[str], preds: list[dict],
                      symbols_hex: tuple[str, ...] | None = None):
     """Aggregate worker over one blocks file for a CONJUNCTION of
@@ -2477,7 +2617,6 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
     all_cols = list(dict.fromkeys([*pred_cols, *value_cols]))
 
     def run_agg(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
 
         from rlv import blocks as B
 
@@ -2491,68 +2630,16 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
                 # phase 1 — METADATA for every involved column in one
                 # payload-free read; member preds additionally decode their
                 # (small) dictionary sidecars.  `full` blocks match every
                 # row without decoding the predicate; `partial` blocks
                 # decode; the rest are pruned and never read again.
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_nulls", "n_runs", "min_val",
-                             "max_val"],
-                    filters=[("col_name", "in", all_cols)],
-                ).combine_chunks()
-                info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in all_cols
-                }
-                for seq, seg in _split_segments(meta, file_sid):
-                    for name, bi, nv, nn, nr, mn, mx in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                    ):
-                        info[name][(seq, int(bi))] = (
-                            int(nv), int(nn), int(nr), int(mn), int(mx)
-                        )
-                # inventory cross-check BEFORE any early exit: every
-                # involved column must cover the same (segment, block)
-                # keys, or a lost column (partial write, bad compaction)
-                # would silently undercount
-                keys = set(info[all_cols[0]])
-                for c in all_cols[1:]:
-                    if set(info[c]) != keys:
-                        raise ValueError(
-                            f"columns {all_cols[0]!r} and {c!r} cover "
-                            "different blocks — corrupt dataset"
-                        )
-                for key in keys:
-                    rows0 = info[all_cols[0]][key][0]
-                    for c in all_cols[1:]:
-                        if info[c][key][0] != rows0:
-                            raise ValueError(
-                                f"column {c!r} and {all_cols[0]!r} disagree "
-                                f"on rows in block {key[1]} — corrupt "
-                                "dataset"
-                            )
-                pred_cls, mem_codes, mem_full, or_data = _pred_classify(
-                    path, file_sid, info, int_preds, mem_preds, symbols,
-                    or_nodes,
-                )
-                # combined class: pruned if ANY pred pruned, full if ALL
-                # full, else partial
-                cls: dict[tuple[str, int], str] = {}
-                for key in keys:
-                    kinds = [cl.get(key) for cl in pred_cls]
-                    if any(k is None for k in kinds):
-                        continue
-                    cls[key] = (
-                        "full" if all(k == "full" for k in kinds)
-                        else "partial"
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
                     )
                 if not cls:
                     yield _agg_frame(
@@ -2574,24 +2661,8 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
                                              mem_preds, or_nodes, or_data):
                         need.setdefault(c, set()).add(key[1])
                 # phase 2 — payloads for needed (column, ordinal) pairs
-                # only (the in-filters over-read only ordinals needed in
-                # another segment; per-key lookups below are exact)
-                blobs: dict[tuple[str, str, int], bytes] = {}
-                for c, idxs in need.items():
-                    if not idxs:
-                        continue
-                    t = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx", "block"],
-                        filters=[("col_name", "=", c),
-                                 ("block_idx", "in", sorted(idxs))],
-                    ).combine_chunks()
-                    for seq, seg in _split_segments(t, file_sid):
-                        for bi, blob in zip(
-                            seg.column("block_idx").to_numpy(),
-                            seg.column("block").to_pylist(),
-                        ):
-                            blobs[(seq, c, int(bi))] = blob
+                # only (per-key lookups below are exact)
+                blobs = _fetch_payloads(path, file_sid, seg, need)
                 n_rows = 0
                 stats: dict[str, list] = {
                     vc: [0, 0, None, None] for vc in value_cols
@@ -2878,8 +2949,6 @@ def _make_group_agg_worker(value_col: str, group_col: str,
     ) -> Iterator[pd.DataFrame]:
         from decimal import Decimal
 
-        import pyarrow.parquet as pq
-
         from rlv import blocks as B
 
         tune_malloc()
@@ -2892,117 +2961,36 @@ def _make_group_agg_worker(value_col: str, group_col: str,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # phase 1a — METADATA for every involved column in one
-                # payload-free read; the inventory cross-check runs BEFORE
-                # any early exit so a lost column fails loudly instead of
-                # silently undercounting
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_nulls", "n_runs", "min_val",
-                             "max_val"],
-                    filters=[("col_name", "in", all_cols)],
-                ).combine_chunks()
-                info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in all_cols
-                }
-                for seq, seg in _split_segments(meta, file_sid):
-                    for name, bi, nv, nn, nr, mn, mx in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                    ):
-                        info[name][(seq, int(bi))] = (
-                            int(nv), int(nn), int(nr), int(mn), int(mx)
-                        )
-                keys = set(info[all_cols[0]])
-                for c in all_cols[1:]:
-                    if set(info[c]) != keys:
-                        raise ValueError(
-                            f"columns {all_cols[0]!r} and {c!r} cover "
-                            "different blocks — corrupt dataset"
-                        )
-                for key in keys:
-                    rows0 = info[all_cols[0]][key][0]
-                    for c in all_cols[1:]:
-                        if info[c][key][0] != rows0:
-                            raise ValueError(
-                                f"column {c!r} and {all_cols[0]!r} disagree "
-                                f"on rows in block {key[1]} — corrupt "
-                                "dataset"
-                            )
-                # phase 1b — per-predicate classification, combined:
-                # pruned if ANY pred pruned, full if ALL full, else partial
-                if not preds:
-                    pred_cls: list[dict] = []
-                    mem_codes: list[dict] = []
-                    mem_full: list[set] = []
-                    or_data: list[tuple] = []
-                    cls = {k: "full" for k in keys}
-                else:
-                    pred_cls, mem_codes, mem_full, or_data = _pred_classify(
-                        path, file_sid, info, int_preds, mem_preds,
-                        symbols, or_nodes,
+                seg = _task_seg(row)
+                # phase 1 — one payload-free metadata read, inventory
+                # cross-checks, combined pruned/full/partial class
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
                     )
-                    cls = {}
-                    for key in keys:
-                        kinds = [cl.get(key) for cl in pred_cls]
-                        if any(k is None for k in kinds):
-                            continue
-                        cls[key] = (
-                            "full" if all(k == "full" for k in kinds)
-                            else "partial"
-                        )
                 if not cls:
                     yield _empty()
                     continue
-                surviving_idx = sorted({bi for _, bi in cls})
+                surviving_idx = {bi for _, bi in cls}
 
-                # phase 2 — payloads for survivors only (the in-filter
-                # over-reads ordinals surviving in another segment; the
-                # keyed loop below prunes segments exactly)
-                def _payloads(col: str, idx: list[int]):
-                    per: dict[tuple[str, int], tuple[int, bytes]] = {}
-                    tbl = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx", "n_values",
-                                 "block"],
-                        filters=[("col_name", "=", col),
-                                 ("block_idx", "in", idx)],
-                    ).combine_chunks()
-                    for seq, seg in _split_segments(tbl, file_sid):
-                        for bi, nv, blob in zip(
-                            seg.column("block_idx").to_numpy(),
-                            seg.column("n_values").to_numpy(),
-                            seg.column("block").to_pylist(),
-                        ):
-                            per[(seq, int(bi))] = (int(nv), blob)
-                    return per
-
-                per_by_col = {group_col: _payloads(group_col,
-                                                   surviving_idx)}
-                if value_col not in per_by_col:
-                    per_by_col[value_col] = _payloads(
-                        value_col, surviving_idx
-                    )
-                # predicate payloads: per column, only the ordinals where
-                # some partial block needs that predicate decoded
-                pneed: dict[str, set[int]] = {}
+                # phase 2 — group/value payloads for survivors only;
+                # predicate payloads only at the ordinals where some
+                # partial block needs that predicate decoded
+                need: dict[str, set[int]] = {
+                    group_col: set(surviving_idx),
+                    value_col: set(surviving_idx),
+                }
                 for key, kind in cls.items():
                     if kind != "partial":
                         continue
                     for c in _pred_need_cols(key, pred_cls, int_preds,
                                              mem_preds, or_nodes, or_data):
-                        pneed.setdefault(c, set()).add(key[1])
-                for c, idxs in pneed.items():
-                    if c not in per_by_col:
-                        per_by_col[c] = _payloads(c, sorted(idxs))
+                        need.setdefault(c, set()).add(key[1])
+                blobs = _fetch_payloads(path, file_sid, seg, need)
                 side = (
-                    _read_dict_sidecar(path, file_sid, col=group_col)
+                    _read_dict_sidecar(path, file_sid, col=group_col,
+                                       seg=seg)
                     if group_is_str
                     else None
                 )
@@ -3014,20 +3002,14 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                     def _dec(c, key=key, nv=nv_rows, decoded=decoded):
                         if c in decoded:
                             return decoded[c]
-                        per = per_by_col[c]
-                        if key not in per:
+                        if (key[0], c, key[1]) not in blobs:
                             raise ValueError(
                                 f"column {c!r} is missing block {key[1]} "
                                 f"of segment {key[0]} — corrupt dataset"
                             )
-                        pnv, blob = per[key]
-                        if pnv != nv:
-                            raise ValueError(
-                                f"column {c!r} disagrees on rows in block "
-                                f"{key[1]} — corrupt dataset"
-                            )
                         decoded[c] = B.decode_blocks_batch_nullable(
-                            [blob], np.int64, expected=[nv]
+                            [blobs[(key[0], c, key[1])]], np.int64,
+                            expected=[nv],
                         )
                         return decoded[c]
 
@@ -3150,8 +3132,6 @@ def _make_multi_group_agg_worker(value_col: str, group_cols: list[str],
     ) -> Iterator[pd.DataFrame]:
         from decimal import Decimal
 
-        import pyarrow.parquet as pq
-
         from rlv import blocks as B
 
         tune_malloc()
@@ -3164,104 +3144,31 @@ def _make_multi_group_agg_worker(value_col: str, group_cols: list[str],
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_nulls", "n_runs", "min_val",
-                             "max_val"],
-                    filters=[("col_name", "in", all_cols)],
-                ).combine_chunks()
-                info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in all_cols
-                }
-                for seq, seg in _split_segments(meta, file_sid):
-                    for name, bi, nv, nn, nr, mn, mx in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                    ):
-                        info[name][(seq, int(bi))] = (
-                            int(nv), int(nn), int(nr), int(mn), int(mx)
-                        )
-                keys = set(info[all_cols[0]])
-                for c in all_cols[1:]:
-                    if set(info[c]) != keys:
-                        raise ValueError(
-                            f"columns {all_cols[0]!r} and {c!r} cover "
-                            "different blocks — corrupt dataset"
-                        )
-                for key in keys:
-                    rows0 = info[all_cols[0]][key][0]
-                    for c in all_cols[1:]:
-                        if info[c][key][0] != rows0:
-                            raise ValueError(
-                                f"column {c!r} and {all_cols[0]!r} "
-                                f"disagree on rows in block {key[1]} — "
-                                "corrupt dataset"
-                            )
-                if not preds:
-                    pred_cls: list[dict] = []
-                    mem_codes: list[dict] = []
-                    mem_full: list[set] = []
-                    or_data: list[tuple] = []
-                    cls = {k: "full" for k in keys}
-                else:
-                    pred_cls, mem_codes, mem_full, or_data = _pred_classify(
-                        path, file_sid, info, int_preds, mem_preds,
-                        symbols, or_nodes,
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
                     )
-                    cls = {}
-                    for key in keys:
-                        kinds = [cl.get(key) for cl in pred_cls]
-                        if any(k is None for k in kinds):
-                            continue
-                        cls[key] = (
-                            "full" if all(k == "full" for k in kinds)
-                            else "partial"
-                        )
                 if not cls:
                     yield _empty()
                     continue
-                surviving_idx = sorted({bi for _, bi in cls})
+                surviving_idx = {bi for _, bi in cls}
 
-                def _payloads(col: str, idx: list[int]):
-                    per: dict[tuple[str, int], tuple[int, bytes]] = {}
-                    tbl = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx", "n_values",
-                                 "block"],
-                        filters=[("col_name", "=", col),
-                                 ("block_idx", "in", idx)],
-                    ).combine_chunks()
-                    for seq, seg in _split_segments(tbl, file_sid):
-                        for bi, nv, blob in zip(
-                            seg.column("block_idx").to_numpy(),
-                            seg.column("n_values").to_numpy(),
-                            seg.column("block").to_pylist(),
-                        ):
-                            per[(seq, int(bi))] = (int(nv), blob)
-                    return per
-
-                per_by_col = {
-                    c: _payloads(c, surviving_idx)
+                need: dict[str, set[int]] = {
+                    c: set(surviving_idx)
                     for c in dict.fromkeys([*group_cols, value_col])
                 }
-                pneed: dict[str, set[int]] = {}
                 for key, kind in cls.items():
                     if kind != "partial":
                         continue
                     for c in _pred_need_cols(key, pred_cls, int_preds,
                                              mem_preds, or_nodes, or_data):
-                        pneed.setdefault(c, set()).add(key[1])
-                for c, idxs in pneed.items():
-                    if c not in per_by_col:
-                        per_by_col[c] = _payloads(c, sorted(idxs))
+                        need.setdefault(c, set()).add(key[1])
+                blobs = _fetch_payloads(path, file_sid, seg, need)
                 side = (
-                    _read_dict_sidecar(path, file_sid, col=side_cols)
+                    _read_dict_sidecar(path, file_sid, col=side_cols,
+                                       seg=seg)
                     if side_cols
                     else {}
                 )
@@ -3273,20 +3180,14 @@ def _make_multi_group_agg_worker(value_col: str, group_cols: list[str],
                     def _dec(c, key=key, nv=nv_rows, decoded=decoded):
                         if c in decoded:
                             return decoded[c]
-                        per = per_by_col[c]
-                        if key not in per:
+                        if (key[0], c, key[1]) not in blobs:
                             raise ValueError(
                                 f"column {c!r} is missing block {key[1]} "
                                 f"of segment {key[0]} — corrupt dataset"
                             )
-                        pnv, blob = per[key]
-                        if pnv != nv:
-                            raise ValueError(
-                                f"column {c!r} disagrees on rows in block "
-                                f"{key[1]} — corrupt dataset"
-                            )
                         decoded[c] = B.decode_blocks_batch_nullable(
-                            [blob], np.int64, expected=[nv]
+                            [blobs[(key[0], c, key[1])]], np.int64,
+                            expected=[nv],
                         )
                         return decoded[c]
 
@@ -3652,7 +3553,6 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
         pdf_iter: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         from rlv import blocks as B
 
@@ -3684,48 +3584,11 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_nulls", "n_runs", "min_val",
-                             "max_val"],
-                    filters=[("col_name", "in", all_cols)],
-                ).combine_chunks()
-                info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in all_cols
-                }
-                for seq, seg in _split_segments(meta, file_sid):
-                    for name, bi, nv, nn, nr, mn, mx in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                    ):
-                        info[name][(seq, int(bi))] = (
-                            int(nv), int(nn), int(nr), int(mn), int(mx)
-                        )
-                keys = set(info[all_cols[0]])
-                for c in all_cols[1:]:
-                    if set(info[c]) != keys:
-                        raise ValueError(
-                            f"columns {all_cols[0]!r} and {c!r} cover "
-                            "different blocks — corrupt dataset"
-                        )
-                pred_cls, mem_codes, mem_full, or_data = _pred_classify(
-                    path, file_sid, info, int_preds, mem_preds, symbols,
-                    or_nodes,
-                )
-                cls: dict[tuple[str, int], str] = {}
-                for key in keys:
-                    kinds = [cl.get(key) for cl in pred_cls]
-                    if any(kk is None for kk in kinds):
-                        continue
-                    cls[key] = (
-                        "full" if all(kk == "full" for kk in kinds)
-                        else "partial"
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
                     )
                 if not cls:
                     yield _frame(set(), [], False)
@@ -3749,24 +3612,12 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
                     for c in _pred_need_cols(key, pred_cls, int_preds,
                                              mem_preds, or_nodes, or_data):
                         need.setdefault(c, set()).add(key[1])
-                blobs: dict[tuple[str, str, int], bytes] = {}
-                for c, idxs in need.items():
-                    t = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx", "block"],
-                        filters=[("col_name", "=", c),
-                                 ("block_idx", "in", sorted(idxs))],
-                    ).combine_chunks()
-                    for seq, seg in _split_segments(t, file_sid):
-                        for bi, blob in zip(
-                            seg.column("block_idx").to_numpy(),
-                            seg.column("block").to_pylist(),
-                        ):
-                            blobs[(seq, c, int(bi))] = blob
+                blobs = _fetch_payloads(path, file_sid, seg, need)
                 side = (
                     _read_dict_sidecar(
                         path, file_sid, col=col,
                         block_idx=sorted({bi for _, bi in cls}),
+                        seg=seg,
                     )
                     if is_str
                     else {}
@@ -3925,8 +3776,6 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
     def run_explain(
         pdf_iter: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         tune_malloc()
         symbols = (
             [bytes.fromhex(h) for h in symbols_hex]
@@ -3937,49 +3786,21 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_nulls", "n_runs", "min_val",
-                             "max_val", "enc_bytes"],
-                    filters=[("col_name", "in", all_cols)],
-                ).combine_chunks()
-                info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in all_cols
-                }
-                ebytes: dict[str, dict[tuple[str, int], int]] = {
-                    c: {} for c in all_cols
-                }
-                for seq, seg in _split_segments(meta, file_sid):
-                    for name, bi, nv, nn, nr, mn, mx, eb in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                        seg.column("enc_bytes").to_numpy(),
-                    ):
-                        key = (seq, int(bi))
-                        info[name][key] = (
-                            int(nv), int(nn), int(nr), int(mn), int(mx)
-                        )
-                        ebytes[name][key] = int(eb)
-                keys = set(info[all_cols[0]])
-                pred_cls, _, _, _ = _pred_classify(
-                    path, file_sid, info, int_preds, mem_preds, symbols,
-                    or_nodes,
-                )
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, _, _, _, ebytes = \
+                    _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols, with_enc_bytes=True,
+                    )
                 n_full = n_part = rows_surv = rows_total = 0
                 payload = 0
                 for key in keys:
                     nv = info[all_cols[0]][key][0]
                     rows_total += nv
-                    kinds = [cl.get(key) for cl in pred_cls]
-                    if any(k is None for k in kinds):
+                    kind = cls.get(key)
+                    if kind is None:
                         continue
-                    if all(k == "full" for k in kinds):
+                    if kind == "full":
                         n_full += 1
                     else:
                         n_part += 1
@@ -4308,8 +4129,6 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
     all_cols = list(dict.fromkeys([col, *pred_cols]))
 
     def run_topk(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
-
         from rlv import blocks as B
 
         tune_malloc()
@@ -4322,57 +4141,12 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                meta = pq.read_table(
-                    path,
-                    columns=["split_seq", "col_name", "block_idx",
-                             "n_values", "n_nulls", "n_runs", "min_val",
-                             "max_val"],
-                    filters=[("col_name", "in", all_cols)],
-                ).combine_chunks()
-                if len(meta) == 0:
-                    yield pd.DataFrame({"val": np.empty(0, np.int64)})
-                    continue
-                info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in all_cols
-                }
-                for seq, seg in _split_segments(meta, file_sid):
-                    for name, bi, nv, nn, nr, mn, mx in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                    ):
-                        info[name][(seq, int(bi))] = (
-                            int(nv), int(nn), int(nr), int(mn), int(mx)
-                        )
-                keys = set(info[all_cols[0]])
-                for c in all_cols[1:]:
-                    if set(info[c]) != keys:
-                        raise ValueError(
-                            f"columns {all_cols[0]!r} and {c!r} cover "
-                            "different blocks — corrupt dataset"
-                        )
-                # predicate classification (no preds: everything full)
-                if preds:
-                    pred_cls, mem_codes, mem_full, or_data = _pred_classify(
-                        path, file_sid, info, int_preds, mem_preds,
-                        symbols, or_nodes,
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
                     )
-                    cls = {}
-                    for key in keys:
-                        kinds = [cl.get(key) for cl in pred_cls]
-                        if any(kk is None for kk in kinds):
-                            continue
-                        cls[key] = (
-                            "full" if all(kk == "full" for kk in kinds)
-                            else "partial"
-                        )
-                else:
-                    pred_cls, mem_codes, mem_full, or_data = [], [], [], []
-                    cls = {kk: "full" for kk in keys}
                 if not cls:
                     yield pd.DataFrame({"val": np.empty(0, np.int64)})
                     continue
@@ -4405,29 +4179,29 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                     for c in _pred_need_cols(key, pred_cls, int_preds,
                                              mem_preds, or_nodes, or_data):
                         need.setdefault(c, set()).add(key[1])
-                blobs: dict[tuple[str, str, int], bytes] = {}
-                for c, idxs in need.items():
-                    t = pq.read_table(
-                        path,
-                        columns=["split_seq", "block_idx", "block"],
-                        filters=[("col_name", "=", c),
-                                 ("block_idx", "in", sorted(idxs))],
-                    ).combine_chunks()
-                    for seq, seg in _split_segments(t, file_sid):
-                        for bi, blob in zip(
-                            seg.column("block_idx").to_numpy(),
-                            seg.column("block").to_pylist(),
-                        ):
-                            blobs[(seq, c, int(bi))] = blob
-                parts: list[np.ndarray] = []
+                blobs = _fetch_payloads(path, file_sid, seg, need)
                 for key in surv:
+                    if (key[0], col, key[1]) not in blobs:
+                        raise ValueError(
+                            f"column {col!r} is missing block {key[1]} of "
+                            f"segment {key[0]} — corrupt dataset"
+                        )
+                parts: list[np.ndarray] = []
+                # FULL survivors (the common no-predicate case) decode as
+                # ONE batch call — per-block dispatch overhead amortizes
+                full_keys = [kk for kk in surv if cls[kk] == "full"]
+                if full_keys:
+                    fvals, foffs, fvalid = B.decode_blocks_batch_nullable(
+                        [blobs[(sq, col, bi)] for sq, bi in full_keys],
+                        np.int64,
+                        expected=[info[col][kk][0] for kk in full_keys],
+                    )
+                    parts.append(fvals[fvalid])
+                for key in surv:
+                    if cls[key] != "partial":
+                        continue
                     seq, bi = key
                     nv = info[col][key][0]
-                    if (seq, col, bi) not in blobs:
-                        raise ValueError(
-                            f"column {col!r} is missing block {bi} of "
-                            f"segment {seq} — corrupt dataset"
-                        )
                     decoded: dict[str, tuple] = {}
 
                     def _dec(c, seq=seq, bi=bi, nv=nv, decoded=decoded):
@@ -4439,14 +4213,11 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                         return decoded[c]
 
                     vals, _, valid = _dec(col)
-                    if cls[key] == "partial":
-                        mask = _pred_mask(
-                            key, nv, pred_cls, int_preds, mem_preds,
-                            mem_codes, mem_full, _dec, or_nodes, or_data,
-                        )
-                        parts.append(vals[mask & valid])
-                    else:
-                        parts.append(vals[valid])
+                    mask = _pred_mask(
+                        key, nv, pred_cls, int_preds, mem_preds,
+                        mem_codes, mem_full, _dec, or_nodes, or_data,
+                    )
+                    parts.append(vals[mask & valid])
                 vv = np.concatenate(parts) if parts else np.empty(
                     0, np.int64
                 )
