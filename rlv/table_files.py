@@ -1144,61 +1144,91 @@ def _make_scan_worker(schema: dict, preds: list[dict],
         from rlv import blocks as B
 
         tune_malloc()
+        meta_pred_cols = sorted(
+            {p["col"] for p in int_preds}
+            | {leaf["col"] for node in or_nodes for leaf in node
+               if leaf["kind"] in ("range", "valid")}
+        )
+        all_mem_cols = sorted(
+            set(mem_cols)
+            | {leaf["col"] for node in or_nodes for leaf in node
+               if leaf["kind"] == "member"}
+        )
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                # phase 1 — METADATA only (no payload column), per pred:
-                # int ranges run the zone-map predicate as parquet filters
-                # over the blocks metadata; member preds decode the (small)
-                # dictionary sidecars and keep blocks whose dictionary
-                # contains a matching entry, recording the per-block code
-                # sets.  The file's surviving ordinals are the INTERSECTION
-                # across preds; pruned blocks never materialize payload.
-                def _int_phase1(p, path=path) -> set[int]:
-                    if p["kind"] == "valid":
-                        # compares two metadata columns — not expressible
-                        # as a parquet filter, so prune from the (tiny)
-                        # per-block counts in Python
-                        meta = pq.read_table(
-                            path,
-                            columns=["block_idx", "n_values", "n_nulls"],
-                            filters=[("col_name", "=", p["col"])],
-                        )
-                        nvs = meta.column("n_values").to_numpy()
-                        nns = meta.column("n_nulls").to_numpy()
-                        keep = (nns > 0) if p["want_null"] else (nns < nvs)
-                        return set(
-                            meta.column("block_idx").to_numpy()[keep]
-                            .tolist()
-                        )
-                    if p.get("neg"):
-                        # NOT BETWEEN survives when the zone map escapes
-                        # [lo, hi] on either side (DNF parquet filter)
-                        meta = pq.read_table(
-                            path,
-                            columns=["block_idx"],
-                            filters=[
-                                [("col_name", "=", p["col"]),
-                                 ("n_runs", ">", 0),
-                                 ("min_val", "<", p["lo"])],
-                                [("col_name", "=", p["col"]),
-                                 ("n_runs", ">", 0),
-                                 ("max_val", ">", p["hi"])],
-                            ],
-                        )
-                        return set(meta.column("block_idx").to_pylist())
+                seg = _task_seg(row)
+                # phase 1 — METADATA only (no payload column): ONE
+                # payload-free read covers every metadata-predicate column
+                # (top-level + OR leaves) and classification runs in
+                # Python — exact, incl. IN-list literal membership (a
+                # parquet [min, max] envelope filter would keep blocks no
+                # literal falls inside); ONE sidecar read covers every
+                # membership column, each dictionary decoded once however
+                # many preds reference it.  The file's surviving ordinals
+                # are the INTERSECTION across preds; pruned blocks never
+                # materialize payload.
+                col_info: dict[str, dict[tuple[str, int], tuple]] = {
+                    c: {} for c in meta_pred_cols
+                }
+                if meta_pred_cols:
+                    filters: list = [("col_name", "in", meta_pred_cols)]
+                    if seg is not None:
+                        filters.append(("split_seq", "=", seg))
                     meta = pq.read_table(
                         path,
-                        columns=["block_idx"],
-                        filters=[
-                            ("col_name", "=", p["col"]),
-                            ("n_runs", ">", 0),
-                            ("max_val", ">=", p["lo"]),
-                            ("min_val", "<=", p["hi"]),
-                        ],
+                        columns=["split_seq", "col_name", "block_idx",
+                                 "n_values", "n_nulls", "n_runs",
+                                 "min_val", "max_val"],
+                        filters=filters,
+                    ).combine_chunks()
+                    for sid, mseg in _split_segments(meta, file_sid):
+                        for name, bi, nv, nn, nr, mn, mx in zip(
+                            mseg.column("col_name").to_pylist(),
+                            mseg.column("block_idx").to_numpy(),
+                            mseg.column("n_values").to_numpy(),
+                            mseg.column("n_nulls").to_numpy(),
+                            mseg.column("n_runs").to_numpy(),
+                            mseg.column("min_val").to_numpy(),
+                            mseg.column("max_val").to_numpy(),
+                        ):
+                            col_info[name][(sid, int(bi))] = (
+                                int(nv), int(nn), int(nr), int(mn),
+                                int(mx),
+                            )
+
+                def _int_phase1(p, col_info=col_info) -> set[int]:
+                    return {
+                        bi for _, bi
+                        in _int_leaf_class_map(p, col_info[p["col"]])
+                    }
+
+                side_pred = (
+                    _read_dict_sidecar(
+                        path, file_sid, col=all_mem_cols, seg=seg,
                     )
-                    return set(meta.column("block_idx").to_pylist())
+                    if all_mem_cols
+                    else {}
+                )
+                dict_cache: dict[tuple[str, str, int], object] = {}
+
+                def _mem_phase1(p, side_pred=side_pred,
+                                dict_cache=dict_cache):
+                    codes: dict[tuple[str, int], np.ndarray] = {}
+                    dicts: dict[tuple[str, int], object] = {}
+                    for (sid, name, bi), blob in side_pred.items():
+                        if name != p["col"]:
+                            continue
+                        uniq = dict_cache.get((sid, name, bi))
+                        if uniq is None:
+                            uniq = B.decode_strings_arrow(blob, symbols)
+                            dict_cache[(sid, name, bi)] = uniq
+                        hits = p["match"](uniq)
+                        if hits.size:
+                            codes[(sid, bi)] = hits
+                            dicts[(sid, bi)] = uniq
+                    return codes, dicts
 
                 surviving: set[int] | None = None
                 for p in int_preds:
@@ -1209,24 +1239,8 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 mem_codes: list[dict[tuple[str, int], np.ndarray]] = []
                 mem_dicts: list[dict[tuple[str, int], object]] = []
                 if surviving is None or surviving:
-                    side_pred = (
-                        _read_dict_sidecar(
-                            path, file_sid, col=sorted(set(mem_cols))
-                        )
-                        if mem_preds
-                        else {}
-                    )
                     for p in mem_preds:
-                        codes: dict[tuple[str, int], np.ndarray] = {}
-                        dicts: dict[tuple[str, int], object] = {}
-                        for (seq, name, bi), blob in side_pred.items():
-                            if name != p["col"]:
-                                continue
-                            uniq = B.decode_strings_arrow(blob, symbols)
-                            hits = p["match"](uniq)
-                            if hits.size:
-                                codes[(seq, bi)] = hits
-                                dicts[(seq, bi)] = uniq
+                        codes, dicts = _mem_phase1(p)
                         mem_codes.append(codes)
                         mem_dicts.append(dicts)
                         s = {bi for _, bi in codes}
@@ -1236,8 +1250,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         if not surviving:
                             break
                 # OR nodes: each node's survivors are the UNION of its
-                # leaf survivors (int leaves via metadata, member leaves
-                # via sidecars); the file still INTERSECTS across nodes
+                # leaf survivors; the file still INTERSECTS across nodes
                 or_leaf: list[list] = []
                 if surviving is None or surviving:
                     for node in or_nodes:
@@ -1248,19 +1261,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                                 node_surv |= _int_phase1(leaf)
                                 ldata.append(None)
                             else:
-                                codes = {}
-                                dicts = {}
-                                side_l = _read_dict_sidecar(
-                                    path, file_sid, col=leaf["col"]
-                                )
-                                for (seq, _, bi), blob in side_l.items():
-                                    uniq = B.decode_strings_arrow(
-                                        blob, symbols
-                                    )
-                                    hits = leaf["match"](uniq)
-                                    if hits.size:
-                                        codes[(seq, int(bi))] = hits
-                                        dicts[(seq, int(bi))] = uniq
+                                codes, dicts = _mem_phase1(leaf)
                                 ldata.append((codes, dicts))
                                 node_surv |= {bi for _, bi in codes}
                         or_leaf.append(ldata)
@@ -1278,15 +1279,18 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 # in-filter over-reads a block_idx that survives in one
                 # segment but not another; segments prune exactly below)
                 read_names = list(dict.fromkeys([*pred_cols, *out_names]))
+                filters2: list = [
+                    ("col_name", "in", read_names),
+                    ("block_idx", "in", surviving_idx),
+                ]
+                if seg is not None:
+                    filters2.append(("split_seq", "=", seg))
                 btbl = pq.read_table(
                     path,
                     columns=["split_seq", "col_name", "block_idx",
                              "n_values", "n_nulls", "n_runs", "min_val",
                              "max_val", "block"],
-                    filters=[
-                        ("col_name", "in", read_names),
-                        ("block_idx", "in", surviving_idx),
-                    ],
+                    filters=filters2,
                 ).combine_chunks()
                 # dictionaries only for the PROJECTED string columns'
                 # surviving ordinals (a member pred's column needs no
@@ -1299,7 +1303,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 side = (
                     _read_dict_sidecar(
                         path, file_sid, col=proj_strs,
-                        block_idx=surviving_idx,
+                        block_idx=surviving_idx, seg=seg,
                     )
                     if proj_strs
                     else {}
