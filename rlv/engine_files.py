@@ -998,8 +998,33 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
     member split_ids and concat order is the bin's fixed file order, so a
     re-run renames byte-identical content over the same final path."""
 
+    def _write_segmented(tmp: str, members: list, compression) -> int:
+        """Write the merged file with ONE ROW GROUP PER SEGMENT (per
+        member; per absorbed split inside an already-merged member, whose
+        ``split_seq`` runs are contiguous): row-group statistics on
+        ``split_seq`` then prune a segment-scoped query task's read to
+        exactly its own segment's pages instead of the whole bin."""
+        import pyarrow.parquet as pq
+
+        n_rows = 0
+        with pq.ParquetWriter(
+            tmp, members[0].schema, compression=compression
+        ) as w:
+            for t in members:
+                n_rows += len(t)
+                if "split_seq" not in t.column_names or len(t) == 0:
+                    if len(t):
+                        w.write_table(t)
+                    continue
+                seqs = t.column("split_seq").to_pylist()
+                start = 0
+                for i in range(1, len(seqs) + 1):
+                    if i == len(seqs) or seqs[i] != seqs[start]:
+                        w.write_table(t.slice(start, i - start))
+                        start = i
+        return n_rows
+
     def run_compact(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from rlv.util import tune_malloc
@@ -1009,30 +1034,32 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
             for _, row in pdf.iterrows():
                 new_sid = str(row["new_sid"])
                 sids = json.loads(row["sids"])
-                merged = pa.concat_tables(
-                    pq.read_table(os.path.join(blocks_dir, f"{sid}.parquet"))
+                members = [
+                    pq.read_table(
+                        os.path.join(blocks_dir, f"{sid}.parquet")
+                    )
                     for sid in sids
-                )
+                ]
                 final = os.path.join(blocks_dir, f"{new_sid}.parquet")
                 tmp = final + ".inprogress"
-                pq.write_table(merged, tmp, compression="zstd")
+                n_rows = _write_segmented(tmp, members, "zstd")
                 os.replace(tmp, final)
                 if bool(row["has_sidecar"]):
-                    merged_side = pa.concat_tables(
+                    side_members = [
                         pq.read_table(
                             os.path.join(strings_dir, f"{sid}.parquet")
                         )
                         for sid in sids
-                    )
+                    ]
                     sfinal = os.path.join(strings_dir, f"{new_sid}.parquet")
                     stmp = sfinal + ".inprogress"
-                    pq.write_table(merged_side, stmp)
+                    _write_segmented(stmp, side_members, "snappy")
                     os.replace(stmp, sfinal)
                 yield pd.DataFrame(
                     {
                         "new_sid": [new_sid],
                         "n_files": [len(sids)],
-                        "n_rows": [len(merged)],
+                        "n_rows": [n_rows],
                     }
                 )
 

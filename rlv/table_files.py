@@ -1012,6 +1012,57 @@ def _live_block_files(enc_dir: str) -> list[str]:
     )
 
 
+def _query_tasks(enc_dir: str) -> pd.DataFrame:
+    """Per-(file, segment) task frame of the query operators (scan / agg /
+    group / distinct / top-k): a freshly-encoded split is one whole-file
+    task (``segment`` None); a compacted bin fans out to ONE TASK PER
+    ABSORBED SPLIT — enumerated from the manifest's lineage map, no file
+    IO on the planner beyond one footer per merged file — so query
+    parallelism survives compaction (a dataset compacted into a single
+    bin would otherwise collapse every scan to one task).  Workers scope
+    a segment task's reads with a ``split_seq`` filter, which prunes to
+    that segment's row groups (compaction writes one row group per
+    absorbed split).  A merged file from a pre-r4 generation (no
+    ``split_seq`` column — checked in its footer) stays one whole-file
+    task."""
+    import pyarrow.parquet as pq
+
+    live = engine_files.live_splits(enc_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest at {enc_dir}")
+    files: list[str] = []
+    segs: list[str | None] = []
+    for rec in sorted(
+        live.to_dict("records"), key=lambda r: str(r["split_id"])
+    ):
+        sid = str(rec["split_id"])
+        path = os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        try:
+            parsed = json.loads(rec.get("pieces") or "null")
+        except (TypeError, ValueError):
+            parsed = None
+        segments: list[str | None] = [None]
+        if isinstance(parsed, dict) and len(parsed) > 1:
+            names = pq.ParquetFile(path).schema_arrow.names
+            if "split_seq" in names:
+                segments = sorted(parsed)
+        for s in segments:
+            files.append(path)
+            segs.append(s)
+    return pd.DataFrame(
+        {"file": files, "segment": pd.Series(segs, dtype=object)}
+    )
+
+
+def _spark_tasks(spark: SparkSession, tasks: pd.DataFrame):
+    """Spark task DataFrame from a :func:`_query_tasks` frame, one
+    partition per task."""
+    return spark.createDataFrame(
+        [(f, s) for f, s in zip(tasks["file"], tasks["segment"])],
+        "file string, segment string",
+    ).repartition(len(tasks))
+
+
 def _typed_field_type(schema: dict, c: str) -> str:
     """Spark type of a column as the operators return it: string columns as
     string, int columns at their recorded source width."""
@@ -2198,23 +2249,21 @@ def _scan_out_names(schema: dict, col: str,
 
 def _run_scan_tasks(spark: SparkSession, enc_dir: str, schema: dict,
                     out_names: list[str], worker):
-    """One task per live blocks file, zero shuffle; ints come back cast to
-    their recorded source widths (shared tail of both scans)."""
-    files = _live_block_files(enc_dir)
+    """One task per live (blocks file, segment), zero shuffle; ints come
+    back cast to their recorded source widths (shared tail of both
+    scans)."""
+    tasks = _query_tasks(enc_dir)
     str_cols = set(schema["str_cols"])
     scan_schema = ", ".join(
         f"`{c}` {'string' if c in str_cols else 'bigint'}"
         for c in out_names
     )
-    if not files:
+    if tasks.empty:
         # all splits dead (e.g. freshly-initialized dataset): empty result,
         # same shape — repartition(0) would throw
         out = spark.createDataFrame([], scan_schema)
     else:
-        tasks_df = spark.createDataFrame(
-            pd.DataFrame({"file": files})
-        ).repartition(len(files))
-        out = tasks_df.mapInPandas(worker, scan_schema)
+        out = _spark_tasks(spark, tasks).mapInPandas(worker, scan_schema)
     from pyspark.sql import functions as F
 
     return out.select(
@@ -2826,10 +2875,10 @@ def agg_table_files_where(
     worker = _make_agg_worker(
         value_cols, specs, symbols_hex=_symbols_hex(enc_dir)
     )
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
     from pyspark.sql import functions as F
 
-    if not files:
+    if tasks.empty:
         base = spark.createDataFrame(
             pd.DataFrame({"val_col": value_cols})
         ).select(
@@ -2841,10 +2890,7 @@ def agg_table_files_where(
             F.lit(None).cast("bigint").alias("max_val"),
         )
         return base if multi else base.drop("val_col")
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
-    partials = tasks_df.mapInPandas(
+    partials = _spark_tasks(spark, tasks).mapInPandas(
         worker, "val_col string, " + AGG_PARTIAL_SCHEMA
     )
     combined = partials.groupBy("val_col").agg(
@@ -3371,7 +3417,7 @@ def agg_table_files_by(
         raise ValueError("lo/hi require pred_col")
     else:
         specs = _norm_preds(schema, list(preds)) if preds else []
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
     from pyspark.sql import functions as F
 
     if group_cols is not None:
@@ -3383,12 +3429,9 @@ def agg_table_files_by(
             for g in group_cols
         )
         out_schema = g_schema + ", " + AGG_PARTIAL_SCHEMA
-        if not files:
+        if tasks.empty:
             return spark.createDataFrame([], out_schema)
-        tasks_df = spark.createDataFrame(
-            pd.DataFrame({"file": files})
-        ).repartition(len(files))
-        partials = tasks_df.mapInPandas(
+        partials = _spark_tasks(spark, tasks).mapInPandas(
             _make_multi_group_agg_worker(
                 value_col, group_cols, str_groups, specs,
                 _symbols_hex(enc_dir),
@@ -3418,12 +3461,9 @@ def agg_table_files_by(
         f"{group_col} {g_type}, n_rows bigint, n_vals bigint, "
         "sum_val decimal(38,0), min_val bigint, max_val bigint"
     )
-    if not files:
+    if tasks.empty:
         return spark.createDataFrame([], out_schema)
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
-    partials = tasks_df.mapInPandas(
+    partials = _spark_tasks(spark, tasks).mapInPandas(
         _make_group_agg_worker(
             value_col, group_col, group_is_str, specs,
             _symbols_hex(enc_dir),
@@ -3473,17 +3513,22 @@ def _make_distinct_worker(col: str, symbols_hex: tuple[str, ...] | None):
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
                 vals: set[bytes] = set()
                 for blob in _read_dict_sidecar(
-                    path, file_sid, col=col
+                    path, file_sid, col=col, seg=seg
                 ).values():
                     vals.update(
                         B.decode_strings_arrow(blob, symbols).to_pylist()
                     )
+                nfilters: list = [("col_name", "=", col),
+                                  ("n_nulls", ">", 0)]
+                if seg is not None:
+                    nfilters.append(("split_seq", "=", seg))
                 nmeta = pq.read_table(
                     path,
                     columns=["block_idx"],
-                    filters=[("col_name", "=", col), ("n_nulls", ">", 0)],
+                    filters=nfilters,
                 )
                 out: list[str | None] = [
                     v.decode("utf-8") for v in sorted(vals)
@@ -3512,10 +3557,14 @@ def _make_int_distinct_worker(col: str):
         tune_malloc()
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
+                seg = _task_seg(row)
+                ifilters: list = [("col_name", "=", col)]
+                if seg is not None:
+                    ifilters.append(("split_seq", "=", seg))
                 btbl = pq.read_table(
                     row["file"],
                     columns=["n_nulls", "block"],
-                    filters=[("col_name", "=", col)],
+                    filters=ifilters,
                 )
                 parts = [
                     B.distinct_block_values(blob)
@@ -3740,15 +3789,14 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
         worker = _make_distinct_worker(col, _symbols_hex(enc_dir))
     else:
         worker = _make_int_distinct_worker(col)
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
     out_schema = f"`{col}` {'string' if col in schema['str_cols'] else 'bigint'}"
-    if not files:
+    if tasks.empty:
         out = spark.createDataFrame([], out_schema)
     else:
-        tasks_df = spark.createDataFrame(
-            pd.DataFrame({"file": files})
-        ).repartition(len(files))
-        out = tasks_df.mapInPandas(worker, out_schema).distinct()
+        out = _spark_tasks(spark, tasks).mapInPandas(
+            worker, out_schema
+        ).distinct()
     from pyspark.sql import functions as F
 
     return out.select(
@@ -3944,10 +3992,15 @@ def _make_stats_worker(schema: dict, symbols_hex: tuple[str, ...] | None):
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
                 meta = pq.read_table(
                     path,
                     columns=["col_name", "n_values", "n_nulls", "n_runs",
                              "min_val", "max_val"],
+                    filters=(
+                        [("split_seq", "=", seg)] if seg is not None
+                        else None
+                    ),
                 ).to_pandas()
                 out: dict[str, list] = {
                     k: [] for k in ("col_name", "n_rows", "n_nulls",
@@ -3969,7 +4022,7 @@ def _make_stats_worker(schema: dict, symbols_hex: tuple[str, ...] | None):
                 for c in str_cols:
                     vals: set[bytes] = set()
                     for blob in _read_dict_sidecar(
-                        path, file_sid, col=c
+                        path, file_sid, col=c, seg=seg
                     ).values():
                         vals.update(
                             B.decode_strings_arrow(blob, symbols).to_pylist()
@@ -4019,18 +4072,15 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
     str_cols = list(schema["str_cols"])
     out_schema = (
         "col_name string, n_rows bigint, n_nulls bigint, min_int bigint, "
         "max_int bigint, ndv bigint, min_str string, max_str string"
     )
-    if not files:
+    if tasks.empty:
         return spark.createDataFrame([], out_schema)
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
-    part = tasks_df.mapInPandas(
+    part = _spark_tasks(spark, tasks).mapInPandas(
         _make_stats_worker(schema, _symbols_hex(enc_dir)),
         STATS_PARTIAL_SCHEMA,
     )
@@ -4271,16 +4321,13 @@ def topk_table_files(
         raise ValueError(f"k must be positive, got {k}")
     specs = _norm_preds(schema, list(preds)) if preds else []
     out_names = _scan_out_names(schema, col, columns)
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
     empty_schema = ", ".join(
         f"`{c}` {_typed_field_type(schema, c)}" for c in out_names
     )
-    if not files:
+    if tasks.empty:
         return spark.createDataFrame([], empty_schema)
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
-    cand = tasks_df.mapInPandas(
+    cand = _spark_tasks(spark, tasks).mapInPandas(
         _make_topk_vals_worker(
             col, int(k), ascending, preds=specs,
             symbols_hex=_symbols_hex(enc_dir),

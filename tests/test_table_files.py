@@ -2791,3 +2791,73 @@ def test_multi_value_aggregate_matches_sql(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one"):
         table_files.agg_table_files_where(
             spark, out, [], [("between", "k", 0, 1)])
+
+
+def test_query_tasks_fan_out_per_segment(spark, orders_dir, tmp_path):
+    """Query parallelism survives compaction: a merged bin fans out to one
+    task per absorbed split (enumerated from the manifest lineage, no
+    payload IO), the merged file carries one row group per segment so a
+    segment task's split_seq filter prunes to its own pages, and every
+    operator's results are identical before and after the merge."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    n_files = len(glob.glob(f"{out}/blocks/*.parquet"))
+    assert n_files >= 2
+    pre_tasks = table_files._query_tasks(out)
+    assert len(pre_tasks) == n_files
+    assert pre_tasks["segment"].isna().all()
+
+    def battery():
+        scan = sorted(
+            (r["o_orderkey"], r["o_orderstatus"])
+            for r in table_files.scan_table_files_where(
+                spark, out,
+                [("between", "o_orderkey", 0, 1 << 40),
+                 ("prefix", "o_orderpriority", "1")],
+                columns=["o_orderkey", "o_orderstatus"],
+            ).collect()
+        )
+        agg = table_files.agg_table_files(
+            spark, out, "o_custkey", "o_orderkey", 0, 1 << 40
+        ).collect()[0].asDict()
+        grp = sorted(
+            (r["o_orderstatus"], r["n_rows"], str(r["sum_val"]))
+            for r in table_files.agg_table_files_by(
+                spark, out, "o_custkey", "o_orderstatus"
+            ).collect()
+        )
+        dis = sorted(
+            r["o_orderpriority"]
+            for r in table_files.distinct_table_files(
+                spark, out, "o_orderpriority"
+            ).collect()
+        )
+        top = sorted(
+            r["o_orderkey"]
+            for r in table_files.topk_table_files(
+                spark, out, "o_orderkey", 7, ascending=False,
+                columns=["o_orderkey"],
+            ).collect()
+        )
+        return scan, agg, grp, dis, top
+
+    before = battery()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    merged = glob.glob(f"{out}/blocks/*.parquet")
+    assert len(merged) == 1
+    # fan-out: as many tasks as absorbed splits, each segment-scoped
+    post_tasks = table_files._query_tasks(out)
+    assert len(post_tasks) == n_files
+    assert post_tasks["segment"].notna().all()
+    assert post_tasks["file"].nunique() == 1
+    # one row group per segment: split_seq is constant within each group
+    pf = pq.ParquetFile(merged[0])
+    assert pf.metadata.num_row_groups >= n_files
+    for rg in range(pf.metadata.num_row_groups):
+        seqs = set(pf.read_row_group(rg, columns=["split_seq"])
+                   .column("split_seq").to_pylist())
+        assert len(seqs) == 1
+    assert battery() == before
