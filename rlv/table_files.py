@@ -3895,12 +3895,20 @@ def explain_scan_table_files(
     plan), exactly what :func:`scan_table_files_where` with the same
     arguments would do — per-class block and row counts (pruned blocks
     are never fetched; full blocks skip predicate masking; partial blocks
-    decode and mask) and the EXACT payload bytes phase 2 would read
-    (the surviving blocks' recorded ``enc_bytes`` over predicate +
-    projected columns; sizes are exact by wire invariant, so this is the
-    query's true IO bill, not an estimate).  The operator-facing answer
-    to "how much will this query read?" before committing a 100 TB
-    scan."""
+    decode and mask) and the EXACT payload bytes phase 2 DECODES: the
+    surviving blocks' recorded ``enc_bytes`` over predicate + projected
+    columns, exact by wire invariant, classified with the same exact
+    per-block tests the scan's phase 1 runs (shared ``_classify_file``
+    machinery — IN-list literal membership included).  The
+    operator-facing answer to "how much will this query read?" before
+    committing a 100 TB scan.
+
+    Honest granularity caveat: this is the decode bill, byte-exact; the
+    parquet TRANSPORT serving it reads whole column-chunk pages of row
+    groups containing >= 1 surviving block (one row group per segment
+    after compaction), so wire-level bytes can exceed it on a segment
+    that only partially survives.  On a zone-map-clustered predicate the
+    two converge (segments survive or prune wholesale)."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
