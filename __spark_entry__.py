@@ -2081,6 +2081,67 @@ def _q_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compacted_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-aggregate pushdown ACROSS A COMPACTION: encode orders
+    into 4 splits, compact them into ONE bin
+    (:func:`rlv.engine_files.compact_blocks` — merged file written one
+    row group per absorbed split), then run
+    :func:`rlv.table_files.agg_table_files_by` under a zone-map range ×
+    LIKE-prefix conjunction.  The query plans one task PER ABSORBED
+    SEGMENT (``_query_tasks`` fans the single merged file back out to 4
+    segment-scoped tasks, asserted below — task granularity is
+    independent of the file-merge history), and every per-segment read
+    pushes a ``split_seq`` filter that prunes to that segment's row
+    groups.  The oracle is the plain SQL GROUP BY over the same
+    derivation — compaction must be invisible to every result byte."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import engine_files, table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_cga_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "'Clerk#' || lpad(CAST(o_custkey % 1000 AS VARCHAR), 6, '0') "
+        "  AS clerk, "
+        "CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "cents_n"],
+        str_cols=["pri_n", "clerk"],
+        rows_per_block=2048, num_tasks=4,
+    )
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 40)
+    assert res["bins_written"] == 1 and res["files_absorbed"] == 4, res
+    tasks = TF._query_tasks(out)
+    assert tasks["file"].nunique() == 1 and len(tasks) == 4, tasks
+    assert tasks["segment"].notna().all()
+    got = TF.agg_table_files_by(
+        spark, out, "cents_n", "pri_n",
+        preds=[("between", "o_orderkey", 3000, 45000),
+               ("prefix", "clerk", "Clerk#0000")],
+    )
+    return got.select(
+        F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("grp"),
+        "n_rows",
+        "n_vals",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
 def _q_dict_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT served from the encoded format's METADATA alone
     (:func:`rlv.table_files.distinct_table_files`): a string column's
@@ -2925,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan_project": _q_zonemap_scan_project,
         "pushdown_aggregate": _q_pushdown_aggregate,
         "group_agg_pushdown": _q_group_agg_pushdown,
+        "compacted_group_agg": _q_compacted_group_agg,
         "dict_filter_scan": _q_dict_filter_scan,
         "dict_distinct": _q_dict_distinct,
         "int_distinct": _q_int_distinct,
@@ -3548,6 +3610,28 @@ SELECT COALESCE(pri_n, '~null~') AS grp,
        CAST(min(cents_n) AS BIGINT) AS min_val,
        CAST(max(cents_n) AS BIGINT) AS max_val
 FROM v WHERE o_orderkey BETWEEN 3000 AND 45000
+GROUP BY pri_n
+""",
+        "compacted_group_agg": """
+WITH v AS (
+  SELECT o_orderkey,
+         'Clerk#' || lpad(CAST(o_custkey % 1000 AS VARCHAR), 6, '0')
+           AS clerk,
+         CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END
+           AS pri_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT COALESCE(pri_n, '~null~') AS grp,
+       count(*) AS n_rows,
+       count(cents_n) AS n_vals,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
+       CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v
+WHERE o_orderkey BETWEEN 3000 AND 45000
+  AND clerk LIKE 'Clerk#0000%'
 GROUP BY pri_n
 """,
         "dict_distinct": """

@@ -999,11 +999,13 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
     re-run renames byte-identical content over the same final path."""
 
     def _write_segmented(tmp: str, members: list, compression) -> int:
-        """Write the merged file with ONE ROW GROUP PER SEGMENT (per
-        member; per absorbed split inside an already-merged member, whose
-        ``split_seq`` runs are contiguous): row-group statistics on
-        ``split_seq`` then prune a segment-scoped query task's read to
-        exactly its own segment's pages instead of the whole bin."""
+        """Write the merged file with ONE ROW GROUP PER contiguous
+        ``(split_seq, col_name)`` run of each member (table-plane files;
+        per absorbed split inside an already-merged member, whose runs
+        stay contiguous): row-group statistics then prune a
+        segment-scoped AND column-filtered query read to exactly its own
+        pages instead of decompressing the whole bin.  A member without
+        those columns (token-plane blocks) writes as one row group."""
         import pyarrow.parquet as pq
 
         n_rows = 0
@@ -1012,14 +1014,21 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
         ) as w:
             for t in members:
                 n_rows += len(t)
-                if "split_seq" not in t.column_names or len(t) == 0:
-                    if len(t):
-                        w.write_table(t)
+                if len(t) == 0:
                     continue
-                seqs = t.column("split_seq").to_pylist()
+                keys = [
+                    k for k in ("split_seq", "col_name")
+                    if k in t.column_names
+                ]
+                if not keys:
+                    w.write_table(t)
+                    continue
+                vals = list(
+                    zip(*[t.column(k).to_pylist() for k in keys])
+                )
                 start = 0
-                for i in range(1, len(seqs) + 1):
-                    if i == len(seqs) or seqs[i] != seqs[start]:
+                for i in range(1, len(vals) + 1):
+                    if i == len(vals) or vals[i] != vals[start]:
                         w.write_table(t.slice(start, i - start))
                         start = i
         return n_rows

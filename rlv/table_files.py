@@ -316,7 +316,7 @@ def _make_table_split_worker(
                 )
                 final = os.path.join(out_blocks_dir, f"{split_id}.parquet")
                 tmp = final + ".inprogress"
-                pq.write_table(out, tmp, compression="zstd")
+                _write_grouped(tmp, out)
                 os.replace(tmp, final)
                 if str_cols:
                     sdir = os.path.join(
@@ -325,7 +325,8 @@ def _make_table_split_worker(
                     os.makedirs(sdir, exist_ok=True)
                     sfinal = os.path.join(sdir, f"{split_id}.parquet")
                     stmp = sfinal + ".inprogress"
-                    pq.write_table(
+                    _write_grouped(
+                        stmp,
                         pa.table(
                             {
                                 "split_seq": pa.array(
@@ -349,7 +350,6 @@ def _make_table_split_worker(
                                 ),
                             }
                         ),
-                        stmp,
                     )
                     os.replace(stmp, sfinal)
                 yield pd.DataFrame(
@@ -566,6 +566,29 @@ def cluster_encode_table_files(
         num_tasks=len(files),
         fsst_symbols=fsst_symbols,
     )
+
+
+def _write_grouped(tmp: str, tbl, compression: str | None = "zstd") -> None:
+    """Write a blocks / sidecar table with ONE ROW GROUP PER contiguous
+    ``(split_seq, col_name)`` run: row-group statistics then let a
+    column-filtered payload read decompress ONLY that column's blocks —
+    with a single row group, every per-column read of an N-column file
+    decompresses all N columns' payload (a 2-column projection over a
+    wide table pays the whole file, N times per query)."""
+    import pyarrow.parquet as pq
+
+    keys = [k for k in ("split_seq", "col_name") if k in tbl.column_names]
+    with pq.ParquetWriter(tmp, tbl.schema, compression=compression) as w:
+        if not keys or len(tbl) == 0:
+            if len(tbl):
+                w.write_table(tbl)
+            return
+        vals = list(zip(*[tbl.column(k).to_pylist() for k in keys]))
+        start = 0
+        for i in range(1, len(vals) + 1):
+            if i == len(vals) or vals[i] != vals[start]:
+                w.write_table(tbl.slice(start, i - start))
+                start = i
 
 
 def _read_dict_sidecar(

@@ -2861,3 +2861,72 @@ def test_query_tasks_fan_out_per_segment(spark, orders_dir, tmp_path):
                    .column("split_seq").to_pylist())
         assert len(seqs) == 1
     assert battery() == before
+
+
+def test_fresh_file_row_groups_per_column(spark, orders_dir, tmp_path):
+    """Fresh blocks files are written one row group per column (and
+    sidecars per string column): a column-filtered payload read then
+    decompresses only that column's blocks, not the whole file — the IO
+    unit of projection pruning."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    for path in glob.glob(f"{out}/blocks/*.parquet"):
+        pf = pq.ParquetFile(path)
+        assert pf.metadata.num_row_groups == len(INT_COLS + STR_COLS)
+        for rg in range(pf.metadata.num_row_groups):
+            names = set(
+                pf.read_row_group(rg, columns=["col_name"])
+                .column("col_name").to_pylist()
+            )
+            assert len(names) == 1
+    for path in glob.glob(f"{out}/strings/*.parquet"):
+        pf = pq.ParquetFile(path)
+        assert pf.metadata.num_row_groups == len(STR_COLS)
+
+
+def test_recompaction_preserves_segments_and_results(spark, orders_dir,
+                                                     tmp_path):
+    """Compacting a dataset that already contains a merged bin: the
+    second merge keeps every original split addressable (lineage maps
+    union; runs stay contiguous for row-group pruning), query fan-out
+    still plans one task per original split, and results are unchanged."""
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    n_files = len(glob.glob(f"{out}/blocks/*.parquet"))
+    assert n_files >= 4
+
+    def probe():
+        agg = table_files.agg_table_files(
+            spark, out, "o_custkey", "o_orderkey", 0, 1 << 40
+        ).collect()[0].asDict()
+        dis = sorted(
+            r["o_orderstatus"]
+            for r in table_files.distinct_table_files(
+                spark, out, "o_orderstatus"
+            ).collect()
+        )
+        return agg, dis
+
+    before = probe()
+    # first pass: merge only a subset by sizing the bins tightly enough
+    # that one bin holds 2 files (target = 2x the largest file)
+    sizes = sorted(
+        (p, len(open(p, "rb").read()))
+        for p in glob.glob(f"{out}/blocks/*.parquet")
+    )
+    target = max(s for _, s in sizes) * 2 + 1024
+    r1 = engine_files.compact_blocks(spark, out, target_bytes=target)
+    assert r1["bins_written"] >= 1
+    assert probe() == before
+    # second pass: merge everything, including the already-merged bin
+    r2 = engine_files.compact_blocks(spark, out, target_bytes=1 << 40)
+    assert r2["bins_written"] >= 1
+    merged = glob.glob(f"{out}/blocks/*.parquet")
+    assert len(merged) == 1
+    tasks = table_files._query_tasks(out)
+    assert len(tasks) == n_files and tasks["segment"].notna().all()
+    assert probe() == before
+    v = table_files.verify_table_files(spark, out)
+    assert v["mismatches"] == 0
