@@ -784,10 +784,17 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 split_id = str(row["split_id"])
+                seg_scope = _task_seg(row)
                 pmap = _pieces_map(split_id, str(row["pieces"]))
                 bpath = os.path.join(blocks_dir, f"{split_id}.parquet")
-                btbl = pq.read_table(bpath).combine_chunks()
-                side = _read_dict_sidecar(bpath, split_id)
+                btbl = pq.read_table(
+                    bpath,
+                    filters=(
+                        [("split_seq", "=", seg_scope)]
+                        if seg_scope is not None else None
+                    ),
+                ).combine_chunks()
+                side = _read_dict_sidecar(bpath, split_id, seg=seg_scope)
                 n_total = 0
                 mismatches = 0
                 seen: set[str] = set()
@@ -867,27 +874,53 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
 
 def verify_table_files(spark: SparkSession, enc_dir: str) -> dict:
     """Decode-and-compare every live split against its recorded lineage
-    (zero shuffle, one task per split); splits that pass are promoted to
-    status='verified'.  Returns {splits, rows, mismatches}."""
+    (zero shuffle; one task per split, and one per ABSORBED SEGMENT of a
+    compacted bin — each replays exactly its own lineage, so verify
+    bandwidth survives compaction like the query layer's).  A split is
+    promoted to status='verified' only when every one of its segments
+    passes.  Returns {splits, rows, mismatches}."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    import pyarrow.parquet as pq
+
     live = engine_files.live_splits(enc_dir)
     if live is None:
         return {"splits": 0, "rows": 0, "mismatches": 0}
     todo = []
+    n_splits = 0
     for rec in live.to_dict("records"):
         pieces = json.loads(rec["pieces"]) if rec.get("pieces") else []
         if not pieces:
             raise ValueError(
                 f"split {rec['split_id']} has no recorded lineage"
             )
-        todo.append({"split_id": str(rec["split_id"]),
-                     "pieces": json.dumps(pieces, sort_keys=True)})
+        sid = str(rec["split_id"])
+        n_splits += 1
+        bpath = os.path.join(enc_dir, "blocks", f"{sid}.parquet")
+        if isinstance(pieces, dict) and len(pieces) > 1 and                 "split_seq" in pq.ParquetFile(bpath).schema_arrow.names:
+            # compacted bin: one verify task per absorbed segment, each
+            # replaying exactly its own lineage against its own row
+            # groups — a lost segment shows as a zero-row read whose
+            # lineage rows all count as mismatches
+            for seq in sorted(pieces):
+                todo.append({
+                    "split_id": sid,
+                    "pieces": json.dumps({seq: pieces[seq]},
+                                         sort_keys=True),
+                    "segment": seq,
+                })
+        else:
+            todo.append({"split_id": sid,
+                         "pieces": json.dumps(pieces, sort_keys=True),
+                         "segment": None})
     if not todo:
         return {"splits": 0, "rows": 0, "mismatches": 0}
     syms = engine_files._load_symbols(enc_dir)
-    tasks_df = spark.createDataFrame(pd.DataFrame(todo)).repartition(len(todo))
+    tasks_df = spark.createDataFrame(
+        [(t["split_id"], t["pieces"], t["segment"]) for t in todo],
+        "split_id string, pieces string, segment string",
+    ).repartition(len(todo))
     results = tasks_df.mapInPandas(
         _make_table_verify_worker(
             f"{enc_dir}/blocks",
@@ -896,9 +929,11 @@ def verify_table_files(spark: SparkSession, enc_dir: str) -> dict:
         ),
         TABLE_VERIFY_SCHEMA,
     ).collect()
-    passed = {
-        str(r["split_id"]) for r in results if int(r["mismatches"]) == 0
-    }
+    bad_by_split: dict[str, int] = {}
+    for r in results:
+        sid = str(r["split_id"])
+        bad_by_split[sid] = bad_by_split.get(sid, 0) + int(r["mismatches"])
+    passed = {sid for sid, m in bad_by_split.items() if m == 0}
     pdf = engine_files._read_manifest_pdf(enc_dir)
     if pdf is not None and passed:
         sel = pdf["split_id"].astype(str).isin(passed) & (
@@ -907,7 +942,7 @@ def verify_table_files(spark: SparkSession, enc_dir: str) -> dict:
         pdf.loc[sel, "status"] = "verified"
         engine_files._write_manifest_pdf(enc_dir, pdf)
     return {
-        "splits": len(results),
+        "splits": n_splits,
         "rows": sum(int(r["n_rows"]) for r in results),
         "mismatches": sum(int(r["mismatches"]) for r in results),
     }
@@ -932,8 +967,15 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
             for _, row in pdf.iterrows():
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
-                tbl = pq.read_table(path).combine_chunks()
-                side = _read_dict_sidecar(path, file_sid)
+                seg_scope = _task_seg(row)
+                tbl = pq.read_table(
+                    path,
+                    filters=(
+                        [("split_seq", "=", seg_scope)]
+                        if seg_scope is not None else None
+                    ),
+                ).combine_chunks()
+                side = _read_dict_sidecar(path, file_sid, seg=seg_scope)
                 seg_cols = [
                     _decode_split_columns(seg, side, schema, symbols, seq)
                     for seq, seg in _split_segments(tbl, file_sid)
@@ -958,13 +1000,20 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
                         else pa.string()
                     )
                 out = pa.table(cols)
-                final = os.path.join(out_dir, os.path.basename(path))
+                # a segment task of a compacted bin writes its own output
+                # file (unique per task; the restored dir is a plain
+                # parquet dataset either way)
+                name = (
+                    os.path.basename(path) if seg_scope is None
+                    else f"{file_sid}.{seg_scope}.parquet"
+                )
+                final = os.path.join(out_dir, name)
                 tmp = final + ".inprogress"
                 pq.write_table(out, tmp, compression="zstd")
                 os.replace(tmp, final)
                 yield pd.DataFrame(
                     {
-                        "file": [os.path.basename(path)],
+                        "file": [name],
                         "n_rows": [len(out)],
                         "n_cols": [out.num_columns],
                     }
@@ -976,26 +1025,29 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
 def decode_table_files(
     spark: SparkSession, enc_dir: str, out_dir: str
 ) -> dict:
-    """Reconstruct the encoded table (one task per live blocks file, zero
-    shuffle).  Rows come back in ``order_col`` order within each split; the
-    ``order_col`` column itself is decoded data, so any global order can be
-    re-established by sorting on it."""
+    """Reconstruct the encoded table (zero shuffle; one task per live
+    blocks file, fanned out to one per absorbed segment for compacted
+    bins — export bandwidth survives compaction).  Rows come back in
+    ``order_col`` order within each split; the ``order_col`` column
+    itself is decoded data, so any global order can be re-established by
+    sorting on it."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
+    files = sorted(set(tasks["file"]))
     lost = [f for f in files if not os.path.exists(f)]
     if lost:
         raise FileNotFoundError(
             f"manifest lists live splits with missing blocks files: "
             f"{[os.path.basename(f) for f in lost[:5]]}"
         )
+    if tasks.empty:
+        os.makedirs(out_dir, exist_ok=True)
+        return {"files": 0, "rows": 0}
     os.makedirs(out_dir, exist_ok=True)
     syms = engine_files._load_symbols(enc_dir)
-    tasks_df = spark.createDataFrame(
-        pd.DataFrame({"file": files})
-    ).repartition(len(files))
-    rows = tasks_df.mapInPandas(
+    rows = _spark_tasks(spark, tasks).mapInPandas(
         _make_table_decode_worker(
             out_dir,
             schema,
