@@ -985,6 +985,28 @@ def live_splits(out_dir: str):
     return pdf[pdf["status"].isin(["done", "verified"])]
 
 
+def grouped_slices(tbl):
+    """Contiguous ``(split_seq, col_name)`` runs of a blocks/sidecar
+    table, each to be written as ITS OWN parquet row group — the ONE
+    definition of the layout both writers (fresh encode in
+    rlv.table_files, compaction merge here) must share: row-group
+    statistics then prune a segment- or column-filtered read to exactly
+    its own pages.  A table without those columns (token plane) yields
+    itself whole; an empty table yields nothing."""
+    keys = [k for k in ("split_seq", "col_name") if k in tbl.column_names]
+    if len(tbl) == 0:
+        return
+    if not keys:
+        yield tbl
+        return
+    vals = list(zip(*[tbl.column(k).to_pylist() for k in keys]))
+    start = 0
+    for i in range(1, len(vals) + 1):
+        if i == len(vals) or vals[i] != vals[start]:
+            yield tbl.slice(start, i - start)
+            start = i
+
+
 COMPACT_RESULT_SCHEMA = "new_sid string, n_files int, n_rows bigint"
 
 
@@ -999,13 +1021,12 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
     re-run renames byte-identical content over the same final path."""
 
     def _write_segmented(tmp: str, members: list, compression) -> int:
-        """Write the merged file with ONE ROW GROUP PER contiguous
-        ``(split_seq, col_name)`` run of each member (table-plane files;
-        per absorbed split inside an already-merged member, whose runs
-        stay contiguous): row-group statistics then prune a
-        segment-scoped AND column-filtered query read to exactly its own
-        pages instead of decompressing the whole bin.  A member without
-        those columns (token-plane blocks) writes as one row group."""
+        """Write the merged file with one row group per
+        :func:`grouped_slices` run of each member (per absorbed split and
+        column; runs inside an already-merged member stay contiguous):
+        row-group statistics then prune a segment-scoped AND
+        column-filtered query read to exactly its own pages instead of
+        decompressing the whole bin."""
         import pyarrow.parquet as pq
 
         n_rows = 0
@@ -1014,23 +1035,8 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
         ) as w:
             for t in members:
                 n_rows += len(t)
-                if len(t) == 0:
-                    continue
-                keys = [
-                    k for k in ("split_seq", "col_name")
-                    if k in t.column_names
-                ]
-                if not keys:
-                    w.write_table(t)
-                    continue
-                vals = list(
-                    zip(*[t.column(k).to_pylist() for k in keys])
-                )
-                start = 0
-                for i in range(1, len(vals) + 1):
-                    if i == len(vals) or vals[i] != vals[start]:
-                        w.write_table(t.slice(start, i - start))
-                        start = i
+                for run in grouped_slices(t):
+                    w.write_table(run)
         return n_rows
 
     def run_compact(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1062,7 +1068,10 @@ def _make_compact_worker(blocks_dir: str, strings_dir: str):
                     ]
                     sfinal = os.path.join(strings_dir, f"{new_sid}.parquet")
                     stmp = sfinal + ".inprogress"
-                    _write_segmented(stmp, side_members, "snappy")
+                    # zstd matches the fresh-sidecar writer
+                    # (table_files._write_grouped) so both generations
+                    # share one on-disk codec
+                    _write_segmented(stmp, side_members, "zstd")
                     os.replace(stmp, sfinal)
                 yield pd.DataFrame(
                     {

@@ -569,26 +569,19 @@ def cluster_encode_table_files(
 
 
 def _write_grouped(tmp: str, tbl, compression: str | None = "zstd") -> None:
-    """Write a blocks / sidecar table with ONE ROW GROUP PER contiguous
-    ``(split_seq, col_name)`` run: row-group statistics then let a
-    column-filtered payload read decompress ONLY that column's blocks —
-    with a single row group, every per-column read of an N-column file
-    decompresses all N columns' payload (a 2-column projection over a
-    wide table pays the whole file, N times per query)."""
+    """Write a blocks / sidecar table with one row group per
+    :func:`rlv.engine_files.grouped_slices` run (the shared layout
+    definition — compaction's merge writer uses the same one): row-group
+    statistics then let a column-filtered payload read decompress ONLY
+    that column's blocks — with a single row group, every per-column
+    read of an N-column file decompresses all N columns' payload (a
+    2-column projection over a wide table pays the whole file, N times
+    per query)."""
     import pyarrow.parquet as pq
 
-    keys = [k for k in ("split_seq", "col_name") if k in tbl.column_names]
     with pq.ParquetWriter(tmp, tbl.schema, compression=compression) as w:
-        if not keys or len(tbl) == 0:
-            if len(tbl):
-                w.write_table(tbl)
-            return
-        vals = list(zip(*[tbl.column(k).to_pylist() for k in keys]))
-        start = 0
-        for i in range(1, len(vals) + 1):
-            if i == len(vals) or vals[i] != vals[start]:
-                w.write_table(tbl.slice(start, i - start))
-                start = i
+        for run in engine_files.grouped_slices(tbl):
+            w.write_table(run)
 
 
 def _read_dict_sidecar(
@@ -1034,14 +1027,16 @@ def decode_table_files(
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
-    tasks = _query_tasks(enc_dir)
-    files = sorted(set(tasks["file"]))
+    # the curated lost-file check runs BEFORE the task planner (which
+    # opens merged files' footers and would raise a raw not-found first)
+    files = _live_block_files(enc_dir)
     lost = [f for f in files if not os.path.exists(f)]
     if lost:
         raise FileNotFoundError(
             f"manifest lists live splits with missing blocks files: "
             f"{[os.path.basename(f) for f in lost[:5]]}"
         )
+    tasks = _query_tasks(enc_dir)
     if tasks.empty:
         os.makedirs(out_dir, exist_ok=True)
         return {"files": 0, "rows": 0}
@@ -1330,20 +1325,23 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         in _int_leaf_class_map(p, col_info[p["col"]])
                     }
 
-                side_pred = (
-                    _read_dict_sidecar(
-                        path, file_sid, col=all_mem_cols, seg=seg,
-                    )
-                    if all_mem_cols
-                    else {}
-                )
+                # sidecar read is LAZY: when the int-predicate
+                # intersection already pruned the whole file (the common
+                # case on a zone-map-clustered range), no dictionary byte
+                # is ever read
+                side_state: dict = {}
                 dict_cache: dict[tuple[str, str, int], object] = {}
 
-                def _mem_phase1(p, side_pred=side_pred,
+                def _mem_phase1(p, path=path, file_sid=file_sid, seg=seg,
+                                side_state=side_state,
                                 dict_cache=dict_cache):
+                    if "side" not in side_state:
+                        side_state["side"] = _read_dict_sidecar(
+                            path, file_sid, col=all_mem_cols, seg=seg,
+                        )
                     codes: dict[tuple[str, int], np.ndarray] = {}
                     dicts: dict[tuple[str, int], object] = {}
-                    for (sid, name, bi), blob in side_pred.items():
+                    for (sid, name, bi), blob in side_state["side"].items():
                         if name != p["col"]:
                             continue
                         uniq = dict_cache.get((sid, name, bi))
@@ -1435,19 +1433,19 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                     else {}
                 )
                 outs: dict[str, list] = {c: [] for c in out_names}
-                for seq, seg in _split_segments(btbl, file_sid):
+                for seq, sseg in _split_segments(btbl, file_sid):
                     per: dict[str, dict[int, tuple]] = {
                         c: {} for c in read_names
                     }
                     for name, bi, nv, nn, nr, mn, mx, blob in zip(
-                        seg.column("col_name").to_pylist(),
-                        seg.column("block_idx").to_numpy(),
-                        seg.column("n_values").to_numpy(),
-                        seg.column("n_nulls").to_numpy(),
-                        seg.column("n_runs").to_numpy(),
-                        seg.column("min_val").to_numpy(),
-                        seg.column("max_val").to_numpy(),
-                        seg.column("block").to_pylist(),
+                        sseg.column("col_name").to_pylist(),
+                        sseg.column("block_idx").to_numpy(),
+                        sseg.column("n_values").to_numpy(),
+                        sseg.column("n_nulls").to_numpy(),
+                        sseg.column("n_runs").to_numpy(),
+                        sseg.column("min_val").to_numpy(),
+                        sseg.column("max_val").to_numpy(),
+                        sseg.column("block").to_pylist(),
                     ):
                         per[name][int(bi)] = (
                             int(nv), int(nr), int(mn), int(mx), blob,
@@ -1984,6 +1982,12 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                               "lo": int(p[2]), "hi": int(p[3]),
                               "neg": kind == "not_between"})
             else:
+                if isinstance(p[2], (str, bytes)):
+                    # list('123') would coerce to literals [1, 2, 3]
+                    raise ValueError(
+                        f"int_in predicate takes a list of int literals, "
+                        f"got a single string {p[2]!r}"
+                    )
                 vals = np.unique(np.asarray(list(p[2]), np.int64))
                 if vals.size == 0:
                     raise ValueError(
@@ -3996,25 +4000,30 @@ def explain_scan_table_files(
     worker = _make_explain_worker(
         specs, out_names, symbols_hex=_symbols_hex(enc_dir),
     )
-    files = _live_block_files(enc_dir)
+    tasks = _query_tasks(enc_dir)
     from pyspark.sql import functions as F
 
-    if not files:
+    if tasks.empty:
         parts = spark.createDataFrame([], EXPLAIN_SCHEMA)
     else:
-        tasks_df = spark.createDataFrame(
-            pd.DataFrame({"file": files})
-        ).repartition(len(files))
-        parts = tasks_df.mapInPandas(worker, EXPLAIN_SCHEMA)
+        parts = _spark_tasks(spark, tasks).mapInPandas(
+            worker, EXPLAIN_SCHEMA
+        )
+    # `files` counts LIVE FILES (planner-known), not tasks — a compacted
+    # bin fans out to several segment tasks but is still one file
+    sum_cols = [
+        "blocks_total", "blocks_pruned", "blocks_full",
+        "blocks_partial", "rows_total", "rows_pruned",
+        "rows_surviving", "payload_bytes",
+    ]
     return parts.agg(
         *[
             F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
-            for c in [
-                "files", "blocks_total", "blocks_pruned", "blocks_full",
-                "blocks_partial", "rows_total", "rows_pruned",
-                "rows_surviving", "payload_bytes",
-            ]
+            for c in sum_cols
         ]
+    ).select(
+        F.lit(int(tasks["file"].nunique())).cast("bigint").alias("files"),
+        *[F.col(c) for c in sum_cols],
     )
 
 

@@ -2930,3 +2930,46 @@ def test_recompaction_preserves_segments_and_results(spark, orders_dir,
     assert probe() == before
     v = table_files.verify_table_files(spark, out)
     assert v["mismatches"] == 0
+
+
+def test_in_list_predicates_reject_bare_strings(spark, orders_dir,
+                                                tmp_path):
+    """('in', col, 'abc') / ('int_in', col, '123') would iterate the
+    string into per-character literals and silently return wrong rows —
+    both now fail loudly at normalization, on the driver."""
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    with pytest.raises(ValueError, match="single string"):
+        table_files.scan_table_files_where(
+            spark, out, [("in", "o_orderstatus", "abc")],
+            columns=["o_orderkey"],
+        )
+    with pytest.raises(ValueError, match="single string"):
+        table_files.scan_table_files_where(
+            spark, out, [("int_in", "o_custkey", "123")],
+            columns=["o_orderkey"],
+        )
+
+
+def test_explain_counts_files_not_tasks(spark, orders_dir, tmp_path):
+    """EXPLAIN fans out per segment like every other operator, but its
+    `files` metric counts LIVE FILES (planner-known): a bin absorbing 4
+    splits is still one file, and the block/row/byte sums are identical
+    before and after the merge."""
+    out = str(tmp_path / "enc")
+    _encode(spark, orders_dir, out)
+    preds = [("between", "o_orderkey", 0, 1 << 40)]
+    before = table_files.explain_scan_table_files(
+        spark, out, preds, columns=["o_orderkey", "o_custkey"]
+    ).collect()[0].asDict()
+    n_files = len(glob.glob(f"{out}/blocks/*.parquet"))
+    assert before["files"] == n_files
+    engine_files.compact_blocks(spark, out, target_bytes=1 << 40)
+    after = table_files.explain_scan_table_files(
+        spark, out, preds, columns=["o_orderkey", "o_custkey"]
+    ).collect()[0].asDict()
+    assert after["files"] == 1
+    for k in ("blocks_total", "blocks_pruned", "blocks_full",
+              "blocks_partial", "rows_total", "rows_pruned",
+              "rows_surviving", "payload_bytes"):
+        assert after[k] == before[k], k
