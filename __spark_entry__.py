@@ -1828,6 +1828,48 @@ def _q_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) pushdown (:func:`rlv.table_files.count_table_files_where`)
+    — the cheapest member of the pushdown family: NO value column is ever
+    read.  Pruned blocks contribute nothing, FULL blocks count from their
+    recorded ``n_values`` (pure metadata), and only partial blocks decode
+    — and only their non-full predicate columns.  The conjunction here
+    stacks an int zone-map range, a LIKE-prefix dictionary membership,
+    and IS NOT NULL (a pure metadata predicate); the oracle is plain SQL
+    ``SELECT count(*)`` under the same WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_cnt_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n"], str_cols=["pri_n"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.count_table_files_where(
+        spark, out,
+        [("between", "o_orderkey", 2000, 90000),
+         ("prefix", "pri_n", "1-"),
+         ("notnull", "custkey_n")],
+    )
+
+
 def _q_where_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY pushdown under a predicate CONJUNCTION
     (:func:`rlv.table_files.agg_table_files_by` with ``preds``): groups
@@ -2997,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_semijoin": _q_dpp_semijoin,
         "clustered_scan": _q_clustered_scan,
         "where_aggregate": _q_where_aggregate,
+        "count_pushdown": _q_count_pushdown,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
@@ -3722,6 +3765,21 @@ d AS (
 SELECT CAST(v.o_orderkey AS BIGINT) AS o_orderkey, v.pri_n,
        CAST(v.opt_custkey AS BIGINT) AS opt_custkey, d.pri_len
 FROM v JOIN d ON v.pri_n = d.pri
+""",
+        "count_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+)
+SELECT count(*) AS n_rows
+FROM v
+WHERE o_orderkey BETWEEN 2000 AND 90000
+  AND pri_n LIKE '1-%'
+  AND custkey_n IS NOT NULL
 """,
         "where_aggregate": """
 WITH v AS (

@@ -20,6 +20,8 @@ Cluster:
         --data s3://bucket/enc --where '[["between","v",0,9]]' \
         --columns k,v --output s3://bucket/result
     spark-submit ... jobs/query_job.py agg --data ... --value v --where ...
+    spark-submit ... jobs/query_job.py count --data ... --where ...
+        (COUNT(*): no value column read; full blocks count from metadata)
     spark-submit ... jobs/query_job.py group --data ... --value v \
         --by tag[,band,...]
     spark-submit ... jobs/query_job.py topk --data ... --col v -k 100
@@ -65,8 +67,8 @@ def _columns(raw: str | None) -> list[str] | None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("action", choices=[
-        "scan", "agg", "group", "topk", "distinct", "ndv", "stats",
-        "ctas", "explain",
+        "scan", "agg", "count", "group", "topk", "distinct", "ndv",
+        "stats", "ctas", "explain",
     ])
     ap.add_argument("--data", required=True, help="encoded dataset dir")
     ap.add_argument("--where", default=None, help="JSON predicate list")
@@ -123,6 +125,10 @@ def main(argv=None) -> int:
             ap.error("scan requires --where")
         _emit(TF.scan_table_files_where(spark, args.data, preds,
                                         columns=cols), True)
+    elif args.action == "count":
+        if not preds:
+            ap.error("count requires --where")
+        _emit(TF.count_table_files_where(spark, args.data, preds), False)
     elif args.action == "agg":
         if not args.value or not preds:
             ap.error("agg requires --value and --where")

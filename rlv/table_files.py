@@ -2992,6 +2992,104 @@ def agg_table_files_where(
     return combined if multi else combined.drop("val_col")
 
 
+def _make_count_worker(preds: list[dict],
+                       symbols_hex: tuple[str, ...] | None = None):
+    """COUNT(*) worker over one blocks file: FULL blocks count from
+    metadata alone (their recorded ``n_values``); only PARTIAL blocks
+    decode — and only their non-full PREDICATE columns, never a value
+    column.  One bigint per task."""
+    from rlv.util import tune_malloc
+
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    all_cols = _spec_cols(preds)
+
+    def run_count(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
+                    )
+                need: dict[str, set[int]] = {}
+                for key, kind in cls.items():
+                    if kind != "partial":
+                        continue
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes,
+                                             or_data):
+                        need.setdefault(c, set()).add(key[1])
+                blobs = _fetch_payloads(path, file_sid, seg, need)
+                n = 0
+                for key in sorted(cls):
+                    nv = info[all_cols[0]][key][0]
+                    if cls[key] == "full":
+                        n += nv
+                        continue
+                    seq, bi = key
+                    decoded: dict[str, tuple] = {}
+
+                    def _dec(c, seq=seq, bi=bi, nv=nv, decoded=decoded):
+                        if c not in decoded:
+                            decoded[c] = B.decode_blocks_batch_nullable(
+                                [blobs[(seq, c, bi)]], np.int64,
+                                expected=[nv],
+                            )
+                        return decoded[c]
+
+                    mask = _pred_mask(
+                        key, nv, pred_cls, int_preds, mem_preds,
+                        mem_codes, mem_full, _dec, or_nodes, or_data,
+                    )
+                    n += int(mask.sum())
+                yield pd.DataFrame({"n_rows": [n]})
+
+    return run_count
+
+
+def count_table_files_where(spark: SparkSession, enc_dir: str, preds):
+    """``SELECT count(*) WHERE <conjunction>`` pushed into the encoded
+    format: one row ``(n_rows)``.  The cheapest query in the pushdown
+    family — NO value column is ever read: pruned blocks contribute
+    nothing, FULL blocks count from their recorded ``n_values``
+    (metadata only), and partial blocks decode exactly the predicate
+    columns not full-matching there.  On a zone-map-clustered predicate
+    the payload IO is O(boundary blocks); an all-full match (or a pure
+    validity predicate over unmixed blocks) reads ZERO payload bytes.
+    Takes the same predicate kinds as :func:`scan_table_files_where`."""
+    schema = _load_table_schema(enc_dir)
+    if schema is None:
+        raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    specs = _norm_preds(schema, list(preds))
+    worker = _make_count_worker(specs, symbols_hex=_symbols_hex(enc_dir))
+    tasks = _query_tasks(enc_dir)
+    from pyspark.sql import functions as F
+
+    if tasks.empty:
+        parts = spark.createDataFrame([], "n_rows bigint")
+    else:
+        parts = _spark_tasks(spark, tasks).mapInPandas(
+            worker, "n_rows bigint"
+        )
+    return parts.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint")
+        .alias("n_rows")
+    )
+
+
 def _group_seg_agg(keys: np.ndarray, vals: np.ndarray,
                    vvalid: np.ndarray, acc: dict, name_of) -> None:
     """Accumulate per-key aggregates of one block's masked rows into ``acc``

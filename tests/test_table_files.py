@@ -2973,3 +2973,70 @@ def test_explain_counts_files_not_tasks(spark, orders_dir, tmp_path):
               "blocks_partial", "rows_total", "rows_pruned",
               "rows_surviving", "payload_bytes"):
         assert after[k] == before[k], k
+
+
+def test_count_pushdown_matches_python(spark, tmp_path):
+    """COUNT(*) pushdown: full blocks count from metadata only, partial
+    blocks decode only predicate columns; matches a Python reference on
+    range, membership, validity, negation, and OR predicates — before
+    and after compaction."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 20000
+    band = [None if i % 11 == 0 else (i // 100) for i in range(n)]
+    tag = [None if i % 13 == 5 else f"t{(i * 7) % 5:01d}" for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "band_n": pa.array(band, pa.int32()),
+            "tag_n": pa.array(tag, pa.string()),
+        }
+    )
+    for p in range(2):
+        pq.write_table(tbl.slice(p * (n // 2), n // 2),
+                       f"{d}/part{p}.parquet", row_group_size=2048)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, sorted(glob.glob(f"{d}/*.parquet")), out,
+        order_col="k", int_cols=["k", "band_n"], str_cols=["tag_n"],
+        rows_per_block=1024, num_tasks=2,
+    )
+
+    cases = [
+        ([("between", "band_n", 40, 59)],
+         lambda i: band[i] is not None and 40 <= band[i] <= 59),
+        ([("eq", "tag_n", "t2")], lambda i: tag[i] == "t2"),
+        ([("between", "band_n", 40, 159), ("in", "tag_n", ["t0", "t3"])],
+         lambda i: band[i] is not None and 40 <= band[i] <= 159
+         and tag[i] in ("t0", "t3")),
+        ([("isnull", "band_n")], lambda i: band[i] is None),
+        ([("not_between", "band_n", 0, 150)],
+         lambda i: band[i] is not None and band[i] > 150),
+        ([("or", [("isnull", "tag_n"), ("between", "band_n", 0, 3)])],
+         lambda i: tag[i] is None
+         or (band[i] is not None and band[i] <= 3)),
+    ]
+
+    def check():
+        for preds, ref in cases:
+            [r] = table_files.count_table_files_where(
+                spark, out, preds
+            ).collect()
+            want = sum(1 for i in range(n) if ref(i))
+            assert r["n_rows"] == want > 0, preds
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] == 1
+    check()
+    # all-pruned conjunction: zero, and empty-pred list refused
+    [r0] = table_files.count_table_files_where(
+        spark, out, [("between", "band_n", 10**9, 2 * 10**9)]
+    ).collect()
+    assert r0["n_rows"] == 0
+    with pytest.raises(ValueError):
+        table_files.count_table_files_where(spark, out, [])
