@@ -126,9 +126,9 @@ def main(argv=None) -> int:
         _emit(TF.scan_table_files_where(spark, args.data, preds,
                                         columns=cols), True)
     elif args.action == "count":
-        if not preds:
-            ap.error("count requires --where")
-        _emit(TF.count_table_files_where(spark, args.data, preds), False)
+        # no --where: count(*) from the manifest alone (zero file IO)
+        _emit(TF.count_table_files_where(spark, args.data, preds or []),
+              False)
     elif args.action == "agg":
         if not args.value or not preds:
             ap.error("agg requires --value and --where")

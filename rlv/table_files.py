@@ -3069,10 +3069,21 @@ def count_table_files_where(spark: SparkSession, enc_dir: str, preds):
     columns not full-matching there.  On a zone-map-clustered predicate
     the payload IO is O(boundary blocks); an all-full match (or a pure
     validity predicate over unmixed blocks) reads ZERO payload bytes.
-    Takes the same predicate kinds as :func:`scan_table_files_where`."""
+    Takes the same predicate kinds as :func:`scan_table_files_where`.
+    With NO predicates (``preds`` None/empty), ``SELECT count(*)`` is
+    served from the MANIFEST alone — live splits' recorded row counts,
+    zero Spark jobs, zero file IO (the statistics-served count a
+    warehouse gives you)."""
     schema = _load_table_schema(enc_dir)
     if schema is None:
         raise FileNotFoundError(f"no table schema recorded at {enc_dir}")
+    if not preds:
+        live = engine_files.live_splits(enc_dir)
+        total = (
+            0 if live is None
+            else int(sum(int(n) for n in live["n_docs"]))
+        )
+        return spark.createDataFrame([(total,)], "n_rows bigint")
     specs = _norm_preds(schema, list(preds))
     worker = _make_count_worker(specs, symbols_hex=_symbols_hex(enc_dir))
     tasks = _query_tasks(enc_dir)

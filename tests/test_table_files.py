@@ -3038,5 +3038,6 @@ def test_count_pushdown_matches_python(spark, tmp_path):
         spark, out, [("between", "band_n", 10**9, 2 * 10**9)]
     ).collect()
     assert r0["n_rows"] == 0
-    with pytest.raises(ValueError):
-        table_files.count_table_files_where(spark, out, [])
+    # no predicates: count(*) served from the manifest alone
+    [rt] = table_files.count_table_files_where(spark, out, []).collect()
+    assert rt["n_rows"] == n
