@@ -163,6 +163,16 @@ def main(argv=None) -> int:
                       f"{hi10} AND pri_n IN ('1-URGENT','5-LOW') AND clerk "
                       "LIKE 'Clerk#0%'")[0])
 
+        # 4b. COUNT(*) under the same conjunction: no value column read
+        timed("count_conj", lambda: TF.count_table_files_where(
+            spark, out,
+            [("between", "k", lo10, hi10),
+             ("in", "pri_n", ["1-URGENT", "5-LOW"]),
+             ("prefix", "clerk", "Clerk#0")]).collect()[0]["n_rows"],
+            want=dsql(f"SELECT count(*) FROM SRC WHERE k BETWEEN {lo10} "
+                      f"AND {hi10} AND pri_n IN ('1-URGENT','5-LOW') AND "
+                      "clerk LIKE 'Clerk#0%'")[0])
+
         # 5. decode-free aggregate (full-range predicate: every block
         #    full-matches, value blocks aggregate from run lists)
         def agg_full():
