@@ -1870,6 +1870,45 @@ def _q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX pushdown (:func:`rlv.table_files.minmax_table_files_where`)
+    — ``SELECT min(v), max(v) WHERE ...``: FULL-matching blocks
+    contribute their recorded ZONE MAPS (metadata, no value payload);
+    only boundary (partial) blocks decode the value column and mask.
+    Both the predicate and value columns NULLABLE; the oracle is the
+    plain SQL min/max under the same WHERE."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_mmx_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END "
+        "  AS custkey_n, "
+        "CASE WHEN o_orderkey % 3 = 1 THEN NULL "
+        "     ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "custkey_n", "cents_n"], str_cols=[],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return TF.minmax_table_files_where(
+        spark, out, "cents_n",
+        [("between", "o_orderkey", 5000, 100000),
+         ("notnull", "custkey_n")],
+    )
+
+
 def _q_where_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY pushdown under a predicate CONJUNCTION
     (:func:`rlv.table_files.agg_table_files_by` with ``preds``): groups
@@ -3040,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_scan": _q_clustered_scan,
         "where_aggregate": _q_where_aggregate,
         "count_pushdown": _q_count_pushdown,
+        "minmax_pushdown": _q_minmax_pushdown,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
@@ -3765,6 +3805,21 @@ d AS (
 SELECT CAST(v.o_orderkey AS BIGINT) AS o_orderkey, v.pri_n,
        CAST(v.opt_custkey AS BIGINT) AS opt_custkey, d.pri_len
 FROM v JOIN d ON v.pri_n = d.pri
+""",
+        "minmax_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+           AS custkey_n,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE CAST(o_totalprice * 100 AS BIGINT) END AS cents_n
+  FROM orders
+)
+SELECT CAST(min(cents_n) AS BIGINT) AS min_val,
+       CAST(max(cents_n) AS BIGINT) AS max_val
+FROM v
+WHERE o_orderkey BETWEEN 5000 AND 100000
+  AND custkey_n IS NOT NULL
 """,
         "count_pushdown": """
 WITH v AS (

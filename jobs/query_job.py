@@ -67,8 +67,8 @@ def _columns(raw: str | None) -> list[str] | None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("action", choices=[
-        "scan", "agg", "count", "group", "topk", "distinct", "ndv",
-        "stats", "ctas", "explain",
+        "scan", "agg", "count", "minmax", "group", "topk", "distinct",
+        "ndv", "stats", "ctas", "explain",
     ])
     ap.add_argument("--data", required=True, help="encoded dataset dir")
     ap.add_argument("--where", default=None, help="JSON predicate list")
@@ -125,6 +125,11 @@ def main(argv=None) -> int:
             ap.error("scan requires --where")
         _emit(TF.scan_table_files_where(spark, args.data, preds,
                                         columns=cols), True)
+    elif args.action == "minmax":
+        if not args.value or not preds:
+            ap.error("minmax requires --value and --where")
+        _emit(TF.minmax_table_files_where(spark, args.data, args.value,
+                                          preds), False)
     elif args.action == "count":
         # no --where: count(*) from the manifest alone (zero file IO)
         _emit(TF.count_table_files_where(spark, args.data, preds or []),

@@ -3101,6 +3101,118 @@ def count_table_files_where(spark: SparkSession, enc_dir: str, preds):
     )
 
 
+def _make_minmax_worker(value_col: str, preds: list[dict],
+                        symbols_hex: tuple[str, ...] | None = None):
+    """MIN/MAX worker over one blocks file: FULL blocks contribute their
+    recorded zone map (min_val/max_val over valid values — METADATA, no
+    value payload); only PARTIAL blocks decode the value column (plus
+    their non-full predicate columns) and fold the masked values.  One
+    nullable (min_val, max_val) row per task."""
+    from rlv.util import tune_malloc
+
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    all_cols = list(dict.fromkeys([*_spec_cols(preds), value_col]))
+
+    def run_minmax(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, mem_codes, mem_full, \
+                    or_data, _ = _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols,
+                    )
+                need: dict[str, set[int]] = {}
+                for key, kind in cls.items():
+                    if kind != "partial":
+                        continue
+                    need.setdefault(value_col, set()).add(key[1])
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes,
+                                             or_data):
+                        need.setdefault(c, set()).add(key[1])
+                blobs = _fetch_payloads(path, file_sid, seg, need)
+                mn = mx = None
+                for key in sorted(cls):
+                    nv, nn, nr, bmn, bmx = info[value_col][key]
+                    if cls[key] == "full":
+                        if nr == 0:
+                            continue  # all-NULL value block
+                        mn = bmn if mn is None else min(mn, bmn)
+                        mx = bmx if mx is None else max(mx, bmx)
+                        continue
+                    seq, bi = key
+                    decoded: dict[str, tuple] = {}
+
+                    def _dec(c, seq=seq, bi=bi, nv=nv, decoded=decoded):
+                        if c not in decoded:
+                            decoded[c] = B.decode_blocks_batch_nullable(
+                                [blobs[(seq, c, bi)]], np.int64,
+                                expected=[nv],
+                            )
+                        return decoded[c]
+
+                    mask = _pred_mask(
+                        key, nv, pred_cls, int_preds, mem_preds,
+                        mem_codes, mem_full, _dec, or_nodes, or_data,
+                    )
+                    vv, _, vvalid = _dec(value_col)
+                    picked = vv[mask & vvalid]
+                    if picked.size:
+                        pmn, pmx = int(picked.min()), int(picked.max())
+                        mn = pmn if mn is None else min(mn, pmn)
+                        mx = pmx if mx is None else max(mx, pmx)
+                yield pd.DataFrame(
+                    {
+                        "min_val": pd.array([mn], dtype="Int64"),
+                        "max_val": pd.array([mx], dtype="Int64"),
+                    }
+                )
+
+    return run_minmax
+
+
+def minmax_table_files_where(spark: SparkSession, enc_dir: str,
+                             value_col: str, preds):
+    """``SELECT min(v), max(v) WHERE <conjunction>`` pushed into the
+    encoded format: one row ``(min_val, max_val)`` with SQL NULL
+    semantics (NULL values skipped; no matching valid row → NULL row).
+    FULL-matching blocks contribute their recorded ZONE MAP — no value
+    payload read — so on a clustered predicate (or no predicate at all:
+    pass the order column's full range) the answer folds almost entirely
+    from metadata; only partial (boundary) blocks decode."""
+    schema = _require_int_col(enc_dir, value_col)
+    specs = _norm_preds(schema, list(preds))
+    worker = _make_minmax_worker(
+        value_col, specs, symbols_hex=_symbols_hex(enc_dir)
+    )
+    tasks = _query_tasks(enc_dir)
+    from pyspark.sql import functions as F
+
+    if tasks.empty:
+        parts = spark.createDataFrame([], "min_val bigint, max_val bigint")
+    else:
+        parts = _spark_tasks(spark, tasks).mapInPandas(
+            worker, "min_val bigint, max_val bigint"
+        )
+    return parts.agg(
+        F.min("min_val").cast("bigint").alias("min_val"),
+        F.max("max_val").cast("bigint").alias("max_val"),
+    )
+
+
 def _group_seg_agg(keys: np.ndarray, vals: np.ndarray,
                    vvalid: np.ndarray, acc: dict, name_of) -> None:
     """Accumulate per-key aggregates of one block's masked rows into ``acc``

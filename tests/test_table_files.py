@@ -3041,3 +3041,60 @@ def test_count_pushdown_matches_python(spark, tmp_path):
     # no predicates: count(*) served from the manifest alone
     [rt] = table_files.count_table_files_where(spark, out, []).collect()
     assert rt["n_rows"] == n
+
+
+def test_minmax_pushdown_matches_python(spark, tmp_path):
+    """MIN/MAX pushdown: full blocks fold their zone maps from metadata
+    (no value payload), partial blocks decode and mask; SQL NULL
+    semantics incl. the no-matching-valid-row NULL row — stable across
+    compaction."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 20000
+    band = [None if i % 11 == 0 else (i // 100) for i in range(n)]
+    val = [None if i % 7 == 3 else (i * 13) % 5000 - 700 for i in range(n)]
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "band_n": pa.array(band, pa.int32()),
+            "val_n": pa.array(val, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=4096)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "band_n", "val_n"],
+        rows_per_block=1024, num_tasks=2,
+    )
+
+    def check():
+        for lo, hi in [(40, 59), (0, 200), (150, 10**9)]:
+            [r] = table_files.minmax_table_files_where(
+                spark, out, "val_n", [("between", "band_n", lo, hi)]
+            ).collect()
+            vals = [
+                val[i] for i in range(n)
+                if band[i] is not None and lo <= band[i] <= hi
+                and val[i] is not None
+            ]
+            assert (r["min_val"], r["max_val"]) == (min(vals), max(vals))
+        # value == predicate column: full blocks are pure zone-map folds
+        [r2] = table_files.minmax_table_files_where(
+            spark, out, "band_n", [("between", "band_n", 40, 59)]
+        ).collect()
+        assert (r2["min_val"], r2["max_val"]) == (40, 59)
+        # no matching valid row -> SQL NULL row
+        [r3] = table_files.minmax_table_files_where(
+            spark, out, "val_n", [("between", "band_n", 10**8, 10**9)]
+        ).collect()
+        assert (r3["min_val"], r3["max_val"]) == (None, None)
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] == 1
+    check()
