@@ -920,6 +920,7 @@ def _q_table_encode_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.col("codec_id").cast("int").alias("codec_id"),
         "enc_bytes",
+        F.col("sum_val").cast("decimal(38,0)").alias("sum_val"),
     )
 
 
@@ -963,6 +964,7 @@ def _q_table_encode_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.col("codec_id").cast("int").alias("codec_id"),
         "enc_bytes",
+        F.col("sum_val").cast("decimal(38,0)").alias("sum_val"),
     )
 
 
@@ -2972,9 +2974,16 @@ seq AS (
                                            ORDER BY pri_n) - 1 AS BIGINT) END
   FROM base
 ),
-{_codec_size_model_sql("block_idx, col_name", nullable=True)[1:]}
-SELECT block_idx, col_name, n_values, n_nulls, n_runs, codec_id, enc_bytes
-FROM result
+{_codec_size_model_sql("block_idx, col_name", nullable=True)[1:]},
+blk_sums AS (
+  SELECT block_idx, col_name, CAST(sum(tok) AS DECIMAL(38,0)) AS sum_val
+  FROM seq GROUP BY block_idx, col_name
+)
+SELECT r.block_idx, r.col_name, n_values, n_nulls, n_runs, codec_id,
+       enc_bytes, s.sum_val
+FROM result r
+JOIN blk_sums s
+  ON r.block_idx = s.block_idx AND r.col_name = s.col_name
 """
 
 
@@ -3007,8 +3016,16 @@ seq AS (
                                  ORDER BY o_orderpriority) - 1 AS BIGINT)
   FROM base
 ),
-{_codec_size_model_sql("block_idx, col_name")[1:]}
-SELECT block_idx, col_name, n_values, n_runs, codec_id, enc_bytes FROM result
+{_codec_size_model_sql("block_idx, col_name")[1:]},
+blk_sums AS (
+  SELECT block_idx, col_name, CAST(sum(tok) AS DECIMAL(38,0)) AS sum_val
+  FROM seq GROUP BY block_idx, col_name
+)
+SELECT r.block_idx, r.col_name, n_values, n_runs, codec_id, enc_bytes,
+       s.sum_val
+FROM result r
+JOIN blk_sums s
+  ON r.block_idx = s.block_idx AND r.col_name = s.col_name
 """
 
 

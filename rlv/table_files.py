@@ -140,6 +140,8 @@ def _make_table_split_worker(
     read_cols = list(dict.fromkeys([order_col, *int_cols, *str_cols]))
 
     def run_split(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from decimal import Decimal
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -179,7 +181,8 @@ def _make_table_split_worker(
                     k: []
                     for k in ("split_seq", "col_name", "block_idx", "n_values",
                               "n_nulls", "n_runs", "codec_id", "enc_bytes",
-                              "naive_bytes", "min_val", "max_val", "block")
+                              "naive_bytes", "min_val", "max_val", "sum_val",
+                              "block")
                 }
                 srows = {
                     k: []
@@ -235,6 +238,12 @@ def _make_table_split_worker(
                     # scan's min/max block-skipping statistic
                     brows["min_val"].append(int(st.min_val))
                     brows["max_val"].append(int(st.max_val))
+                    # exact sum of the VALID values: with min/max/counts it
+                    # makes a full-matching block's count/sum/min/max/avg a
+                    # metadata-only aggregate — the value payload is never
+                    # read.  Exact Python int (no int64 wrap), stored as
+                    # decimal(38,0): |sum| < rows_per_block * 2^63 << 10^38
+                    brows["sum_val"].append(B.exact_sum_i64(valid_vals))
                     brows["block"].append(blk)
                     total_vals += int(n_vals)
                     total_runs += int(st.n_runs)
@@ -311,6 +320,10 @@ def _make_table_split_worker(
                         ),
                         "min_val": pa.array(brows["min_val"], pa.int64()),
                         "max_val": pa.array(brows["max_val"], pa.int64()),
+                        "sum_val": pa.array(
+                            [Decimal(x) for x in brows["sum_val"]],
+                            pa.decimal128(38, 0),
+                        ),
                         "block": pa.array(brows["block"], pa.binary()),
                     }
                 )
@@ -2622,12 +2635,17 @@ def _classify_file(path: str, file_sid: str, seg: str | None,
     ``seg`` scopes a segment task of a compacted file to its own split
     (the ``split_seq`` filter prunes to that segment's row groups).
     Returns ``(info, keys, cls, pred_cls, mem_codes, mem_full, or_data,
-    ebytes)`` — ``ebytes`` is the per-column ``{key: enc_bytes}`` map when
-    ``with_enc_bytes`` else None."""
+    ebytes, sums)`` — ``ebytes`` is the per-column ``{key: enc_bytes}``
+    map when ``with_enc_bytes`` else None; ``sums`` is the per-column
+    ``{key: exact valid-value sum}`` map (values None when the file
+    predates the ``sum_val`` stat — callers fall back to payload)."""
     import pyarrow.parquet as pq
 
     meta_cols = ["split_seq", "col_name", "block_idx", "n_values",
                  "n_nulls", "n_runs", "min_val", "max_val"]
+    has_sums = "sum_val" in pq.read_schema(path).names
+    if has_sums:
+        meta_cols.append("sum_val")
     if with_enc_bytes:
         meta_cols.append("enc_bytes")
     filters: list = [("col_name", "in", all_cols)]
@@ -2642,6 +2660,9 @@ def _classify_file(path: str, file_sid: str, seg: str | None,
     ebytes: dict[str, dict[tuple[str, int], int]] | None = (
         {c: {} for c in all_cols} if with_enc_bytes else None
     )
+    sums: dict[str, dict[tuple[str, int], int | None]] = {
+        c: {} for c in all_cols
+    }
     for sid, segment in _split_segments(meta, file_sid):
         cols = [
             segment.column("col_name").to_pylist(),
@@ -2652,13 +2673,19 @@ def _classify_file(path: str, file_sid: str, seg: str | None,
             segment.column("min_val").to_numpy(),
             segment.column("max_val").to_numpy(),
         ]
+        cols.append(
+            segment.column("sum_val").to_pylist()
+            if has_sums
+            else [None] * len(segment)
+        )
         if with_enc_bytes:
             cols.append(segment.column("enc_bytes").to_numpy())
-        for name, bi, nv, nn, nr, mn, mx, *rest in zip(*cols):
+        for name, bi, nv, nn, nr, mn, mx, sm, *rest in zip(*cols):
             key = (sid, int(bi))
             info[name][key] = (
                 int(nv), int(nn), int(nr), int(mn), int(mx)
             )
+            sums[name][key] = int(sm) if sm is not None else None
             if with_enc_bytes:
                 ebytes[name][key] = int(rest[0])
     keys = set(info[all_cols[0]])
@@ -2692,7 +2719,8 @@ def _classify_file(path: str, file_sid: str, seg: str | None,
     else:
         pred_cls, mem_codes, mem_full, or_data = [], [], [], []
         cls = {k: "full" for k in keys}
-    return info, keys, cls, pred_cls, mem_codes, mem_full, or_data, ebytes
+    return (info, keys, cls, pred_cls, mem_codes, mem_full, or_data,
+            ebytes, sums)
 
 
 def _fetch_payloads(path: str, file_sid: str, seg: str | None,
@@ -2769,7 +2797,7 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
                 # row without decoding the predicate; `partial` blocks
                 # decode; the rest are pruned and never read again.
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, sums = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )
@@ -2779,16 +2807,22 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
                         {vc: [0, 0, None, None] for vc in value_cols},
                     )
                     continue
-                surviving_idx = sorted({bi for _, bi in cls})
-                # columns needing payload at partial keys: each pred col
-                # where that pred is not full there, plus the value columns
-                # everywhere they survive
+                # columns needing payload: at partial keys, each pred col
+                # where that pred is not full there plus every value
+                # column; at full keys the block stats (n_nulls, sum_val,
+                # zone map) ARE the aggregate — no value payload is read
+                # (pre-sum_val files fall back to the payload there)
                 need: dict[str, set[int]] = {
-                    vc: set(surviving_idx) for vc in value_cols
+                    vc: set() for vc in value_cols
                 }
                 for key, kind in cls.items():
                     if kind != "partial":
+                        for vc in value_cols:
+                            if sums[vc].get(key) is None:
+                                need[vc].add(key[1])
                         continue
+                    for vc in value_cols:
+                        need[vc].add(key[1])
                     for c in _pred_need_cols(key, pred_cls, int_preds,
                                              mem_preds, or_nodes, or_data):
                         need.setdefault(c, set()).add(key[1])
@@ -2803,7 +2837,7 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
                     seq, bi = key
                     nv = info[value_cols[0]][key][0]
                     for vc in value_cols:
-                        if (seq, vc, bi) not in blobs:
+                        if bi in need[vc] and (seq, vc, bi) not in blobs:
                             raise ValueError(
                                 f"column {vc!r} is missing block "
                                 f"{bi} of segment {seq} — corrupt dataset"
@@ -2811,6 +2845,20 @@ def _make_agg_worker(value_cols: list[str], preds: list[dict],
                     if cls[key] == "full":
                         n_rows += nv
                         for vc in value_cols:
+                            ms = sums[vc].get(key)
+                            if ms is not None:
+                                # metadata-only: the block stats carry the
+                                # exact valid count, sum, and zone map
+                                vnv, vnn, vnr, vmn, vmx = info[vc][key]
+                                st = stats[vc]
+                                st[0] += vnv - vnn
+                                st[1] += ms
+                                if vnr > 0:
+                                    st[2] = vmn if st[2] is None \
+                                        else min(st[2], vmn)
+                                    st[3] = vmx if st[3] is None \
+                                        else max(st[3], vmx)
+                                continue
                             bn, bnv, bs, bmn, bmx = B.agg_block(
                                 blobs[(seq, vc, bi)]
                             )
@@ -3020,7 +3068,7 @@ def _make_count_worker(preds: list[dict],
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 seg = _task_seg(row)
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, _ = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )
@@ -3130,7 +3178,7 @@ def _make_minmax_worker(value_col: str, preds: list[dict],
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 seg = _task_seg(row)
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, _ = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )
@@ -3315,23 +3363,43 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                 # phase 1 — one payload-free metadata read, inventory
                 # cross-checks, combined pruned/full/partial class
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, sums = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )
                 if not cls:
                     yield _empty()
                     continue
-                surviving_idx = {bi for _, bi in cls}
 
-                # phase 2 — group/value payloads for survivors only;
-                # predicate payloads only at the ordinals where some
-                # partial block needs that predicate decoded
-                need: dict[str, set[int]] = {
-                    group_col: set(surviving_idx),
-                    value_col: set(surviving_idx),
-                }
+                # single-group shortcut: a full-matching block whose group
+                # zone map is a point (min == max, no NULL keys) — or whose
+                # keys are ALL NULL — belongs to exactly one group, so its
+                # value stats row (count, n_nulls, sum_val, zone map) IS
+                # its partial: neither payload decodes.  On group-clustered
+                # data (cluster_encode_table_files) that makes GROUP BY
+                # metadata-only away from cluster boundaries.
+                single: dict[tuple[str, int], int | None] = {}
                 for key, kind in cls.items():
+                    if kind != "full":
+                        continue
+                    if sums[value_col].get(key) is None:
+                        continue  # pre-sum_val generation
+                    gnv, gnn, gnr, gmn, gmx = info[group_col][key]
+                    if gnn == 0 and gmn == gmx:
+                        single[key] = gmx  # one non-NULL key
+                    elif gnn == gnv:
+                        single[key] = None  # SQL's pooled NULL group
+
+                # phase 2 — group/value payloads for the non-shortcut
+                # survivors only; predicate payloads only at the ordinals
+                # where some partial block needs that predicate decoded
+                need: dict[str, set[int]] = {group_col: set(),
+                                             value_col: set()}
+                for key, kind in cls.items():
+                    if key in single:
+                        continue
+                    need[group_col].add(key[1])
+                    need[value_col].add(key[1])
                     if kind != "partial":
                         continue
                     for c in _pred_need_cols(key, pred_cls, int_preds,
@@ -3347,6 +3415,41 @@ def _make_group_agg_worker(value_col: str, group_col: str,
                 acc: dict[object, list] = {}
                 for key in sorted(cls):
                     nv_rows = info[group_col][key][0]
+                    if key in single:
+                        code = single[key]
+                        if code is None:
+                            g = None
+                        elif group_is_str:
+                            blob = None if side is None else side.get(
+                                (key[0], group_col, key[1])
+                            )
+                            if blob is None:
+                                raise ValueError(
+                                    f"column {group_col!r} is missing the "
+                                    f"dictionary for block {key[1]} of "
+                                    f"segment {key[0]} — corrupt dataset"
+                                )
+                            # a point zone map means one distinct valid
+                            # value: the block dictionary holds exactly it
+                            g = B.decode_strings_arrow(
+                                blob, symbols
+                            ).to_pylist()[code]
+                        else:
+                            g = code
+                        vnv, vnn, _, vmn, vmx = info[value_col][key]
+                        cur = acc.get(g)
+                        if cur is None:
+                            cur = acc[g] = [0, 0, 0, None, None]
+                        cur[0] += vnv
+                        nvalid = vnv - vnn
+                        if nvalid:
+                            cur[1] += nvalid
+                            cur[2] += sums[value_col][key]
+                            cur[3] = vmn if cur[3] is None \
+                                else min(cur[3], vmn)
+                            cur[4] = vmx if cur[4] is None \
+                                else max(cur[4], vmx)
+                        continue
                     decoded: dict[str, tuple] = {}
 
                     def _dec(c, key=key, nv=nv_rows, decoded=decoded):
@@ -3496,20 +3599,43 @@ def _make_multi_group_agg_worker(value_col: str, group_cols: list[str],
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 seg = _task_seg(row)
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, sums = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )
                 if not cls:
                     yield _empty()
                     continue
-                surviving_idx = {bi for _, bi in cls}
+
+                # single-group shortcut (the single-key worker's, lifted
+                # to tuples): a full block where EVERY group column's zone
+                # map is a point (or is all-NULL) belongs to one group
+                # tuple — its value stats row is its partial, no payload
+                single: dict[tuple[str, int], bool] = {}
+                for key, kind in cls.items():
+                    if kind != "full":
+                        continue
+                    if sums[value_col].get(key) is None:
+                        continue
+                    ok = True
+                    for g in group_cols:
+                        gnv, gnn, gnr, gmn, gmx = info[g][key]
+                        if not (gnn == 0 and gmn == gmx) \
+                                and gnn != gnv:
+                            ok = False
+                            break
+                    if ok:
+                        single[key] = True
 
                 need: dict[str, set[int]] = {
-                    c: set(surviving_idx)
+                    c: set()
                     for c in dict.fromkeys([*group_cols, value_col])
                 }
                 for key, kind in cls.items():
+                    if key in single:
+                        continue
+                    for c in dict.fromkeys([*group_cols, value_col]):
+                        need[c].add(key[1])
                     if kind != "partial":
                         continue
                     for c in _pred_need_cols(key, pred_cls, int_preds,
@@ -3525,6 +3651,43 @@ def _make_multi_group_agg_worker(value_col: str, group_cols: list[str],
                 acc: dict[tuple, list] = {}
                 for key in sorted(cls):
                     nv_rows = info[group_cols[0]][key][0]
+                    if key in single:
+                        parts = []
+                        for g in group_cols:
+                            gnv, gnn, _, _, gmx = info[g][key]
+                            if gnn == gnv:
+                                parts.append(None)
+                            elif g in str_groups:
+                                blob = side.get((key[0], g, key[1]))
+                                if blob is None:
+                                    raise ValueError(
+                                        f"column {g!r} is missing the "
+                                        f"dictionary for block {key[1]} "
+                                        f"of segment {key[0]} — corrupt "
+                                        "dataset"
+                                    )
+                                parts.append(
+                                    B.decode_strings_arrow(
+                                        blob, symbols
+                                    ).to_pylist()[gmx]
+                                )
+                            else:
+                                parts.append(gmx)
+                        gt = tuple(parts)
+                        vnv, vnn, _, vmn, vmx = info[value_col][key]
+                        cur = acc.get(gt)
+                        if cur is None:
+                            cur = acc[gt] = [0, 0, 0, None, None]
+                        cur[0] += vnv
+                        nvalid = vnv - vnn
+                        if nvalid:
+                            cur[1] += nvalid
+                            cur[2] += sums[value_col][key]
+                            cur[3] = vmn if cur[3] is None \
+                                else min(cur[3], vmn)
+                            cur[4] = vmx if cur[4] is None \
+                                else max(cur[4], vmx)
+                        continue
                     decoded: dict[str, tuple] = {}
 
                     def _dec(c, key=key, nv=nv_rows, decoded=decoded):
@@ -3939,7 +4102,7 @@ def _make_distinct_where_worker(col: str, is_str: bool, preds: list[dict],
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 seg = _task_seg(row)
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, _ = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )
@@ -4139,7 +4302,7 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
                 path = row["file"]
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 seg = _task_seg(row)
-                info, keys, cls, pred_cls, _, _, _, ebytes = \
+                info, keys, cls, pred_cls, _, _, _, ebytes, _ = \
                     _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols, with_enc_bytes=True,
@@ -4510,7 +4673,7 @@ def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                 file_sid = os.path.splitext(os.path.basename(path))[0]
                 seg = _task_seg(row)
                 info, keys, cls, pred_cls, mem_codes, mem_full, \
-                    or_data, _ = _classify_file(
+                    or_data, _, _ = _classify_file(
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols,
                     )

@@ -614,6 +614,185 @@ def test_agg_pushdown_survives_compaction_and_wide_sums(spark, tmp_path):
     check()
 
 
+def test_agg_full_blocks_are_metadata_only(spark, tmp_path, monkeypatch):
+    """A full-matching block aggregates from its stats row (n_values,
+    n_nulls, sum_val, zone map) alone — the value payload is never
+    fetched; only the boundary (partial) blocks read bytes.  Files written
+    before the ``sum_val`` stat existed fall back to the payload path and
+    stay exact."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 8192
+    val = [None if i % 5 == 0 else (i * 7) % 1000 for i in range(n)]
+    allnull = [None] * n  # all-NULL blocks: no zone map, sum contributes 0
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "val_n": pa.array(val, pa.int32()),
+            "dead_n": pa.array(allnull, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/part0.parquet", row_group_size=2048)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "val_n", "dead_n"],
+        rows_per_block=1024, num_tasks=1,
+    )
+    lo, hi = 1024, 5119  # block-aligned: every surviving block full-matches
+    fetched: list[dict] = []
+    real_fetch = table_files._fetch_payloads
+
+    def spy_fetch(path, file_sid, seg, need):
+        fetched.append({c: set(v) for c, v in need.items() if v})
+        return real_fetch(path, file_sid, seg, need)
+
+    monkeypatch.setattr(table_files, "_fetch_payloads", spy_fetch)
+    worker = table_files._make_agg_worker(
+        ["val_n", "dead_n"], table_files._norm_preds(
+            table_files._load_table_schema(out),
+            [("between", "k", lo, hi)],
+        ),
+    )
+    [res] = list(worker(iter([table_files._query_tasks(out)])))
+    got = {r.val_col: r for _, r in res.iterrows()}
+    want = [val[i] for i in range(lo, hi + 1) if val[i] is not None]
+    assert got["val_n"]["n_rows"] == hi - lo + 1
+    assert got["val_n"]["n_vals"] == len(want)
+    assert int(got["val_n"]["sum_val"]) == sum(want)
+    assert (got["val_n"]["min_val"], got["val_n"]["max_val"]) == (
+        min(want), max(want))
+    assert got["dead_n"]["n_vals"] == 0
+    assert pd.isna(got["dead_n"]["min_val"])
+    # the metadata-only property: no value column ever needed payload
+    # (the block-aligned range has no partial blocks at all)
+    assert fetched and all(not f for f in fetched), fetched
+    # pre-sum_val generation: strip the stat column -> payload fallback,
+    # same exact answer
+    [bpath] = glob.glob(f"{out}/blocks/*.parquet")
+    old = pq.read_table(bpath)
+    pq.write_table(old.drop_columns(["sum_val"]), bpath)
+    fetched.clear()
+    [res2] = list(worker(iter([table_files._query_tasks(out)])))
+    got2 = {r.val_col: r for _, r in res2.iterrows()}
+    assert int(got2["val_n"]["sum_val"]) == sum(want)
+    assert got2["val_n"]["n_vals"] == len(want)
+    assert any(f.get("val_n") for f in fetched)  # fallback read payload
+    # and the Spark-level operator agrees end to end on the old generation
+    [r3] = table_files.agg_table_files(spark, out, "val_n", "k", lo, hi
+                                       ).collect()
+    assert int(r3["sum_val"]) == sum(want)
+
+
+def test_group_agg_clustered_blocks_metadata_only(spark, tmp_path,
+                                                  monkeypatch):
+    """GROUP BY on group-clustered data is metadata-only: every block whose
+    group zone map is a point (or is all-NULL) emits its group partial from
+    the stats row — int keys, string keys (one tiny dictionary decode), and
+    composite keys alike fetch NO payload."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 8192
+    g = [None if i // 1024 == 3 else i // 1024 for i in range(n)]
+    s = [chr(ord("A") + i // 2048) for i in range(n)]
+    val = [None if i % 9 == 2 else (i * 3) % 500 for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "g_n": pa.array(g, pa.int32()),
+                "s": pa.array(s, pa.string()),
+                "val_n": pa.array(val, pa.int32()),
+            }
+        ),
+        f"{d}/part0.parquet", row_group_size=2048,
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "g_n", "val_n"], str_cols=["s"],
+        rows_per_block=1024, num_tasks=1,
+    )
+    fetched: list[dict] = []
+    real_fetch = table_files._fetch_payloads
+
+    def spy_fetch(path, file_sid, seg, need):
+        fetched.append({c: set(v) for c, v in need.items() if v})
+        return real_fetch(path, file_sid, seg, need)
+
+    monkeypatch.setattr(table_files, "_fetch_payloads", spy_fetch)
+    dims = {"g": g, "s": s}
+
+    def expect(keys):
+        acc: dict = {}
+        for i in range(n):
+            kt = tuple(dims[k][i] for k in keys)
+            cur = acc.setdefault(kt, [0, 0, 0])
+            cur[0] += 1
+            if val[i] is not None:
+                cur[1] += 1
+                cur[2] += val[i]
+        return {
+            k: (c[0], c[1], c[2] if c[1] else None)
+            for k, c in acc.items()
+        }
+
+    tasks = table_files._query_tasks(out)
+    # int group key
+    w = table_files._make_group_agg_worker("val_n", "g_n", False, [], None)
+    [res] = list(w(iter([tasks])))
+    got = {
+        (None if pd.isna(r["g"]) else int(r["g"]),):
+            (int(r["n_rows"]), int(r["n_vals"]), int(r["sum_val"]))
+        for _, r in res.iterrows()
+    }
+    want = {
+        (None if k[0] is None or pd.isna(k[0]) else int(k[0]),): v
+        for k, v in expect(["g"]).items()
+    }
+    assert got == want
+    # string group key
+    w2 = table_files._make_group_agg_worker("val_n", "s", True, [], None)
+    [res2] = list(w2(iter([tasks])))
+    got2 = {
+        (r["g"],): (int(r["n_rows"]), int(r["n_vals"]), int(r["sum_val"]))
+        for _, r in res2.iterrows()
+    }
+    # at the worker level string groups are raw bytes (Spark's Arrow
+    # bridge turns them into str in the final relation)
+    assert got2 == {(k[0].encode(),): v for k, v in expect(["s"]).items()}
+    # composite key
+    w3 = table_files._make_multi_group_agg_worker(
+        "val_n", ["g_n", "s"], {"s"}, [], None
+    )
+    [res3] = list(w3(iter([tasks])))
+    got3 = {
+        (None if pd.isna(r["g_n"]) else int(r["g_n"]), r["s"]):
+            (int(r["n_rows"]), int(r["n_vals"]), int(r["sum_val"]))
+        for _, r in res3.iterrows()
+    }
+    want3 = {
+        (None if k[0] is None or pd.isna(k[0]) else int(k[0]),
+         k[1].encode()): v
+        for k, v in expect(["g", "s"]).items()
+    }
+    assert got3 == want3
+    # the property under test: nothing ever fetched a payload byte
+    assert fetched and all(not f for f in fetched), fetched
+
+
 def test_string_eq_scan_dictionary_pruning(spark, tmp_path):
     """String-equality pushdown: blocks whose dictionary sidecar lacks the
     literal are pruned from metadata alone; survivors match per-block dense
