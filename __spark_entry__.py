@@ -1911,6 +1911,137 @@ def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_encode_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP columns on the int64 plane: o_orderdate (timestamp[us])
+    encodes through the files plane as its epoch-microsecond integers —
+    order-preserving and lossless, so zone maps, codec selection, and the
+    per-block sum stat are all exactly the ints SQL's ``epoch_us`` yields.
+    The oracle re-runs the full codec-size model over ``epoch_us(
+    o_orderdate)`` sequences, checking selector + exact sizes + sums of
+    the temporal plane end to end (decode-side exactness is
+    pytest-drilled: tests/test_table_files.py typed-roundtrip)."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    out = tempfile.mkdtemp(prefix="rlv_tft_q_")
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+    ).sort_by("o_orderkey")
+    blocks = _table_files_global_blocks(
+        spark, src, out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_orderdate"],
+        str_cols=[],
+        rows_per_block=2048,
+        num_tasks=2,
+    )
+    return blocks.filter(F.col("col_name") == "o_orderdate").select(
+        F.col("block_idx").cast("int").alias("block_idx"),
+        "n_values",
+        "n_runs",
+        F.col("codec_id").cast("int").alias("codec_id"),
+        "enc_bytes",
+        F.col("sum_val").cast("decimal(38,0)").alias("sum_val"),
+    )
+
+
+def _enc_typed_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Shared encoded dataset of the typed-column contract queries:
+    (o_orderkey int64, o_orderdate timestamp[us], o_totalprice float64)
+    through the files plane — timestamps as epoch ints, floats as IEEE-754
+    total-order keys."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_typed_q_")
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).sort_by("o_orderkey")
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        rows_per_block=2048, num_tasks=2,
+    )
+    return out
+
+
+def _q_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed predicate pushdown — a BETWEEN over a TIMESTAMP column with
+    Python ``datetime`` literals: the literals convert to epoch
+    microseconds, the zone maps prune in epoch space, and the scan
+    returns Spark timestamps.  The result ships the epoch back as a
+    bigint (``unix_micros``) so the oracle compare is exact-integer; the
+    oracle is DuckDB's ``epoch_us`` under the same WHERE."""
+    _ensure_shipped(spark)
+    import datetime as dt
+
+    from rlv import table_files as TF
+
+    out = _enc_typed_orders(spark, sf_dir)
+    got = TF.scan_table_files_where(
+        spark, out,
+        [("between", "o_orderdate",
+          dt.datetime(1996, 1, 1), dt.datetime(1996, 6, 30, 23, 59, 59))],
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    return got.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
+    )
+
+
+def _q_float_pred_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed predicate pushdown — a conjunction stacking a FLOAT64 range
+    onto an int range: the float literals map through the IEEE-754
+    total-order key (0 widened to both signed zeros), zone maps prune in
+    key space, and the surviving rows equal plain SQL's — returned as the
+    exact int key column so the driver compare is integer-exact (the
+    float VALUES' bit-exactness and IN-list/zero semantics are
+    pytest-drilled: tests/test_table_files.py typed-operators)."""
+    _ensure_shipped(spark)
+    from rlv import table_files as TF
+
+    out = _enc_typed_orders(spark, sf_dir)
+    got = TF.scan_table_files_where(
+        spark, out,
+        [("between", "o_totalprice", 1000.0, 150000.25),
+         ("between", "o_orderkey", 1, 40000)],
+        columns=["o_orderkey"],
+    )
+    return got.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"))
+
+
+def _q_ts_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY a TIMESTAMP key pushed into the encoded format: group
+    keys are the per-block epoch ints (single-group blocks fold from
+    metadata on clustered data), restored to Spark timestamps, and the
+    value aggregates ride the plain-int plane.  Epoch-bigint output keys
+    make the oracle compare exact."""
+    _ensure_shipped(spark)
+    from rlv import table_files as TF
+
+    out = _enc_typed_orders(spark, sf_dir)
+    got = TF.agg_table_files_by(
+        spark, out, "o_orderkey", "o_orderdate",
+        preds=[("between", "o_orderkey", 1, 30000)],
+    )
+    return got.select(
+        F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_val").cast("decimal(38,0)").alias("sum_key"),
+    )
+
+
 def _q_where_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY pushdown under a predicate CONJUNCTION
     (:func:`rlv.table_files.agg_table_files_by` with ``preds``): groups
@@ -2795,9 +2926,10 @@ def _codec_size_model_sql(keys: str, nullable: bool = False) -> str:
     enc_bytes) — the ONE SQL re-implementation of rlv/blocks.py codec_sizes,
     shared by the `codec_selection`, `table_encode`, `table_encode_files`
     and `table_encode_nullable` oracles (internal CTEs are m_-prefixed so
-    callers' own CTEs never collide).  Assumes values fit int32 (PLAIN
-    priced at width 4), matching every checked table; zigzags are
-    sign-correct for negative values.
+    callers' own CTEs never collide).  PLAIN is priced at the engine's
+    width rule (8 bytes when the group's min/max leave int32, else 4 —
+    rlv/blocks.py codec_sizes), so epoch-microsecond and other wide
+    planes price exactly; zigzags are sign-correct for negative values.
 
     With ``nullable=True``, ``seq.tok`` may be NULL: stats and codec sizes
     run over the VALID rows only, ``result`` gains ``n_nulls``, ``n_values``
@@ -2925,7 +3057,9 @@ m_lens AS (
 ),
 m_sz AS (
   SELECT {keys}, n, n_runs,
-    1 + ul_n + 1 + 4 * n AS s_plain,
+    1 + ul_n + 1
+      + (CASE WHEN maxv > 2147483647 OR minv < -2147483648
+              THEN 8 ELSE 4 END) * n AS s_plain,
     1 + ul_r + ul_zz + 2
       + CASE WHEN cbits = 0 THEN 0 ELSE (n_runs * cbits + 7) // 8 END
       + CASE WHEN vbits = 0 THEN 0 ELSE (n_runs * vbits + 7) // 8 END AS s_rle,
@@ -3097,6 +3231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_aggregate": _q_where_aggregate,
         "count_pushdown": _q_count_pushdown,
         "minmax_pushdown": _q_minmax_pushdown,
+        "table_encode_temporal": _q_table_encode_temporal,
+        "ts_range_scan": _q_ts_range_scan,
+        "float_pred_scan": _q_float_pred_scan,
+        "ts_group_rollup": _q_ts_group_rollup,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
@@ -3837,6 +3975,47 @@ SELECT CAST(min(cents_n) AS BIGINT) AS min_val,
 FROM v
 WHERE o_orderkey BETWEEN 5000 AND 100000
   AND custkey_n IS NOT NULL
+""",
+        # typed-column plane: the codec-size model over epoch_us sequences
+        "table_encode_temporal": f"""
+WITH base AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS ts,
+         CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 2048 AS INT)
+           AS block_idx
+  FROM orders
+),
+seq AS (
+  SELECT block_idx, CAST(o_orderkey AS BIGINT) AS ord,
+         CAST(ts AS BIGINT) AS tok
+  FROM base
+),
+{_codec_size_model_sql("block_idx")[1:]},
+blk_sums AS (
+  SELECT block_idx, CAST(sum(tok) AS DECIMAL(38,0)) AS sum_val
+  FROM seq GROUP BY block_idx
+)
+SELECT r.block_idx, n_values, n_runs, codec_id, enc_bytes, s.sum_val
+FROM result r JOIN blk_sums s ON r.block_idx = s.block_idx
+""",
+        "ts_range_scan": """
+SELECT o_orderkey, epoch_us(o_orderdate) AS ts_us
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1996-06-30 23:59:59'
+""",
+        "float_pred_scan": """
+SELECT o_orderkey
+FROM orders
+WHERE o_totalprice BETWEEN 1000.0 AND 150000.25
+  AND o_orderkey BETWEEN 1 AND 40000
+""",
+        "ts_group_rollup": """
+SELECT epoch_us(o_orderdate) AS ts_us,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_key
+FROM orders
+WHERE o_orderkey BETWEEN 1 AND 30000
+GROUP BY 1
 """,
         "count_pushdown": """
 WITH v AS (

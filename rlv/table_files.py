@@ -72,12 +72,152 @@ def _schema_path(out_dir: str) -> str:
 _INT_TYPE_ALIASES = {"int8", "int16", "int32", "int64",
                      "uint8", "uint16", "uint32"}
 
+# Logical source types the int64 plane represents via an ORDER-PRESERVING
+# lossless mapping (so zone maps, range predicates, top-k and min/max all
+# stay valid on the mapped keys):
+#   * timestamps (any unit, with or without tz) and dates — the epoch
+#     integer Arrow already defines (cast both ways);
+#   * float32/float64 — the IEEE-754 total-order key: non-negative bit
+#     patterns map to themselves, negative ones reflect
+#     (k = -1 - i - 2^63, a self-inverse), so key order == totalOrder
+#     (-NaN < -inf < ... < -0 < +0 < ... < +inf < NaN) and every bit
+#     pattern (NaN payloads, -0.0) round-trips exactly.
+_TS_ALIAS_RE = None  # compiled lazily (workers import this module cold)
+
+
+def _ts_alias_parts(alias: str):
+    """(unit, tz|None) if ``alias`` is a timestamp type string else None."""
+    global _TS_ALIAS_RE
+    if _TS_ALIAS_RE is None:
+        import re
+
+        _TS_ALIAS_RE = re.compile(
+            r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$"
+        )
+    m = _TS_ALIAS_RE.match(alias)
+    return (m.group(1), m.group(2)) if m else None
+
+
+def _plane_kind(alias: str | None) -> str:
+    """How a recorded source alias rides the int64 plane: ``int`` (plain
+    checked cast), ``epoch`` (timestamp/date — Arrow epoch-integer cast),
+    or ``f32``/``f64`` (total-order float keys)."""
+    if alias is None or alias in _INT_TYPE_ALIASES or alias == "int64":
+        return "int"
+    if _ts_alias_parts(alias) or alias in ("date32[day]", "date64[ms]"):
+        return "epoch"
+    if alias == "float":
+        return "f32"
+    if alias == "double":
+        return "f64"
+    return "int"
+
+
+def _arrow_type_of_alias(alias: str):
+    """Arrow type a recorded alias decodes back to."""
+    import pyarrow as pa
+
+    ts = _ts_alias_parts(alias)
+    if ts:
+        return pa.timestamp(ts[0], tz=ts[1])
+    return pa.type_for_alias(alias)
+
+
+def _f64_keys_involution(k: np.ndarray) -> np.ndarray:
+    """Self-inverse int64 map: identity on >= 0, reflection
+    ``-1 - k - 2^63`` (== ``~k XOR msb``, overflow-free) on < 0."""
+    k = np.asarray(k, np.int64)
+    refl = np.bitwise_xor(np.bitwise_not(k), np.int64(-(2 ** 63)))
+    return np.where(k >= 0, k, refl)
+
+
+def _f32_keys_involution(k32: np.ndarray) -> np.ndarray:
+    k32 = np.asarray(k32, np.int32)
+    refl = np.bitwise_xor(np.bitwise_not(k32), np.int32(-(2 ** 31)))
+    return np.where(k32 >= 0, k32, refl)
+
+
+def _float_to_keys(v: np.ndarray) -> np.ndarray:
+    """float32/float64 values -> int64 total-order keys (bit-lossless)."""
+    if v.dtype == np.float32:
+        return _f32_keys_involution(
+            np.ascontiguousarray(v).view(np.int32)
+        ).astype(np.int64)
+    return _f64_keys_involution(
+        np.ascontiguousarray(v.astype(np.float64, copy=False))
+        .view(np.int64)
+    )
+
+
+def _keys_to_float(k: np.ndarray, alias: str) -> np.ndarray:
+    """Inverse of :func:`_float_to_keys` (the map is an involution)."""
+    if alias == "float":
+        return _f32_keys_involution(
+            k.astype(np.int32)
+        ).astype(np.int32).view(np.float32)
+    return _f64_keys_involution(k).astype(np.int64).view(np.float64)
+
+
+def _plane_cast(col, alias: str | None):
+    """Map one source column (ChunkedArray/Array) onto the engine's int64
+    plane per its recorded alias — the ONE definition shared by the encode
+    worker (values in), the verify worker (source side of the compare),
+    and predicate-literal normalization.  NULLs stay NULLs; plain-int is
+    the CHECKED Arrow cast (an out-of-range value raises, never wraps)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    kind = _plane_kind(alias)
+    if kind == "int":
+        return col.cast(pa.int64())
+    if kind == "epoch":
+        if str(col.type) == "date32[day]":
+            return col.cast(pa.int32()).cast(pa.int64())
+        return col.cast(pa.int64())
+    v = col.fill_null(0).to_numpy(zero_copy_only=False)
+    keys = _float_to_keys(v)
+    if col.null_count:
+        return pa.array(
+            keys, pa.int64(),
+            mask=~col.is_valid().to_numpy(zero_copy_only=False),
+        )
+    return pa.array(keys, pa.int64())
+
+
+def _restore_plane(arr, alias: str | None):
+    """Inverse of :func:`_plane_cast`: one decoded int64 column back to its
+    recorded source type, NULLs intact."""
+    import pyarrow as pa
+
+    if alias is None or alias == "int64":
+        return arr
+    kind = _plane_kind(alias)
+    target = _arrow_type_of_alias(alias)
+    if kind == "int":
+        return arr.cast(target)
+    if kind == "epoch":
+        if alias == "date32[day]":
+            return arr.cast(pa.int32()).cast(target)
+        return arr.cast(target)
+    k = arr.fill_null(0).to_numpy(zero_copy_only=False)
+    vals = _keys_to_float(k, alias)
+    if arr.null_count:
+        return pa.array(
+            vals, target,
+            mask=~arr.is_valid().to_numpy(zero_copy_only=False),
+        )
+    return pa.array(vals, target)
+
 
 def _int_col_types(input_files: list[str], int_cols: list[str]) -> dict:
     """{col: arrow type alias} from the first file's footer (driver metadata
-    only).  Unknown/wider types record as int64 — the engine's internal
-    width; uint64 records as int64 too, and a uint64 VALUE above 2^63-1
-    fails the worker's checked Arrow cast loudly (never numpy-wraps)."""
+    only).  Beside the plain int widths, timestamps/dates record their
+    epoch-integer alias and float32/float64 their total-order-key alias
+    (both decode back exactly).  Unknown/wider types record as int64 — the
+    engine's internal width; uint64 records as int64 too, and a uint64
+    VALUE above 2^63-1 fails the worker's checked Arrow cast loudly (never
+    numpy-wraps)."""
     import pyarrow.parquet as pq
 
     sch = pq.ParquetFile(input_files[0]).schema_arrow
@@ -87,7 +227,10 @@ def _int_col_types(input_files: list[str], int_cols: list[str]) -> dict:
             t = str(sch.field(c).type)
         except KeyError:
             t = "int64"
-        out[c] = t if t in _INT_TYPE_ALIASES else "int64"
+        if t in _INT_TYPE_ALIASES or _plane_kind(t) != "int":
+            out[c] = t
+        else:
+            out[c] = "int64"
     return out
 
 
@@ -129,7 +272,9 @@ def _make_table_split_worker(
     str_cols: tuple[str, ...],
     rows_per_block: int,
     fsst_symbols_hex: tuple[str, ...] | None,
+    col_types: dict | None = None,
 ):
+    col_types = col_types or {}
     from rlv.util import tune_malloc
 
     symbols = (
@@ -253,9 +398,11 @@ def _make_table_split_worker(
                     hist[codec] = hist.get(codec, 0) + 1
 
                 for c in int_cols:
-                    # CHECKED Arrow cast: a uint64 value past int64 range
-                    # raises here instead of numpy-wrapping to a negative
-                    col = tbl.column(c).combine_chunks().cast(pa.int64())
+                    # onto the int64 plane: CHECKED Arrow cast for plain
+                    # ints (a uint64 value past int64 range raises here
+                    # instead of numpy-wrapping to a negative), epoch cast
+                    # for timestamps/dates, total-order keys for floats
+                    col = _plane_cast(tbl.column(c), col_types.get(c))
                     if col.null_count:
                         mask = col.is_valid().to_numpy(zero_copy_only=False)[order]
                         vals = col.fill_null(0).to_numpy()[order]
@@ -400,11 +547,16 @@ def encode_table_files(
     fsst_symbols: list[bytes] | None = None,
     splits: list[dict] | None = None,
 ) -> dict:
-    """Encode an arbitrary (int|string)-column parquet table per column on
-    the files plane.  ``order_col`` must totally order the rows of each split
-    (it defines the value sequences, hence the run structure — ties would
-    make blocks read-order-dependent); include it in ``int_cols`` to make
-    the dataset self-describing on decode.
+    """Encode an arbitrary-column parquet table per column on the files
+    plane.  ``int_cols`` takes plain ints of any width, timestamps/dates
+    (ride the plane as Arrow epoch integers), and float32/float64 (as
+    IEEE-754 total-order keys) — all order-preserving and bit-lossless, so
+    zone maps, predicates, top-k, and min/max stay exact and decode
+    restores the original type; ``str_cols`` take the dictionary plane.
+    ``order_col`` must totally order the rows of each split (it defines
+    the value sequences, hence the run structure — ties would make blocks
+    read-order-dependent); include it in ``int_cols`` to make the dataset
+    self-describing on decode.
 
     Resume semantics are the token plane's: deterministic split ids, blocks
     written under tmp + atomic rename, manifest rows flipped after the data
@@ -482,6 +634,7 @@ def encode_table_files(
                 if fsst_symbols is not None
                 else None
             ),
+            col_types=schema["int_col_types"],
         ),
         TABLE_RESULT_SCHEMA,
     ).collect()
@@ -836,13 +989,18 @@ def _make_table_verify_worker(blocks_dir: str, schema: dict,
                         cols = None
                         bad[:] = True
                     if cols is not None:
+                        col_types = schema.get("int_col_types") or {}
                         for c in [*schema["int_cols"], *schema["str_cols"]]:
                             got = cols[c]
                             want_col = src.column(c)
                             if c in schema["str_cols"]:
                                 want_col = want_col.cast(got.type)
                             else:
-                                want_col = want_col.cast(pa.int64())
+                                # same plane mapping the encode side used
+                                # (epoch ints / float total-order keys)
+                                want_col = _plane_cast(
+                                    want_col, col_types.get(c)
+                                )
                             want = want_col.take(pa.array(order))
                             if len(got) != n:
                                 bad[:] = True
@@ -992,13 +1150,14 @@ def _make_table_decode_worker(out_dir: str, schema: dict,
                     if len({p.type for p in parts}) > 1:
                         parts = [p.cast(pa.large_binary()) for p in parts]
                     cols[c] = pa.concat_arrays(parts)
-                # restore recorded source widths (pre-r4 datasets have no
-                # record and keep the internal int64)
+                # restore recorded source types (widths, timestamps/dates,
+                # floats from their total-order keys; pre-r4 datasets have
+                # no record and keep the internal int64)
                 col_types = schema.get("int_col_types") or {}
                 for c in schema["int_cols"]:
-                    alias = col_types.get(c, "int64")
-                    if alias != "int64":
-                        cols[c] = cols[c].cast(pa.type_for_alias(alias))
+                    cols[c] = _restore_plane(
+                        cols[c], col_types.get(c, "int64")
+                    )
                 for c in schema["str_cols"]:
                     cols[c] = cols[c].cast(
                         pa.large_string()
@@ -1148,11 +1307,123 @@ def _spark_tasks(spark: SparkSession, tasks: pd.DataFrame):
 
 def _typed_field_type(schema: dict, c: str) -> str:
     """Spark type of a column as the operators return it: string columns as
-    string, int columns at their recorded source width."""
+    string, int columns at their recorded source width, timestamps/dates/
+    floats at their logical type (nanosecond timestamps refuse — Spark
+    relations carry microseconds and the engine never truncates; use
+    decode/export, which restores ns exactly)."""
     if c in set(schema["str_cols"]):
         return "string"
     types = schema.get("int_col_types") or {}
-    return _SPARK_TYPE_OF_ALIAS.get(types.get(c, "int64"), "bigint")
+    alias = types.get(c, "int64")
+    kind = _plane_kind(alias)
+    if kind == "int":
+        return _SPARK_TYPE_OF_ALIAS.get(alias, "bigint")
+    if kind == "epoch":
+        ts = _ts_alias_parts(alias)
+        if ts:
+            if ts[0] == "ns":
+                raise ValueError(
+                    f"{c!r} is timestamp[ns]: Spark relations carry "
+                    "microseconds and the engine never truncates — "
+                    "decode/export restores nanoseconds exactly"
+                )
+            return "timestamp"
+        return "date"
+    return "float" if alias == "float" else "double"
+
+
+def _typed_out_expr(schema: dict, c: str, src: str | None = None):
+    """Spark Column restoring one worker-emitted plane column (bigint keys
+    / string) to the recorded source type — the relation-side counterpart
+    of :func:`_restore_plane` (epoch ints via the timestamp/date builtins,
+    float total-order keys via an Arrow-vectorized inverse).  ``c`` names
+    the dataset column whose type governs; ``src`` the relation column to
+    read (default ``c``), which is also the output alias."""
+    from pyspark.sql import functions as F
+
+    name = src if src is not None else c
+    col = F.col(name)
+    if c in set(schema["str_cols"]):
+        return col.cast("string").alias(name)
+    types = schema.get("int_col_types") or {}
+    alias = types.get(c, "int64")
+    kind = _plane_kind(alias)
+    out_type = _typed_field_type(schema, c)  # raises for ns timestamps
+    if kind == "int":
+        return col.cast(out_type).alias(name)
+    if kind == "epoch":
+        ts = _ts_alias_parts(alias)
+        if ts:
+            conv = {"s": F.timestamp_seconds, "ms": F.timestamp_millis,
+                    "us": F.timestamp_micros}[ts[0]]
+            return conv(col).alias(name)
+        if alias == "date32[day]":
+            return F.date_from_unix_date(col.cast("int")).alias(name)
+        return F.timestamp_millis(col).cast("date").alias(name)
+    return _unkey_pandas_udf(alias)(col).alias(name)
+
+
+def _unkey_pandas_udf(alias: str):
+    """Arrow-batched inverse of the float total-order key map (the one
+    Python-side hop typed outputs take; the batch transfer is Arrow, never
+    per-row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("float" if alias == "float" else "double")
+    def unkey(s: pd.Series) -> pd.Series:
+        na = s.isna().to_numpy()
+        k = s.fillna(0).to_numpy(dtype=np.int64)
+        out = pd.Series(_keys_to_float(k, alias))
+        return out.mask(na) if na.any() else out
+
+    return unkey
+
+
+def _plane_literal(schema: dict, col: str, v, side: str = "lo") -> int:
+    """One predicate literal onto the int64 plane of ``col``: plain-int
+    columns take ints; timestamp/date columns take ``datetime``/``date``/
+    ``numpy.datetime64``/ISO strings (converted in the column's unit) or
+    raw epoch ints; float columns take numbers, mapped through the
+    total-order key — with ``0`` widened per ``side`` (``lo`` -> the
+    ``-0.0`` key, ``hi`` -> the ``+0.0`` key) so SQL's ``-0.0 == 0.0``
+    holds on the key plane.  NaN literals are refused (no SQL comparison
+    semantics)."""
+    alias = (schema.get("int_col_types") or {}).get(col, "int64")
+    kind = _plane_kind(alias)
+    if kind == "int":
+        return int(v)
+    if kind == "epoch":
+        if isinstance(v, (int, np.integer)):
+            return int(v)  # raw epoch in the column's unit
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        ts = _ts_alias_parts(alias)
+        unit = ts[0] if ts else (
+            "D" if alias == "date32[day]" else "ms"
+        )
+        return int(np.datetime64(v, unit).astype(np.int64))
+    fv = float(v)
+    if np.isnan(fv):
+        raise ValueError(
+            f"NaN literal on {col!r}: NaN has no SQL comparison semantics"
+        )
+    if fv == 0.0:
+        fv = -0.0 if side == "lo" else 0.0
+    dt = np.float32 if alias == "float" else np.float64
+    return int(_float_to_keys(np.array([fv], dtype=dt))[0])
+
+
+def _plane_in_keys(schema: dict, col: str, vals) -> np.ndarray:
+    """IN-list literals onto the plane: one key per literal, except a
+    float ``0`` contributes BOTH zero keys (``-0.0`` and ``+0.0`` are
+    SQL-equal but bit-distinct)."""
+    keys: list[int] = []
+    for v in vals:
+        keys.append(_plane_literal(schema, col, v, "lo"))
+        keys.append(_plane_literal(schema, col, v, "hi"))
+    return np.unique(np.asarray(keys, np.int64))
 
 
 def _require_int_col(enc_dir: str, col: str) -> dict:
@@ -1171,13 +1442,30 @@ def _require_int_col(enc_dir: str, col: str) -> dict:
     return schema
 
 
+def _require_summable(schema: dict, col: str) -> None:
+    """Aggregate VALUE columns must be plain ints: a sum of float
+    total-order keys or of timestamp epochs is not the SQL aggregate (and
+    SQL itself refuses ``sum(timestamp)``).  min/max/count on typed
+    columns go through :func:`minmax_table_files_where` /
+    :func:`count_table_files_where`, which stay exact on the key plane."""
+    alias = (schema.get("int_col_types") or {}).get(col, "int64")
+    if _plane_kind(alias) != "int":
+        raise ValueError(
+            f"aggregate value column {col!r} has logical type {alias!r}: "
+            "sums are only defined for plain int columns (use minmax/"
+            "count/top-k for typed columns)"
+        )
+
+
 def zonemap_stats(enc_dir: str, col: str, lo: int, hi: int) -> dict:
     """Driver-side pruning estimate from block METADATA only (a column-
     pruned read of the blocks files — no block payload is touched):
     {blocks_total, blocks_matching, rows_total, rows_in_matching}."""
     import pyarrow.parquet as pq
 
-    _require_int_col(enc_dir, col)
+    schema = _require_int_col(enc_dir, col)
+    lo = _plane_literal(schema, col, lo, "lo")
+    hi = _plane_literal(schema, col, hi, "hi")
     total = match = rows = rows_m = 0
     for path in _live_block_files(enc_dir):
         t = pq.read_table(
@@ -1714,7 +2002,9 @@ def scan_table_files(
     out_names = _scan_out_names(schema, col, columns)
     worker = _make_scan_worker(
         schema,
-        [{"kind": "range", "col": col, "lo": int(lo), "hi": int(hi)}],
+        [{"kind": "range", "col": col,
+          "lo": _plane_literal(schema, col, lo, "lo"),
+          "hi": _plane_literal(schema, col, hi, "hi")}],
         out_names,
         symbols_hex=_symbols_hex(enc_dir),
     )
@@ -1943,9 +2233,9 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
     task."""
     specs: list[dict] = []
     known_arity = {
-        "between": 4, "not_between": 4, "int_in": 3, "eq": 3, "ne": 3,
-        "in": 3, "not_in": 3, "str_between": 4, "prefix": 3,
-        "not_prefix": 3, "isnull": 2, "notnull": 2,
+        "between": 4, "not_between": 4, "raw_between": 4, "int_in": 3,
+        "eq": 3, "ne": 3, "in": 3, "not_in": 3, "str_between": 4,
+        "prefix": 3, "not_prefix": 3, "isnull": 2, "notnull": 2,
     }
     for p in preds:
         if not isinstance(p, (tuple, list)) or len(p) < 2:
@@ -1983,7 +2273,7 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
             specs.append({"kind": "valid", "col": col,
                           "want_null": kind == "isnull"})
             continue
-        if kind in ("between", "not_between", "int_in"):
+        if kind in ("between", "not_between", "raw_between", "int_in"):
             if col not in schema["int_cols"]:
                 raise ValueError(
                     f"{col!r} is not an int column "
@@ -1991,9 +2281,18 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                     "need a zone-mapped int column"
                 )
             if kind in ("between", "not_between"):
+                specs.append({
+                    "kind": "range", "col": col,
+                    "lo": _plane_literal(schema, col, p[2], "lo"),
+                    "hi": _plane_literal(schema, col, p[3], "hi"),
+                    "neg": kind == "not_between",
+                })
+            elif kind == "raw_between":
+                # internal (top-k threshold stacking): bounds are already
+                # plane keys — no literal conversion
                 specs.append({"kind": "range", "col": col,
                               "lo": int(p[2]), "hi": int(p[3]),
-                              "neg": kind == "not_between"})
+                              "neg": False})
             else:
                 if isinstance(p[2], (str, bytes)):
                     # list('123') would coerce to literals [1, 2, 3]
@@ -2001,11 +2300,11 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                         f"int_in predicate takes a list of int literals, "
                         f"got a single string {p[2]!r}"
                     )
-                vals = np.unique(np.asarray(list(p[2]), np.int64))
-                if vals.size == 0:
+                if not list(p[2]):
                     raise ValueError(
                         "int_in predicate needs at least one literal"
                     )
+                vals = _plane_in_keys(schema, col, list(p[2]))
                 specs.append({"kind": "range", "col": col,
                               "lo": int(vals[0]), "hi": int(vals[-1]),
                               "vals": vals, "neg": False})
@@ -2167,8 +2466,7 @@ def semijoin_scan_table_files(
             for c in out_names
         ))
         return empty.select(
-            *[F.col(c).cast(_typed_field_type(schema, c)).alias(c)
-              for c in out_names]
+            *[_typed_out_expr(schema, c) for c in out_names]
         )
     if col in schema["str_cols"]:
         return scan_table_files_in(spark, enc_dir, col, keys,
@@ -2359,10 +2657,7 @@ def _run_scan_tasks(spark: SparkSession, enc_dir: str, schema: dict,
     from pyspark.sql import functions as F
 
     return out.select(
-        *[
-            F.col(c).cast(_typed_field_type(schema, c)).alias(c)
-            for c in out_names
-        ]
+        *[_typed_out_expr(schema, c) for c in out_names]
     )
 
 
@@ -2963,7 +3258,7 @@ def agg_table_files(
     _require_int_col(enc_dir, pred_col)
     return agg_table_files_where(
         spark, enc_dir, value_col,
-        [("between", pred_col, int(lo), int(hi))],
+        [("between", pred_col, lo, hi)],
     )
 
 
@@ -2998,6 +3293,7 @@ def agg_table_files_where(
         raise ValueError(f"duplicate value column in {value_cols}")
     for vc in value_cols:
         schema = _require_int_col(enc_dir, vc)
+        _require_summable(schema, vc)
     specs = _norm_preds(schema, list(preds))
     worker = _make_agg_worker(
         value_cols, specs, symbols_hex=_symbols_hex(enc_dir)
@@ -3255,9 +3551,14 @@ def minmax_table_files_where(spark: SparkSession, enc_dir: str,
         parts = _spark_tasks(spark, tasks).mapInPandas(
             worker, "min_val bigint, max_val bigint"
         )
-    return parts.agg(
+    folded = parts.agg(
         F.min("min_val").cast("bigint").alias("min_val"),
         F.max("max_val").cast("bigint").alias("max_val"),
+    )
+    # restore the value column's logical type (timestamp/date/float keys)
+    return folded.select(
+        _typed_out_expr(schema, value_col, src="min_val"),
+        _typed_out_expr(schema, value_col, src="max_val"),
     )
 
 
@@ -3847,6 +4148,7 @@ def agg_table_files_by(
     aggregation runs once over the composite; the shuffle carries
     ≤ (distinct key tuples) × files partial rows."""
     schema = _require_int_col(enc_dir, value_col)
+    _require_summable(schema, value_col)
     if isinstance(group_col, (list, tuple)):
         group_cols = list(group_col)
         if len(group_cols) != len(set(group_cols)):
@@ -3874,7 +4176,7 @@ def agg_table_files_by(
             raise ValueError("pred_col requires lo and hi")
         _require_int_col(enc_dir, pred_col)
         specs = _norm_preds(
-            schema, [("between", pred_col, int(lo), int(hi))]
+            schema, [("between", pred_col, lo, hi)]
         )
     elif lo is not None or hi is not None:
         raise ValueError("lo/hi require pred_col")
@@ -3908,7 +4210,7 @@ def agg_table_files_by(
             F.min("min_val").alias("min_val"),
             F.max("max_val").alias("max_val"),
         ).select(
-            *group_cols,
+            *[_typed_out_expr(schema, g) for g in group_cols],
             F.col("n_rows").cast("bigint").alias("n_rows"),
             F.col("n_vals").cast("bigint").alias("n_vals"),
             F.when(F.col("n_vals") == 0, F.lit(None))
@@ -3940,7 +4242,7 @@ def agg_table_files_by(
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     ).select(
-        F.col("g").alias(group_col),
+        _typed_out_expr(schema, group_col, src="g").alias(group_col),
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_vals").cast("bigint").alias("n_vals"),
         F.when(F.col("n_vals") == 0, F.lit(None))
@@ -4262,9 +4564,7 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
         ).distinct()
     from pyspark.sql import functions as F
 
-    return out.select(
-        F.col(col).cast(_typed_field_type(schema, col)).alias(col)
-    )
+    return out.select(_typed_out_expr(schema, col))
 
 
 EXPLAIN_SCHEMA = (
@@ -4824,16 +5124,14 @@ def topk_table_files(
     scan_names = (
         out_names if col in out_names else [*out_names, col]
     )
-    if specs:
-        scan = scan_table_files_where(
-            spark, enc_dir,
-            [*list(preds), ("between", col, lo, hi)],
-            columns=scan_names,
-        )
-    else:
-        scan = scan_table_files(
-            spark, enc_dir, col, lo, hi, columns=scan_names
-        )
+    # the threshold is a PLANE KEY (the candidate pass runs in key space),
+    # so it stacks as the internal raw_between — identical to between on a
+    # plain-int column, literal-conversion-free on typed columns
+    scan = scan_table_files_where(
+        spark, enc_dir,
+        [*(list(preds) if preds else []), ("raw_between", col, lo, hi)],
+        columns=scan_names,
+    )
     sort_cols = [F.col(col).asc() if ascending else F.col(col).desc()]
     order_col = schema["order_col"]
     if order_col in out_names and order_col != col:

@@ -690,6 +690,203 @@ def test_agg_full_blocks_are_metadata_only(spark, tmp_path, monkeypatch):
     assert int(r3["sum_val"]) == sum(want)
 
 
+def _typed_fixture(tmp_path):
+    """orders with a timestamp, a float64 (NaN / -0.0 / +0.0 / NULL
+    seeded), and a nullable timestamp — the typed-column drill table."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d, exist_ok=True)
+    src = pq.read_table(
+        "/root/testdata/sf0.01/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).sort_by("o_orderkey")
+    n = len(src)
+    tp = src.column("o_totalprice").to_numpy(zero_copy_only=False).copy()
+    tp[3] = np.nan
+    tp[9] = -0.0
+    tp[11] = 0.0
+    fmask = np.zeros(n, bool)
+    fmask[::13] = True
+    od = src.column("o_orderdate")
+    odmask = np.zeros(n, bool)
+    odmask[::17] = True
+    src = pa.table(
+        {
+            "o_orderkey": src.column("o_orderkey"),
+            "o_orderdate": pa.array(od.to_pylist(), od.type, mask=odmask),
+            "o_totalprice": pa.array(tp, pa.float64(), mask=fmask),
+        }
+    )
+    sp = f"{d}/src.parquet"
+    pq.write_table(src, sp, row_group_size=4096)
+    return src, sp
+
+
+def test_typed_columns_roundtrip_bit_identical(spark, tmp_path):
+    """Timestamp and float64 columns ride the int64 plane losslessly:
+    encode -> verify (0 mismatches) -> decode restores the ORIGINAL types
+    and every bit — NaN payloads, -0.0 vs +0.0, NULLs — exactly."""
+    import pyarrow.parquet as pq
+
+    src, sp = _typed_fixture(tmp_path)
+    out = str(tmp_path / "enc")
+    res = table_files.encode_table_files(
+        spark, [sp], out, order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        rows_per_block=1024, num_tasks=3,
+    )
+    assert res["n_nulls"] > 0
+    v = table_files.verify_table_files(spark, out)
+    assert v["mismatches"] == 0 and v["rows"] == len(src)
+    dec = str(tmp_path / "dec")
+    table_files.decode_table_files(spark, out, dec)
+    got = pq.ParquetDataset(dec).read().sort_by("o_orderkey")
+    assert got.schema.field("o_orderdate").type == \
+        src.schema.field("o_orderdate").type
+    assert str(got.schema.field("o_totalprice").type) == "double"
+    # bit-level float compare (NaN payloads and signed zeros included)
+    gm = got.column("o_totalprice")
+    sm = src.column("o_totalprice")
+    assert gm.is_valid().to_pylist() == sm.is_valid().to_pylist()
+    gv = gm.fill_null(0).to_numpy(zero_copy_only=False).view(np.int64)
+    sv = sm.fill_null(0).to_numpy(zero_copy_only=False).view(np.int64)
+    assert np.array_equal(gv, sv)
+    assert got.column("o_orderdate").combine_chunks().equals(
+        src.column("o_orderdate").combine_chunks()
+    )
+
+
+def test_typed_query_operators_match_duckdb(spark, tmp_path):
+    """The pushdown layer on typed columns: timestamp BETWEEN with
+    datetime literals, float ranges and IN-lists where 0.0 must match BOTH
+    signed zeros, typed min/max and top-k, GROUP BY a timestamp key,
+    DISTINCT — every result equal to DuckDB over the same parquet; sums
+    on typed columns are refused."""
+    import datetime as dt
+
+    import duckdb
+
+    src, sp = _typed_fixture(tmp_path)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [sp], out, order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        rows_per_block=1024, num_tasks=3,
+    )
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{sp}')")
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31, 23, 59, 59)
+    got = table_files.scan_table_files_where(
+        spark, out, [("between", "o_orderdate", lo, hi)],
+        columns=["o_orderkey", "o_orderdate"],
+    ).collect()
+    want = duck.sql(
+        "SELECT o_orderkey, o_orderdate FROM t WHERE o_orderdate BETWEEN "
+        "'1996-01-01' AND '1996-12-31 23:59:59' ORDER BY 1"
+    ).fetchall()
+    assert sorted((r.o_orderkey, r.o_orderdate) for r in got) == \
+        [(a, b) for a, b in want]
+    assert len(want) > 50
+    got2 = table_files.scan_table_files_where(
+        spark, out, [("between", "o_totalprice", 0.0, 50000.0)],
+        columns=["o_orderkey", "o_totalprice"],
+    ).collect()
+    want2 = duck.sql(
+        "SELECT o_orderkey, o_totalprice FROM t "
+        "WHERE o_totalprice BETWEEN 0.0 AND 50000.0 ORDER BY 1"
+    ).fetchall()
+    assert sorted((r.o_orderkey, r.o_totalprice) for r in got2) == \
+        [(a, b) for a, b in want2]
+    assert sum(1 for _, v in want2 if v == 0.0) == 2  # both signed zeros
+    v100 = duck.sql(
+        "SELECT o_totalprice FROM t WHERE o_orderkey = 402"
+    ).fetchone()[0]
+    gi = table_files.scan_table_files_where(
+        spark, out, [("int_in", "o_totalprice", [0.0, v100])],
+        columns=["o_orderkey", "o_totalprice"],
+    ).collect()
+    wi = duck.sql(
+        f"SELECT o_orderkey, o_totalprice FROM t "
+        f"WHERE o_totalprice IN (0.0, {v100!r}) ORDER BY 1"
+    ).fetchall()
+    assert sorted((r.o_orderkey, r.o_totalprice) for r in gi) == \
+        [(a, b) for a, b in wi] and len(wi) >= 3
+    [mm] = table_files.minmax_table_files_where(
+        spark, out, "o_orderdate",
+        [("between", "o_orderkey", 1, 10 ** 9)],
+    ).collect()
+    assert (mm.min_val, mm.max_val) == duck.sql(
+        "SELECT min(o_orderdate), max(o_orderdate) FROM t"
+    ).fetchone()
+    tk = table_files.topk_table_files(
+        spark, out, "o_totalprice", 5, ascending=True,
+        columns=["o_orderkey", "o_totalprice"],
+        preds=[("notnull", "o_totalprice")],
+    ).collect()
+    wtk = duck.sql(
+        "SELECT o_orderkey, o_totalprice FROM t WHERE o_totalprice IS "
+        "NOT NULL ORDER BY o_totalprice ASC, o_orderkey LIMIT 5"
+    ).fetchall()
+    assert [(r.o_orderkey, r.o_totalprice) for r in tk] == \
+        [(a, b) for a, b in wtk]
+    gg = table_files.agg_table_files_by(
+        spark, out, "o_orderkey", "o_orderdate",
+        preds=[("between", "o_orderkey", 1, 2000)],
+    ).collect()
+    wg = duck.sql(
+        "SELECT o_orderdate, count(*), sum(o_orderkey) FROM t "
+        "WHERE o_orderkey BETWEEN 1 AND 2000 GROUP BY 1"
+    ).fetchall()
+    from collections import Counter
+
+    # Counter compare: the NULL group key breaks tuple sorting
+    assert Counter(
+        (r.o_orderdate, r.n_rows, int(r.sum_val)) for r in gg
+    ) == Counter((a, n, int(s)) for a, n, s in wg)
+    di = table_files.distinct_table_files(spark, out, "o_orderdate")
+    assert Counter(r[0] for r in di.collect()) == Counter(
+        a for (a,) in duck.sql(
+            "SELECT DISTINCT o_orderdate FROM t").fetchall()
+    )
+    with pytest.raises(ValueError, match="logical type"):
+        table_files.agg_table_files(
+            spark, out, "o_totalprice", "o_orderkey", 1, 100
+        )
+    with pytest.raises(ValueError, match="NaN literal"):
+        table_files.scan_table_files_where(
+            spark, out, [("between", "o_totalprice", float("nan"), 1.0)]
+        )
+
+
+def test_typed_columns_survive_compaction(spark, tmp_path):
+    """Compacting a typed dataset keeps verify green, decode bit-exact,
+    and typed scans identical (the plane keys are container-independent)."""
+    src, sp = _typed_fixture(tmp_path)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [sp], out, order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        rows_per_block=1024, num_tasks=4,
+    )
+    before = table_files.scan_table_files_where(
+        spark, out, [("between", "o_totalprice", 0.0, 90000.0)],
+        columns=["o_orderkey", "o_totalprice"],
+    ).collect()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] == 1
+    assert table_files.verify_table_files(spark, out)["mismatches"] == 0
+    after = table_files.scan_table_files_where(
+        spark, out, [("between", "o_totalprice", 0.0, 90000.0)],
+        columns=["o_orderkey", "o_totalprice"],
+    ).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert len(after) > 100
+
+
 def test_group_agg_clustered_blocks_metadata_only(spark, tmp_path,
                                                   monkeypatch):
     """GROUP BY on group-clustered data is metadata-only: every block whose
