@@ -68,7 +68,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("action", choices=[
         "scan", "agg", "count", "minmax", "group", "topk", "distinct",
-        "ndv", "stats", "ctas", "explain",
+        "ndv", "stats", "ctas", "explain", "explain-agg",
     ])
     ap.add_argument("--data", required=True, help="encoded dataset dir")
     ap.add_argument("--where", default=None, help="JSON predicate list")
@@ -185,6 +185,15 @@ def main(argv=None) -> int:
             ap.error("explain requires --where")
         out["result"] = TF.explain_scan_table_files(
             spark, args.data, preds, columns=cols
+        ).collect()[0].asDict()
+    elif args.action == "explain-agg":
+        if not preds or not args.value:
+            ap.error("explain-agg requires --where and --value")
+        value = (
+            args.value.split(",") if "," in args.value else args.value
+        )
+        out["result"] = TF.explain_agg_table_files(
+            spark, args.data, value, preds
         ).collect()[0].asDict()
     else:  # ctas
         if not args.output or not preds:

@@ -4649,6 +4649,141 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
     return run_explain
 
 
+def _make_agg_explain_worker(value_cols: list[str], preds: list[dict],
+                             symbols_hex: tuple[str, ...] | None):
+    """EXPLAIN worker for the aggregate: the exact phase-1 classification
+    :func:`_make_agg_worker` runs, reporting what its phase 2 WOULD read —
+    full blocks with a recorded ``sum_val`` are served from the stats row
+    (zero payload), so the bill is value payload at partial keys (plus
+    full keys of pre-``sum_val`` files) and predicate payload at partial
+    keys where that predicate is not full."""
+    from rlv.util import tune_malloc
+
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
+    all_cols = list(dict.fromkeys([*pred_cols, *value_cols]))
+
+    def run_explain(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
+                info, keys, cls, pred_cls, _, _, or_data, ebytes, sums = \
+                    _classify_file(
+                        path, file_sid, seg, all_cols, int_preds,
+                        mem_preds, or_nodes, symbols, with_enc_bytes=True,
+                    )
+                n_full = n_part = n_meta = rows_total = 0
+                payload = 0
+                for key in keys:
+                    nv = info[all_cols[0]][key][0]
+                    rows_total += nv
+                    kind = cls.get(key)
+                    if kind is None:
+                        continue
+                    if kind == "full":
+                        n_full += 1
+                        served = True
+                        for vc in value_cols:
+                            if sums[vc].get(key) is None:
+                                payload += ebytes[vc].get(key, 0)
+                                served = False
+                        if served:
+                            n_meta += 1
+                        continue
+                    n_part += 1
+                    for vc in value_cols:
+                        payload += ebytes[vc].get(key, 0)
+                    for c in _pred_need_cols(key, pred_cls, int_preds,
+                                             mem_preds, or_nodes,
+                                             or_data):
+                        if c not in value_cols:
+                            payload += ebytes[c].get(key, 0)
+                yield pd.DataFrame(
+                    {
+                        "blocks_total": pd.Series([len(keys)],
+                                                  dtype="int64"),
+                        "blocks_pruned": pd.Series(
+                            [len(keys) - n_full - n_part], dtype="int64"
+                        ),
+                        "blocks_full": pd.Series([n_full], dtype="int64"),
+                        "blocks_partial": pd.Series([n_part],
+                                                    dtype="int64"),
+                        "blocks_meta_served": pd.Series([n_meta],
+                                                        dtype="int64"),
+                        "rows_total": pd.Series([rows_total],
+                                                dtype="int64"),
+                        "payload_bytes": pd.Series([payload],
+                                                   dtype="int64"),
+                    }
+                )
+
+    return run_explain
+
+
+AGG_EXPLAIN_SCHEMA = (
+    "blocks_total bigint, blocks_pruned bigint, blocks_full bigint, "
+    "blocks_partial bigint, blocks_meta_served bigint, rows_total bigint, "
+    "payload_bytes bigint"
+)
+
+
+def explain_agg_table_files(
+    spark: SparkSession, enc_dir: str, value_col, preds,
+):
+    """EXPLAIN for the pushed-down aggregate: ONE row reporting, from
+    metadata and sidecars alone, what :func:`agg_table_files_where` with
+    the same arguments would read — ``blocks_meta_served`` counts the
+    full-matching blocks whose count/sum/min/max fold from the stats row
+    (zero payload), and ``payload_bytes`` is the exact decode bill of the
+    rest (value blocks at predicate boundaries, plus full blocks of
+    pre-``sum_val`` files).  A full-range aggregate on a ``sum_val``
+    dataset reports ``payload_bytes = 0`` — the number that makes
+    "SUM over 100 TB reads only stats rows" checkable."""
+    value_cols = (
+        list(value_col) if isinstance(value_col, (list, tuple))
+        else [value_col]
+    )
+    for vc in value_cols:
+        schema = _require_int_col(enc_dir, vc)
+        _require_summable(schema, vc)
+    specs = _norm_preds(schema, list(preds))
+    worker = _make_agg_explain_worker(
+        value_cols, specs, symbols_hex=_symbols_hex(enc_dir)
+    )
+    tasks = _query_tasks(enc_dir)
+    from pyspark.sql import functions as F
+
+    if tasks.empty:
+        parts = spark.createDataFrame([], AGG_EXPLAIN_SCHEMA)
+    else:
+        parts = _spark_tasks(spark, tasks).mapInPandas(
+            worker, AGG_EXPLAIN_SCHEMA
+        )
+    sum_cols = ["blocks_total", "blocks_pruned", "blocks_full",
+                "blocks_partial", "blocks_meta_served", "rows_total",
+                "payload_bytes"]
+    return parts.agg(
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
+            for c in sum_cols
+        ]
+    ).select(
+        F.lit(int(tasks["file"].nunique()) if not tasks.empty else 0)
+        .cast("bigint").alias("files"),
+        *[F.col(c) for c in sum_cols],
+    )
+
+
 def explain_scan_table_files(
     spark: SparkSession, enc_dir: str, preds,
     columns: list[str] | None = None,

@@ -688,6 +688,73 @@ def test_agg_full_blocks_are_metadata_only(spark, tmp_path, monkeypatch):
     [r3] = table_files.agg_table_files(spark, out, "val_n", "k", lo, hi
                                        ).collect()
     assert int(r3["sum_val"]) == sum(want)
+    # EXPLAIN on the old generation bills the fallback payload exactly
+    [ex_old] = table_files.explain_agg_table_files(
+        spark, out, "val_n", [("between", "k", lo, hi)]
+    ).collect()
+    assert ex_old["blocks_meta_served"] == 0
+    assert ex_old["payload_bytes"] > 0
+
+
+def test_explain_agg_bills_zero_payload_when_metadata_serves(spark,
+                                                             tmp_path):
+    """EXPLAIN for the aggregate: a block-aligned full-range aggregate on
+    a sum_val dataset reports payload_bytes = 0 with every full block
+    meta-served; a boundary range bills exactly the partial blocks'
+    recorded enc_bytes (value + predicate columns)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 8192
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "v": pa.array([(i * 11) % 977 for i in range(n)],
+                              pa.int64()),
+            }
+        ),
+        f"{d}/part0.parquet", row_group_size=2048,
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "v"],
+        rows_per_block=1024, num_tasks=1,
+    )
+    [ex] = table_files.explain_agg_table_files(
+        spark, out, "v", [("between", "k", 0, n)]
+    ).collect()
+    assert ex["blocks_full"] == 8 and ex["blocks_partial"] == 0
+    assert ex["blocks_meta_served"] == 8
+    assert ex["payload_bytes"] == 0
+    # boundary range: 2 partial blocks bill exactly their recorded bytes
+    [ex2] = table_files.explain_agg_table_files(
+        spark, out, "v", [("between", "k", 1500, 2500)]
+    ).collect()
+    assert ex2["blocks_partial"] == 2 and ex2["blocks_meta_served"] == 0
+    import pyarrow.parquet as pq2
+    bt = pq2.read_table(glob.glob(f"{out}/blocks/*.parquet")[0],
+                        columns=["col_name", "block_idx", "enc_bytes"])
+    bill = sum(
+        eb for c, bi, eb in zip(
+            bt.column("col_name").to_pylist(),
+            bt.column("block_idx").to_pylist(),
+            bt.column("enc_bytes").to_pylist(),
+        )
+        if bi in (1, 2)  # rows 1024-2047 and 2048-3071
+    )
+    assert ex2["payload_bytes"] == bill  # k (pred) + v (value) both blocks
+    # the full-match middle region of a wider range stays meta-served
+    [ex3] = table_files.explain_agg_table_files(
+        spark, out, "v", [("between", "k", 1024, 5119)]
+    ).collect()
+    assert ex3["blocks_full"] == 4 and ex3["blocks_meta_served"] == 4
+    assert ex3["blocks_partial"] == 0 and ex3["payload_bytes"] == 0
 
 
 def _typed_fixture(tmp_path):
