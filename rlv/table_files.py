@@ -1591,11 +1591,18 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 # many preds reference it.  The file's surviving ordinals
                 # are the INTERSECTION across preds; pruned blocks never
                 # materialize payload.
+                # metadata covers the membership columns too: their
+                # (n_values, n_nulls) let a member pred whose whole
+                # dictionary matches a no-NULL block classify FULL, which
+                # the payload planner below exploits
+                meta_read_cols = sorted(
+                    set(meta_pred_cols) | set(all_mem_cols)
+                )
                 col_info: dict[str, dict[tuple[str, int], tuple]] = {
-                    c: {} for c in meta_pred_cols
+                    c: {} for c in meta_read_cols
                 }
-                if meta_pred_cols:
-                    filters: list = [("col_name", "in", meta_pred_cols)]
+                if meta_read_cols:
+                    filters: list = [("col_name", "in", meta_read_cols)]
                     if seg is not None:
                         filters.append(("split_seq", "=", seg))
                     meta = pq.read_table(
@@ -1700,10 +1707,56 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                     yield _empty_frame()
                     continue
                 surviving_idx = sorted(surviving)
+                # SEGMENT-FULL predicates: a predicate that full-matches
+                # EVERY surviving block contributes an all-true mask, so
+                # it never decodes — and if nothing else references its
+                # column, the column's payload is never even READ (on a
+                # zone-map-clustered range the interior tasks read ONLY
+                # the projected columns; the predicate column's whole
+                # row group skips).
+                def _keys_of(c):
+                    return [k for k in col_info[c] if k[1] in surviving]
+
+                int_full = []
+                for p in int_preds:
+                    clmap = _int_leaf_class_map(p, col_info[p["col"]])
+                    keys_c = _keys_of(p["col"])
+                    int_full.append(
+                        bool(keys_c)
+                        and all(clmap.get(k) == "full" for k in keys_c)
+                    )
+                mem_full_flags = []
+                for pi, p in enumerate(mem_preds):
+                    keys_c = _keys_of(p["col"])
+                    mem_full_flags.append(
+                        bool(keys_c)
+                        and all(
+                            k in mem_codes[pi]
+                            and mem_codes[pi][k].size
+                            == len(mem_dicts[pi][k])
+                            and col_info[p["col"]][k][1] == 0
+                            for k in keys_c
+                        )
+                    )
+                needed_mask_cols = {
+                    p["col"]
+                    for i, p in enumerate(int_preds)
+                    if not int_full[i]
+                } | {
+                    p["col"]
+                    for pi, p in enumerate(mem_preds)
+                    if not mem_full_flags[pi]
+                } | {
+                    leaf["col"] for node in or_nodes for leaf in node
+                }
                 # phase 2 — payloads for SURVIVING block ordinals only (the
                 # in-filter over-reads a block_idx that survives in one
-                # segment but not another; segments prune exactly below)
-                read_names = list(dict.fromkeys([*pred_cols, *out_names]))
+                # segment but not another; segments prune exactly below),
+                # and only for columns a mask or the projection needs
+                read_names = list(dict.fromkeys(
+                    [*[c for c in pred_cols if c in needed_mask_cols],
+                     *out_names]
+                ))
                 filters2: list = [
                     ("col_name", "in", read_names),
                     ("block_idx", "in", surviving_idx),
@@ -1752,13 +1805,14 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                             int(nv), int(nr), int(mn), int(mx), blob,
                             int(nn),
                         )
-                    # segment-exact survivors: re-run every pred's block
-                    # test against THIS segment's metadata and intersect
+                    # segment-exact survivors: re-run every NON-FULL
+                    # pred's block test against THIS segment's metadata
+                    # and intersect (a segment-full pred survives all its
+                    # keys by construction; its column may not be read)
                     surv: set[int] | None = None
-                    for p in int_preds:
-                        # only pruned-vs-survive matters here: the scan
-                        # decodes and masks every surviving predicate block
-                        # anyway
+                    for i, p in enumerate(int_preds):
+                        if int_full[i]:
+                            continue
                         s = {
                             bi
                             for bi, (nv, nr, mn, mx, _, nn)
@@ -1768,6 +1822,8 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         }
                         surv = s if surv is None else (surv & s)
                     for pi, p in enumerate(mem_preds):
+                        if mem_full_flags[pi]:
+                            continue
                         s = {
                             bi for bi in per[p["col"]]
                             if (seq, bi) in mem_codes[pi]
@@ -1792,10 +1848,14 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                                     if (seq, bi) in codes
                                 }
                         surv = s if surv is None else (surv & s)
+                    if surv is None:
+                        # every pred segment-full: all fetched ordinals of
+                        # this segment survive
+                        surv = set(per[read_names[0]])
                     survivors = sorted(surv)
                     if not survivors:
                         continue
-                    anchor = pred_cols[0]
+                    anchor = read_names[0]
                     decoded: dict[str, tuple] = {}
 
                     def _decode_col(c, per=per, survivors=survivors,
@@ -1825,13 +1885,18 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         decoded[c] = trip
                         return trip
 
-                    # row mask = AND over preds
+                    # row mask = AND over the NON-FULL preds (a
+                    # segment-full pred matches every row — no decode)
                     m = None
-                    for p in int_preds:
+                    for i, p in enumerate(int_preds):
+                        if int_full[i]:
+                            continue
                         vals, _, vvalid = _decode_col(p["col"])
                         pm = _int_pred_rowmask(p, vals, vvalid)
                         m = pm if m is None else (m & pm)
                     for pi, p in enumerate(mem_preds):
+                        if mem_full_flags[pi]:
+                            continue
                         vals, voffs, vvalid = _decode_col(p["col"])
                         # per-block code SETS; a block whose whole
                         # dictionary matches skips the isin (every valid
@@ -1869,6 +1934,12 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                                         )
                             nm = pm if nm is None else (nm | pm)
                         m = nm if m is None else (m & nm)
+                    if m is None:
+                        # every pred segment-full: keep all rows
+                        m = np.ones(
+                            sum(per[anchor][bi][0] for bi in survivors),
+                            dtype=bool,
+                        )
                     for c in out_names:
                         if c in eq_single_by_col:
                             # eq predicate column: every kept row IS the
@@ -4607,6 +4678,20 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
                         path, file_sid, seg, all_cols, int_preds,
                         mem_preds, or_nodes, symbols, with_enc_bytes=True,
                     )
+                # mirror the scan's payload planner: a pred that
+                # full-matches EVERY surviving key never reads its column
+                # (unless projected or referenced by an OR leaf)
+                surv_keys = set(cls)
+                needed = set(read_cols) | {
+                    leaf["col"] for node in or_nodes for leaf in node
+                }
+                leaf_preds = [*int_preds, *mem_preds]
+                for i, p in enumerate(leaf_preds):
+                    if not all(
+                        pred_cls[i].get(k) == "full" for k in surv_keys
+                    ) or not surv_keys:
+                        needed.add(p["col"])
+                billed = [c for c in all_cols if c in needed]
                 n_full = n_part = rows_surv = rows_total = 0
                 payload = 0
                 for key in keys:
@@ -4621,7 +4706,7 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
                         n_part += 1
                     rows_surv += nv
                     payload += sum(
-                        ebytes[c].get(key, 0) for c in all_cols
+                        ebytes[c].get(key, 0) for c in billed
                     )
                 yield pd.DataFrame(
                     {

@@ -954,6 +954,83 @@ def test_typed_columns_survive_compaction(spark, tmp_path):
     assert len(after) > 100
 
 
+def test_scan_skips_segment_full_predicate_columns(spark, tmp_path):
+    """A predicate that full-matches EVERY surviving block of a task
+    reads nothing: its column is dropped from the payload read (EXPLAIN
+    bills only the projected column) and the scan result is still exactly
+    SQL's."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 8192
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "v": pa.array([(i * 13) % 911 for i in range(n)],
+                              pa.int64()),
+                "s": pa.array(["x"] * n, pa.string()),
+            }
+        ),
+        f"{d}/part0.parquet", row_group_size=2048,
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "v"], str_cols=["s"],
+        rows_per_block=1024, num_tasks=1,
+    )
+    # block-aligned interior range: k full-matches every surviving block
+    lo, hi = 1024, 5119
+    got = table_files.scan_table_files_where(
+        spark, out, [("between", "k", lo, hi)], columns=["v"]
+    ).collect()
+    assert sorted(r["v"] for r in got) == sorted(
+        (i * 13) % 911 for i in range(lo, hi + 1)
+    )
+    [ex] = table_files.explain_scan_table_files(
+        spark, out, [("between", "k", lo, hi)], columns=["v"]
+    ).collect()
+    bt = pq.read_table(
+        glob.glob(f"{out}/blocks/*.parquet")[0],
+        columns=["col_name", "block_idx", "enc_bytes"],
+    )
+    v_bill = sum(
+        eb for c, bi, eb in zip(
+            bt.column("col_name").to_pylist(),
+            bt.column("block_idx").to_pylist(),
+            bt.column("enc_bytes").to_pylist(),
+        )
+        if c == "v" and 1 <= bi <= 4
+    )
+    # the bill is v's surviving blocks ONLY — k (the predicate) is free
+    assert ex["payload_bytes"] == v_bill > 0
+    # a whole-dictionary member pred is free the same way
+    got2 = table_files.scan_table_files_where(
+        spark, out, [("eq", "s", "x"), ("between", "k", lo, hi)],
+        columns=["v"],
+    ).collect()
+    assert sorted(r["v"] for r in got2) == sorted(
+        (i * 13) % 911 for i in range(lo, hi + 1)
+    )
+    [ex2] = table_files.explain_scan_table_files(
+        spark, out, [("eq", "s", "x"), ("between", "k", lo, hi)],
+        columns=["v"],
+    ).collect()
+    assert ex2["payload_bytes"] == v_bill
+    # a boundary (partial) range still reads and masks the pred column
+    got3 = table_files.scan_table_files_where(
+        spark, out, [("between", "k", 1500, 2500)], columns=["v"]
+    ).collect()
+    assert sorted(r["v"] for r in got3) == sorted(
+        (i * 13) % 911 for i in range(1500, 2501)
+    )
+
+
 def test_group_agg_clustered_blocks_metadata_only(spark, tmp_path,
                                                   monkeypatch):
     """GROUP BY on group-clustered data is metadata-only: every block whose
