@@ -2042,6 +2042,92 @@ def _q_ts_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _enc_dec_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Shared encoded dataset of the decimal-column contract queries:
+    lineitem with its currency doubles DECLARED decimal(scale 2) — the
+    plane stores the exact scaled integers, so sums push down exactly —
+    plus the shipdate timestamp and a synthesized unique order column."""
+    import tempfile
+
+    import duckdb
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_decq_")
+    src = duckdb.sql(
+        "SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) "
+        "  AS row_ord, l_orderkey, l_quantity, l_extendedprice, "
+        "  l_shipdate, l_returnflag "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).arrow()
+    import pyarrow.parquet as pq
+
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="row_ord",
+        int_cols=["row_ord", "l_orderkey", "l_quantity",
+                  "l_extendedprice", "l_shipdate"],
+        str_cols=["l_returnflag"],
+        decimal_cols={"l_quantity": 2, "l_extendedprice": 2},
+        rows_per_block=2048, num_tasks=2,
+    )
+    return out
+
+
+def _q_dec_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT decimal SUM pushdown: l_extendedprice (a currency double)
+    declared decimal(2) stores its scaled integers, so
+    ``SELECT count, sum, min, max WHERE l_shipdate IN <year>`` folds
+    full blocks from stats rows (metadata sum_val) and returns the sum
+    as decimal(38,2) — bit-for-bit the SQL answer, no float drift.  The
+    oracle re-derives the scaled-integer sum in DuckDB."""
+    _ensure_shipped(spark)
+    import datetime as dt
+
+    from rlv import table_files as TF
+
+    out = _enc_dec_lineitem(spark, sf_dir)
+    got = TF.agg_table_files_where(
+        spark, out, "l_extendedprice",
+        [("between", "l_shipdate",
+          dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31, 23, 59, 59))],
+    )
+    return got.select(
+        "n_rows", "n_vals",
+        F.col("sum_val").cast("decimal(38,2)").alias("sum_val"),
+        F.col("min_val").cast("double").alias("min_val"),
+        F.col("max_val").cast("double").alias("max_val"),
+    )
+
+
+def _q_dec_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped GROUP BY over the encoded format: group by the
+    dictionary string key, summing a decimal-declared currency column
+    under a timestamp predicate — counts and decimal(38,2) sums exactly
+    equal to SQL's."""
+    _ensure_shipped(spark)
+    import datetime as dt
+
+    from rlv import table_files as TF
+
+    out = _enc_dec_lineitem(spark, sf_dir)
+    got = TF.agg_table_files_by(
+        spark, out, "l_quantity", "l_returnflag",
+        preds=[("between", "l_shipdate",
+                dt.datetime(1995, 1, 1),
+                dt.datetime(1998, 9, 2, 23, 59, 59))],
+    )
+    return got.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_val").cast("decimal(38,2)").alias("sum_qty"),
+        F.col("min_val").cast("double").alias("min_qty"),
+        F.col("max_val").cast("double").alias("max_qty"),
+    )
+
+
 def _q_where_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY pushdown under a predicate CONJUNCTION
     (:func:`rlv.table_files.agg_table_files_by` with ``preds``): groups
@@ -3235,6 +3321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_scan": _q_ts_range_scan,
         "float_pred_scan": _q_float_pred_scan,
         "ts_group_rollup": _q_ts_group_rollup,
+        "dec_sum_pushdown": _q_dec_sum_pushdown,
+        "dec_group_rollup": _q_dec_group_rollup,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
@@ -4015,6 +4103,29 @@ SELECT epoch_us(o_orderdate) AS ts_us,
        CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_key
 FROM orders
 WHERE o_orderkey BETWEEN 1 AND 30000
+GROUP BY 1
+""",
+        "dec_sum_pushdown": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(l_extendedprice) AS BIGINT) AS n_vals,
+       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2)) AS sum_val,
+       CAST(min(l_extendedprice) AS DOUBLE) AS min_val,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_val
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1996-12-31 23:59:59'
+""",
+        "dec_group_rollup": """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                 AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2)) AS sum_qty,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                     AND TIMESTAMP '1998-09-02 23:59:59'
 GROUP BY 1
 """,
         "count_pushdown": """

@@ -101,7 +101,9 @@ def _ts_alias_parts(alias: str):
 def _plane_kind(alias: str | None) -> str:
     """How a recorded source alias rides the int64 plane: ``int`` (plain
     checked cast), ``epoch`` (timestamp/date — Arrow epoch-integer cast),
-    or ``f32``/``f64`` (total-order float keys)."""
+    ``f32``/``f64`` (total-order float keys), or ``dec`` (float source
+    declared decimal at a fixed scale — stored as the exact scaled
+    integers, so sums push down exactly)."""
     if alias is None or alias in _INT_TYPE_ALIASES or alias == "int64":
         return "int"
     if _ts_alias_parts(alias) or alias in ("date32[day]", "date64[ms]"):
@@ -110,7 +112,20 @@ def _plane_kind(alias: str | None) -> str:
         return "f32"
     if alias == "double":
         return "f64"
+    if _dec_alias_parts(alias):
+        return "dec"
     return "int"
+
+
+def _dec_alias_parts(alias: str) -> tuple[int, str] | None:
+    """(scale, source float alias) if ``alias`` is a decimal-declared
+    float column (``dec<scale>:float`` / ``dec<scale>:double``)."""
+    if not alias.startswith("dec"):
+        return None
+    head, _, src = alias.partition(":")
+    if src not in ("float", "double") or not head[3:].isdigit():
+        return None
+    return int(head[3:]), src
 
 
 def _arrow_type_of_alias(alias: str):
@@ -120,6 +135,9 @@ def _arrow_type_of_alias(alias: str):
     ts = _ts_alias_parts(alias)
     if ts:
         return pa.timestamp(ts[0], tz=ts[1])
+    dec = _dec_alias_parts(alias)
+    if dec:
+        return pa.type_for_alias(dec[1])
     return pa.type_for_alias(alias)
 
 
@@ -176,12 +194,42 @@ def _plane_cast(col, alias: str | None):
             return col.cast(pa.int32()).cast(pa.int64())
         return col.cast(pa.int64())
     v = col.fill_null(0).to_numpy(zero_copy_only=False)
-    keys = _float_to_keys(v)
-    if col.null_count:
-        return pa.array(
-            keys, pa.int64(),
-            mask=~col.is_valid().to_numpy(zero_copy_only=False),
-        )
+    valid = (
+        col.is_valid().to_numpy(zero_copy_only=False)
+        if col.null_count else None
+    )
+    if kind == "dec":
+        scale, src = _dec_alias_parts(alias)
+        vv = v if valid is None else v[valid]
+        if not np.isfinite(vv).all():
+            raise ValueError(
+                f"decimal-declared column holds a non-finite value — "
+                f"NaN/inf have no scale-{scale} decimal representation"
+            )
+        scaled = np.rint(v.astype(np.float64) * np.float64(10 ** scale))
+        if np.abs(scaled).max(initial=0.0) >= float(2 ** 53):
+            raise ValueError(
+                f"decimal-declared value exceeds 2^53 at scale {scale} — "
+                "exact integer scaling would lose bits"
+            )
+        back = scaled / np.float64(10 ** scale)
+        if src == "float":
+            back = back.astype(np.float32)
+        vb = back if valid is None else back[valid]
+        if not np.array_equal(
+            vb.view(np.int32 if src == "float" else np.int64),
+            vv.view(np.int32 if src == "float" else np.int64),
+        ):
+            raise ValueError(
+                f"column declared decimal at scale {scale} holds values "
+                "that do not round-trip — raise the scale or encode it "
+                "as a plain float column"
+            )
+        keys = scaled.astype(np.int64)
+    else:
+        keys = _float_to_keys(v)
+    if valid is not None:
+        return pa.array(keys, pa.int64(), mask=~valid)
     return pa.array(keys, pa.int64())
 
 
@@ -201,7 +249,13 @@ def _restore_plane(arr, alias: str | None):
             return arr.cast(pa.int32()).cast(target)
         return arr.cast(target)
     k = arr.fill_null(0).to_numpy(zero_copy_only=False)
-    vals = _keys_to_float(k, alias)
+    if kind == "dec":
+        scale, src = _dec_alias_parts(alias)
+        vals = k.astype(np.float64) / np.float64(10 ** scale)
+        if src == "float":
+            vals = vals.astype(np.float32)
+    else:
+        vals = _keys_to_float(k, alias)
     if arr.null_count:
         return pa.array(
             vals, target,
@@ -546,6 +600,7 @@ def encode_table_files(
     resume: bool = True,
     fsst_symbols: list[bytes] | None = None,
     splits: list[dict] | None = None,
+    decimal_cols: dict | None = None,
 ) -> dict:
     """Encode an arbitrary-column parquet table per column on the files
     plane.  ``int_cols`` takes plain ints of any width, timestamps/dates
@@ -553,6 +608,11 @@ def encode_table_files(
     IEEE-754 total-order keys) — all order-preserving and bit-lossless, so
     zone maps, predicates, top-k, and min/max stay exact and decode
     restores the original type; ``str_cols`` take the dictionary plane.
+    ``decimal_cols`` maps float columns to a fixed decimal scale (e.g.
+    ``{"l_extendedprice": 2}`` for currency): those store the EXACT
+    scaled integers instead of IEEE keys — every value must round-trip at
+    that scale (checked loudly per split) — which makes SUM/AVG push down
+    exactly and the per-block ``sum_val`` stat meaningful.
     ``order_col`` must totally order the rows of each split (it defines
     the value sequences, hence the run structure — ties would make blocks
     read-order-dependent); include it in ``int_cols`` to make the dataset
@@ -570,6 +630,20 @@ def encode_table_files(
             f"order_col {order_col!r} must be one of int_cols so the decoded "
             "table is self-describing"
         )
+    col_types = _int_col_types(list(input_files), list(int_cols))
+    for c, scale in (decimal_cols or {}).items():
+        if c not in col_types or col_types[c] not in ("float", "double"):
+            raise ValueError(
+                f"decimal_cols[{c!r}]: only float32/float64 source "
+                f"columns can be declared decimal (column is "
+                f"{col_types.get(c, 'absent')!r})"
+            )
+        if not (0 <= int(scale) <= 15):
+            raise ValueError(
+                f"decimal_cols[{c!r}]: scale must be in [0, 15], got "
+                f"{scale!r}"
+            )
+        col_types[c] = f"dec{int(scale)}:{col_types[c]}"
     schema = {
         "order_col": order_col,
         "int_cols": list(int_cols),
@@ -578,7 +652,7 @@ def encode_table_files(
         # source dtypes (from the first file's footer) so decode restores
         # the ORIGINAL column widths — an int32 column must come back
         # int32, not the engine's internal int64
-        "int_col_types": _int_col_types(list(input_files), list(int_cols)),
+        "int_col_types": col_types,
     }
     existing = _load_table_schema(out_dir)
     if existing is not None and existing != schema:
@@ -1329,6 +1403,9 @@ def _typed_field_type(schema: dict, c: str) -> str:
                 )
             return "timestamp"
         return "date"
+    if kind == "dec":
+        return "float" if _dec_alias_parts(alias)[1] == "float" \
+            else "double"
     return "float" if alias == "float" else "double"
 
 
@@ -1360,6 +1437,13 @@ def _typed_out_expr(schema: dict, c: str, src: str | None = None):
         if alias == "date32[day]":
             return F.date_from_unix_date(col.cast("int")).alias(name)
         return F.timestamp_millis(col).cast("date").alias(name)
+    if kind == "dec":
+        scale, _ = _dec_alias_parts(alias)
+        # double division by a power of ten: correctly rounded, the same
+        # composed path the encode-side representability check verified
+        return (
+            col.cast("double") / F.lit(float(10 ** scale))
+        ).cast(out_type).alias(name)
     return _unkey_pandas_udf(alias)(col).alias(name)
 
 
@@ -1409,6 +1493,30 @@ def _plane_literal(schema: dict, col: str, v, side: str = "lo") -> int:
         raise ValueError(
             f"NaN literal on {col!r}: NaN has no SQL comparison semantics"
         )
+    if kind == "dec":
+        scale, _ = _dec_alias_parts(alias)
+        # the stored grid is the DOUBLES k/10^s (not exact decimals), so
+        # bound tightening must compare in double arithmetic: lo -> the
+        # smallest grid double >= literal, hi -> the largest <= literal.
+        # double(k/10^s) is monotone in k, so checking the neighbors of
+        # the nearest k suffices.
+        _, src = _dec_alias_parts(alias)
+        k0 = int(np.rint(fv * float(10 ** scale)))
+        denom = 10 ** scale
+
+        def grid(k):
+            g = k / denom
+            return float(np.float32(g)) if src == "float" else g
+
+        if side == "lo":
+            for k in (k0 - 1, k0, k0 + 1):
+                if grid(k) >= fv:
+                    return k
+            return k0 + 2  # unreachable (k0+1's grid value > fv)
+        for k in (k0 + 1, k0, k0 - 1):
+            if grid(k) <= fv:
+                return k
+        return k0 - 2  # unreachable
     if fv == 0.0:
         fv = -0.0 if side == "lo" else 0.0
     dt = np.float32 if alias == "float" else np.float64
@@ -1418,11 +1526,25 @@ def _plane_literal(schema: dict, col: str, v, side: str = "lo") -> int:
 def _plane_in_keys(schema: dict, col: str, vals) -> np.ndarray:
     """IN-list literals onto the plane: one key per literal, except a
     float ``0`` contributes BOTH zero keys (``-0.0`` and ``+0.0`` are
-    SQL-equal but bit-distinct)."""
+    SQL-equal but bit-distinct) and an off-grid decimal literal
+    contributes NONE (its lo key rounds up past its hi key — nothing on
+    the scaled-int grid equals it)."""
     keys: list[int] = []
     for v in vals:
-        keys.append(_plane_literal(schema, col, v, "lo"))
-        keys.append(_plane_literal(schema, col, v, "hi"))
+        lo = _plane_literal(schema, col, v, "lo")
+        hi = _plane_literal(schema, col, v, "hi")
+        if lo > hi:
+            continue  # off-grid decimal literal: equal to no stored value
+        keys.append(lo)
+        keys.append(hi)
+    if not keys:
+        # every literal off-grid: an impossible single key (the matcher
+        # needs >= 1 literal; zone maps prune it everywhere a real value
+        # could live is irrelevant — no row equals it, classification
+        # prunes or masks to empty exactly)
+        return np.asarray(
+            [np.iinfo(np.int64).min], np.int64
+        )
     return np.unique(np.asarray(keys, np.int64))
 
 
@@ -1443,17 +1565,18 @@ def _require_int_col(enc_dir: str, col: str) -> dict:
 
 
 def _require_summable(schema: dict, col: str) -> None:
-    """Aggregate VALUE columns must be plain ints: a sum of float
+    """Aggregate VALUE columns must be plain ints or decimal-declared
+    floats (whose scaled-int plane sums exactly): a sum of float
     total-order keys or of timestamp epochs is not the SQL aggregate (and
     SQL itself refuses ``sum(timestamp)``).  min/max/count on typed
     columns go through :func:`minmax_table_files_where` /
     :func:`count_table_files_where`, which stay exact on the key plane."""
     alias = (schema.get("int_col_types") or {}).get(col, "int64")
-    if _plane_kind(alias) != "int":
+    if _plane_kind(alias) not in ("int", "dec"):
         raise ValueError(
             f"aggregate value column {col!r} has logical type {alias!r}: "
-            "sums are only defined for plain int columns (use minmax/"
-            "count/top-k for typed columns)"
+            "sums are only defined for plain int and decimal-declared "
+            "columns (use minmax/count/top-k for other typed columns)"
         )
 
 
@@ -3365,12 +3488,30 @@ def agg_table_files_where(
     for vc in value_cols:
         schema = _require_int_col(enc_dir, vc)
         _require_summable(schema, vc)
+    dec = _uniform_dec_parts(schema, value_cols)
     specs = _norm_preds(schema, list(preds))
     worker = _make_agg_worker(
         value_cols, specs, symbols_hex=_symbols_hex(enc_dir)
     )
     tasks = _query_tasks(enc_dir)
     from pyspark.sql import functions as F
+
+    def _typed_agg_cols():
+        """sum/min/max in SQL units: scaled-int plane -> decimal(38,s)
+        sums and source-float min/max for decimal-declared columns."""
+        if dec is None:
+            return [
+                F.col("_sum").cast("decimal(38,0)").alias("sum_val"),
+                F.col("min_val").cast("bigint").alias("min_val"),
+                F.col("max_val").cast("bigint").alias("max_val"),
+            ]
+        scale, _src = dec
+        return [
+            (F.col("_sum") / F.lit(10 ** scale))
+            .cast(f"decimal(38,{scale})").alias("sum_val"),
+            _typed_out_expr(schema, value_cols[0], src="min_val"),
+            _typed_out_expr(schema, value_cols[0], src="max_val"),
+        ]
 
     if tasks.empty:
         base = spark.createDataFrame(
@@ -3379,10 +3520,10 @@ def agg_table_files_where(
             "val_col",
             F.lit(0).cast("bigint").alias("n_rows"),
             F.lit(0).cast("bigint").alias("n_vals"),
-            F.lit(None).cast("decimal(38,0)").alias("sum_val"),
+            F.lit(None).cast("decimal(38,0)").alias("_sum"),
             F.lit(None).cast("bigint").alias("min_val"),
             F.lit(None).cast("bigint").alias("max_val"),
-        )
+        ).select("val_col", "n_rows", "n_vals", *_typed_agg_cols())
         return base if multi else base.drop("val_col")
     partials = _spark_tasks(spark, tasks).mapInPandas(
         worker, "val_col string, " + AGG_PARTIAL_SCHEMA
@@ -3390,7 +3531,7 @@ def agg_table_files_where(
     combined = partials.groupBy("val_col").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_vals").alias("n_vals"),
-        F.sum("sum_val").alias("_sum"),
+        F.sum("sum_val").alias("_raw_sum"),
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     ).select(
@@ -3398,13 +3539,60 @@ def agg_table_files_where(
         F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
         F.coalesce(F.col("n_vals"), F.lit(0)).cast("bigint").alias("n_vals"),
         F.when(F.coalesce(F.col("n_vals"), F.lit(0)) == 0, F.lit(None))
-        .otherwise(F.col("_sum"))
+        .otherwise(F.col("_raw_sum"))
         .cast("decimal(38,0)")
-        .alias("sum_val"),
-        F.col("min_val").cast("bigint").alias("min_val"),
-        F.col("max_val").cast("bigint").alias("max_val"),
-    )
+        .alias("_sum"),
+        "min_val",
+        "max_val",
+    ).select("val_col", "n_rows", "n_vals", *_typed_agg_cols())
     return combined if multi else combined.drop("val_col")
+
+
+def _group_agg_out_cols(schema: dict, value_col: str):
+    """sum/min/max output columns of the GROUP BY relations, in SQL
+    units: decimal(38,s) sums and source-float min/max when the value
+    column is decimal-declared, plain bigints otherwise (NULL sum for
+    empty groups either way)."""
+    from pyspark.sql import functions as F
+
+    dec = _uniform_dec_parts(schema, [value_col])
+    base = F.when(F.col("n_vals") == 0, F.lit(None)) \
+        .otherwise(F.col("_sum"))
+    if dec is None:
+        return [
+            base.cast("decimal(38,0)").alias("sum_val"),
+            F.col("min_val").cast("bigint").alias("min_val"),
+            F.col("max_val").cast("bigint").alias("max_val"),
+        ]
+    scale, _src = dec
+    return [
+        (base.cast("decimal(38,0)") / F.lit(10 ** scale))
+        .cast(f"decimal(38,{scale})").alias("sum_val"),
+        _typed_out_expr(schema, value_col, src="min_val"),
+        _typed_out_expr(schema, value_col, src="max_val"),
+    ]
+
+
+def _uniform_dec_parts(schema: dict, value_cols: list[str]):
+    """(scale, src) when the aggregate's value columns are
+    decimal-declared — all of them, at ONE scale (a shared output schema
+    cannot mix decimal(38,s) sums) — else None for all-plain-int; a mixed
+    list raises."""
+    types = schema.get("int_col_types") or {}
+    parts = {
+        vc: _dec_alias_parts(types.get(vc, "int64")) or None
+        for vc in value_cols
+    }
+    decs = {p for p in parts.values() if p is not None}
+    if not decs:
+        return None
+    if len(decs) > 1 or any(p is None for p in parts.values()):
+        raise ValueError(
+            "aggregate value columns mix decimal scales or decimal and "
+            f"plain-int columns ({ {vc: types.get(vc, 'int64') for vc in value_cols} }); "
+            "aggregate them in separate calls"
+        )
+    return next(iter(decs))
 
 
 def _make_count_worker(preds: list[dict],
@@ -4284,12 +4472,7 @@ def agg_table_files_by(
             *[_typed_out_expr(schema, g) for g in group_cols],
             F.col("n_rows").cast("bigint").alias("n_rows"),
             F.col("n_vals").cast("bigint").alias("n_vals"),
-            F.when(F.col("n_vals") == 0, F.lit(None))
-            .otherwise(F.col("_sum"))
-            .cast("decimal(38,0)")
-            .alias("sum_val"),
-            F.col("min_val").cast("bigint").alias("min_val"),
-            F.col("max_val").cast("bigint").alias("max_val"),
+            *_group_agg_out_cols(schema, value_col),
         )
 
     g_type = "string" if group_is_str else "bigint"
@@ -4316,12 +4499,7 @@ def agg_table_files_by(
         _typed_out_expr(schema, group_col, src="g").alias(group_col),
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_vals").cast("bigint").alias("n_vals"),
-        F.when(F.col("n_vals") == 0, F.lit(None))
-        .otherwise(F.col("_sum"))
-        .cast("decimal(38,0)")
-        .alias("sum_val"),
-        F.col("min_val").cast("bigint").alias("min_val"),
-        F.col("max_val").cast("bigint").alias("max_val"),
+        *_group_agg_out_cols(schema, value_col),
     )
 
 

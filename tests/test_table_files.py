@@ -954,6 +954,129 @@ def test_typed_columns_survive_compaction(spark, tmp_path):
     assert len(after) > 100
 
 
+def test_decimal_declared_columns_exact_sums(spark, tmp_path):
+    """decimal_cols: currency doubles store their exact scaled integers —
+    SUM/AVG push down exactly (decimal(38,s) outputs), min/max/scan
+    literals tighten on the double grid (on-grid literals like 0.05 whose
+    binary value is off the exact decimal match exactly; off-grid IN
+    literals match nothing), decode restores the doubles bit-identically,
+    and non-representable values refuse loudly."""
+    import os
+    from decimal import Decimal
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    price = [
+        None if i % 17 == 0 else round((i * 97) % 100000) / 100
+        for i in range(n)
+    ]
+    g = [chr(ord("A") + (i % 3)) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "price_n": pa.array(price, pa.float64()),
+                "g": pa.array(g, pa.string()),
+            }
+        ),
+        f"{d}/part0.parquet", row_group_size=2048,
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], out,
+        order_col="k", int_cols=["k", "price_n"], str_cols=["g"],
+        rows_per_block=1024, num_tasks=2,
+        decimal_cols={"price_n": 2},
+    )
+    duck = duckdb.connect()
+    duck.sql(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/part0.parquet')"
+    )
+    [r] = table_files.agg_table_files(
+        spark, out, "price_n", "k", 100, 4099
+    ).collect()
+    [w] = duck.sql(
+        "SELECT count(*), count(price_n), "
+        "CAST(sum(CAST(round(price_n*100) AS BIGINT)) AS DECIMAL(38,2))"
+        "/100, min(price_n), max(price_n) "
+        "FROM t WHERE k BETWEEN 100 AND 4099"
+    ).fetchall()
+    assert (r.n_rows, r.n_vals, Decimal(str(r.sum_val)),
+            r.min_val, r.max_val) == \
+        (w[0], w[1], Decimal(str(w[2])), w[3], w[4])
+    # grouped sums, decimal-typed
+    gg = table_files.agg_table_files_by(
+        spark, out, "price_n", "g",
+        preds=[("between", "k", 0, n)],
+    ).collect()
+    wg = duck.sql(
+        "SELECT g, count(*), CAST(sum(CAST(round(price_n*100) AS BIGINT))"
+        " AS DECIMAL(38,2))/100 FROM t GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert sorted(
+        (r["g"], r.n_rows, Decimal(str(r.sum_val))) for r in gg
+    ) == [(a, c, Decimal(str(s))) for a, c, s in wg]
+    # double-grid literal semantics: 0.05-style (binary-inexact) literals
+    lo, hi = 1.05, 499.95
+    got = table_files.scan_table_files_where(
+        spark, out, [("between", "price_n", lo, hi)],
+        columns=["k", "price_n"],
+    ).collect()
+    want = duck.sql(
+        f"SELECT k, price_n FROM t WHERE price_n BETWEEN {lo} AND {hi} "
+        "ORDER BY 1"
+    ).fetchall()
+    assert sorted((r["k"], r["price_n"]) for r in got) == \
+        [(a, b) for a, b in want] and len(want) > 0
+    v0 = next(p for p in price if p is not None)
+    gi = table_files.scan_table_files_where(
+        spark, out, [("int_in", "price_n", [v0, 0.005])],
+        columns=["k", "price_n"],
+    ).collect()
+    wi = duck.sql(
+        f"SELECT k, price_n FROM t WHERE price_n IN ({v0!r}) ORDER BY 1"
+    ).fetchall()
+    assert sorted((r["k"], r["price_n"]) for r in gi) == \
+        [(a, b) for a, b in wi] and len(wi) > 0
+    # decode restores the doubles (and NULLs) bit-identically
+    dec_dir = str(tmp_path / "dec")
+    table_files.decode_table_files(spark, out, dec_dir)
+    got_t = pq.ParquetDataset(dec_dir).read().sort_by("k")
+    src_t = pq.read_table(f"{d}/part0.parquet")
+    assert got_t.column("price_n").combine_chunks().equals(
+        src_t.column("price_n").combine_chunks()
+    )
+    # full blocks of a decimal column are metadata-served
+    [ex] = table_files.explain_agg_table_files(
+        spark, out, "price_n", [("between", "k", 0, n)]
+    ).collect()
+    assert ex["payload_bytes"] == 0
+    # a value that does not round-trip at the scale refuses loudly
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "price_n": pa.array([1.005, 2.0], pa.float64()),
+            }
+        ),
+        f"{bad}/part0.parquet",
+    )
+    with pytest.raises(Exception, match="round-trip|decimal"):
+        table_files.encode_table_files(
+            spark, [f"{bad}/part0.parquet"], str(tmp_path / "bad_enc"),
+            order_col="k", int_cols=["k", "price_n"],
+            decimal_cols={"price_n": 2}, num_tasks=1,
+        )
+
+
+
 def test_scan_skips_segment_full_predicate_columns(spark, tmp_path):
     """A predicate that full-matches EVERY surviving block of a task
     reads nothing: its column is dropped from the payload read (EXPLAIN
