@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                          "--order-col)")
     ap.add_argument("--str-cols", default="",
                     help="comma-separated string columns")
+    ap.add_argument("--decimal-cols", default="",
+                    help="comma-separated col:scale pairs declaring float "
+                         "columns decimal (exact scaled-int plane, e.g. "
+                         "l_extendedprice:2,l_tax:2)")
     ap.add_argument("--rows-per-block", type=int, default=4096)
     ap.add_argument("--tasks", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
@@ -81,6 +85,10 @@ def main(argv=None) -> int:
             ap.error("encode requires --order-col")
         int_cols = [c for c in args.int_cols.split(",") if c]
         str_cols = [c for c in args.str_cols.split(",") if c]
+        decimal_cols = dict(
+            (pair.split(":")[0], int(pair.split(":")[1]))
+            for pair in args.decimal_cols.split(",") if pair
+        ) or None
         summary = table_files.encode_table_files(
             spark,
             _input_files(args.input),
@@ -88,6 +96,7 @@ def main(argv=None) -> int:
             order_col=args.order_col,
             int_cols=int_cols,
             str_cols=str_cols,
+            decimal_cols=decimal_cols,
             rows_per_block=args.rows_per_block,
             num_tasks=args.tasks,
             resume=not args.no_resume,

@@ -304,6 +304,7 @@ def table_encode_stream(
     schema=None,
     fsst_symbols: list[bytes] | None = None,
     split_target_bytes: int = 16 * 1024 * 1024,
+    decimal_cols: dict | None = None,
 ):
     """Continuous ingest for ARBITRARY (int|string)-column tables: parquet
     files landing in ``input_dir`` are encoded per column into a
@@ -366,6 +367,7 @@ def table_encode_stream(
             resume=True,
             fsst_symbols=fsst_symbols,
             splits=_plan_batch_files(files, split_target_bytes),
+            decimal_cols=decimal_cols,
         )
 
     reader = spark.readStream.schema(schema)

@@ -737,6 +737,7 @@ def cluster_encode_table_files(
     rows_per_block: int = 4096,
     fsst_symbols: list[bytes] | None = None,
     stage_dir: str | None = None,
+    decimal_cols: dict | None = None,
 ) -> dict:
     """CLUSTER BY write path: globally sort the table by ``cluster_by``
     (range partition + partition-local sort — Spark's distributed sort),
@@ -805,6 +806,7 @@ def cluster_encode_table_files(
         rows_per_block=rows_per_block,
         num_tasks=len(files),
         fsst_symbols=fsst_symbols,
+        decimal_cols=decimal_cols,
     )
 
 
@@ -2734,6 +2736,15 @@ def ctas_table_files(
     int_out = [c for c in out_names if c in schema["int_cols"]]
     str_out = [c for c in out_names if c in schema["str_cols"]]
     symbols = engine_files._load_symbols(src_enc)
+    # decimal declarations survive CTAS: the staged scan output holds the
+    # restored doubles, so re-declaring the source scales keeps the
+    # destination's exact-sum plane (and re-checks round-trip per split)
+    src_types = schema.get("int_col_types") or {}
+    dec_out = {
+        c: _dec_alias_parts(src_types[c])[0]
+        for c in int_out
+        if _dec_alias_parts(src_types.get(c, "int64"))
+    } or None
     if cluster_by is not None:
         # the clustered variant re-sorts anyway, so the scan output is
         # only a transient input: cluster-encode keeps ITS sorted stage
@@ -2754,6 +2765,7 @@ def ctas_table_files(
                 rows_per_block=rows_per_block,
                 fsst_symbols=symbols,
                 stage_dir=stage_dir,
+                decimal_cols=dec_out,
             )
         finally:
             shutil.rmtree(tmp_stage, ignore_errors=True)
@@ -2769,6 +2781,7 @@ def ctas_table_files(
         order_col=order_col, int_cols=int_out, str_cols=str_out,
         rows_per_block=rows_per_block, num_tasks=len(files),
         fsst_symbols=symbols,
+        decimal_cols=dec_out,
     )
 
 

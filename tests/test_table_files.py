@@ -1077,6 +1077,52 @@ def test_decimal_declared_columns_exact_sums(spark, tmp_path):
 
 
 
+def test_ctas_propagates_decimal_declarations(spark, tmp_path):
+    """CTAS from a decimal-declared dataset re-declares the scales on the
+    destination (the staged scan output holds restored doubles), so the
+    new dataset keeps the exact-sum plane."""
+    import os
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    price = [round((i * 37) % 9000) / 100 for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "price": pa.array(price, pa.float64()),
+            }
+        ),
+        f"{d}/part0.parquet",
+    )
+    src_enc = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/part0.parquet"], src_enc,
+        order_col="k", int_cols=["k", "price"],
+        decimal_cols={"price": 2}, rows_per_block=512, num_tasks=2,
+    )
+    dst = str(tmp_path / "dst")
+    table_files.ctas_table_files(
+        spark, src_enc, dst, [("between", "k", 500, 3499)],
+        columns=["k", "price"],
+    )
+    dtypes = table_files._load_table_schema(dst)["int_col_types"]
+    assert dtypes["price"] == "dec2:double"
+    [r] = table_files.agg_table_files(
+        spark, dst, "price", "k", 0, n
+    ).collect()
+    want = [price[i] for i in range(500, 3500)]
+    assert r.n_vals == len(want)
+    assert Decimal(str(r.sum_val)) == \
+        Decimal(sum(round(p * 100) for p in want)) / 100
+    assert table_files.verify_table_files(spark, dst)["mismatches"] == 0
+
+
 def test_scan_skips_segment_full_predicate_columns(spark, tmp_path):
     """A predicate that full-matches EVERY surviving block of a task
     reads nothing: its column is dropped from the payload read (EXPLAIN
