@@ -1911,6 +1911,39 @@ def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_str_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING MIN/MAX pushdown: `SELECT min(s), max(s) WHERE ...` routes
+    through the DISTINCT pipe — full-matching blocks fold their dictionary
+    sidecars (the string zone map), only boundary blocks decode — with
+    SQL NULL semantics on a NULLABLE string column under an int range."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_smm_q_")
+    src = duckdb.sql(
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END "
+        "  AS pri_n "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') ORDER BY o_orderkey"
+    ).arrow()
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey", int_cols=["o_orderkey"],
+        str_cols=["pri_n"], rows_per_block=2048, num_tasks=2,
+    )
+    return TF.minmax_table_files_where(
+        spark, out, "pri_n",
+        [("between", "o_orderkey", 3000, 50000)],
+    )
+
+
 def _q_table_encode_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP columns on the int64 plane: o_orderdate (timestamp[us])
     encodes through the files plane as its epoch-microsecond integers —
@@ -3323,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_group_rollup": _q_ts_group_rollup,
         "dec_sum_pushdown": _q_dec_sum_pushdown,
         "dec_group_rollup": _q_dec_group_rollup,
+        "str_minmax_pushdown": _q_str_minmax_pushdown,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
@@ -4115,6 +4149,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                      AND TIMESTAMP '1996-12-31 23:59:59'
+""",
+        "str_minmax_pushdown": """
+WITH v AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 3 THEN NULL ELSE o_orderpriority END
+           AS pri_n
+  FROM orders
+)
+SELECT min(pri_n) AS min_val, max(pri_n) AS max_val
+FROM v
+WHERE o_orderkey BETWEEN 3000 AND 50000
 """,
         "dec_group_rollup": """
 SELECT l_returnflag,

@@ -3808,7 +3808,21 @@ def minmax_table_files_where(spark: SparkSession, enc_dir: str,
     FULL-matching blocks contribute their recorded ZONE MAP — no value
     payload read — so on a clustered predicate (or no predicate at all:
     pass the order column's full range) the answer folds almost entirely
-    from metadata; only partial (boundary) blocks decode."""
+    from metadata; only partial (boundary) blocks decode.
+
+    A STRING value column routes through the DISTINCT pipe instead: full
+    blocks fold their dictionary sidecars (the per-block sorted-distinct
+    valid values — the string zone map), partial blocks decode and mask;
+    min/max are the binary-collation fold over the distinct set."""
+    schema = _load_table_schema(enc_dir)
+    if schema is not None and value_col in schema.get("str_cols", ()):
+        from pyspark.sql import functions as F
+
+        dv = distinct_table_files(spark, enc_dir, value_col, preds=preds)
+        return dv.agg(
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
     schema = _require_int_col(enc_dir, value_col)
     specs = _norm_preds(schema, list(preds))
     worker = _make_minmax_worker(

@@ -1077,6 +1077,49 @@ def test_decimal_declared_columns_exact_sums(spark, tmp_path):
 
 
 
+def test_string_minmax_via_distinct_pipe(spark, tmp_path):
+    """min/max on a STRING column under predicates: full blocks fold
+    their dictionary sidecars, boundary blocks decode and mask; NULLs
+    skipped, all-pruned -> NULL row."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    s = [None if i % 11 == 0 else f"tag{(i * 7) % 97:03d}"
+         for i in range(n)]
+    pq.write_table(
+        pa.table({"k": pa.array(range(n), pa.int64()),
+                  "s_n": pa.array(s, pa.string())}),
+        f"{d}/p.parquet", row_group_size=2048,
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out, order_col="k",
+        int_cols=["k"], str_cols=["s_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/p.parquet')")
+    for lo, hi in [(0, n), (700, 1800), (4999, 4999)]:
+        [r] = table_files.minmax_table_files_where(
+            spark, out, "s_n", [("between", "k", lo, hi)]
+        ).collect()
+        w = duck.sql(
+            f"SELECT min(s_n), max(s_n) FROM t WHERE k BETWEEN {lo} "
+            f"AND {hi}"
+        ).fetchone()
+        assert (r.min_val, r.max_val) == w, (lo, hi, r, w)
+    [r2] = table_files.minmax_table_files_where(
+        spark, out, "s_n", [("between", "k", 10 ** 8, 2 * 10 ** 8)]
+    ).collect()
+    assert r2.min_val is None and r2.max_val is None
+
+
 def test_ctas_propagates_decimal_declarations(spark, tmp_path):
     """CTAS from a decimal-declared dataset re-declares the scales on the
     destination (the staged scan output holds restored doubles), so the
