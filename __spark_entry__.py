@@ -4479,6 +4479,7 @@ WITH v AS (
   FROM orders
 )
 SELECT 'o_orderkey' AS col_name,
+       'int64' AS logical_type,
        count(*) AS n_rows,
        count(*) - count(o_orderkey) AS n_nulls,
        CAST(min(o_orderkey) AS BIGINT) AS min_int,
@@ -4488,12 +4489,12 @@ SELECT 'o_orderkey' AS col_name,
        CAST(NULL AS VARCHAR) AS max_str
 FROM v
 UNION ALL
-SELECT 'custkey_n', count(*), count(*) - count(custkey_n),
+SELECT 'custkey_n', 'int64', count(*), count(*) - count(custkey_n),
        CAST(min(custkey_n) AS BIGINT), CAST(max(custkey_n) AS BIGINT),
        NULL, NULL, NULL
 FROM v
 UNION ALL
-SELECT 'pri_n', count(*), count(*) - count(pri_n),
+SELECT 'pri_n', 'string', count(*), count(*) - count(pri_n),
        NULL, NULL,
        CAST(count(DISTINCT pri_n) AS BIGINT), min(pri_n), max(pri_n)
 FROM v

@@ -5276,8 +5276,9 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
     tasks = _query_tasks(enc_dir)
     str_cols = list(schema["str_cols"])
     out_schema = (
-        "col_name string, n_rows bigint, n_nulls bigint, min_int bigint, "
-        "max_int bigint, ndv bigint, min_str string, max_str string"
+        "col_name string, logical_type string, n_rows bigint, "
+        "n_nulls bigint, min_int bigint, max_int bigint, ndv bigint, "
+        "min_str string, max_str string"
     )
     if tasks.empty:
         return spark.createDataFrame([], out_schema)
@@ -5315,8 +5316,18 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
         if str_cols
         else F.col("ndv")
     )
+    # logical type per column (the recorded alias — 'string', plain int
+    # widths, timestamp/date epoch aliases, float total-order keys,
+    # decN:double scaled ints) so min_int/max_int's UNITS are explicit:
+    # epoch integers / float keys / scaled ints for typed columns
+    types = schema.get("int_col_types") or {}
+    lt = F.lit(None).cast("string")
+    for c in [*schema["int_cols"], *str_cols]:
+        alias = "string" if c in str_cols else types.get(c, "int64")
+        lt = F.when(F.col("col_name") == c, F.lit(alias)).otherwise(lt)
     return res.select(
         "col_name",
+        lt.alias("logical_type"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("n_nulls").cast("bigint").alias("n_nulls"),
         F.col("min_int").cast("bigint").alias("min_int"),

@@ -321,6 +321,64 @@ def test_table_encode_stream_two_arrivals_and_restart(spark, tmp_path):
         streaming.table_encode_stream(spark, d, out, **bad_kw)
 
 
+def test_table_stream_typed_and_decimal_columns(spark, tmp_path):
+    """Streaming table ingest with typed + decimal-declared columns: the
+    timestamp rides the epoch plane, the currency double the scaled-int
+    plane (pinned by the recorded schema — a restart redeclaring a
+    different scale fails loudly), verify is green, and the decimal sum
+    pushes down exactly."""
+    import glob
+    import os
+    import shutil as sh
+    from decimal import Decimal
+
+    import duckdb
+
+    from rlv import table_files
+
+    base = tmp_path / "tstream_typed"
+    all_dir = str(base / "all")
+    (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(all_dir)
+    )
+    files = sorted(glob.glob(f"{all_dir}/part-*.parquet"))
+    d = str(base / "landing")
+    os.makedirs(d)
+    for f in files:
+        sh.copy(f, d)
+    out = str(base / "enc")
+    kw = dict(
+        order_col="o_orderkey",
+        int_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        rows_per_block=2048,
+        num_tasks=2,
+        decimal_cols={"o_totalprice": 2},
+    )
+    streaming.table_encode_stream(spark, d, out, **kw)
+    assert table_files._load_table_schema(out)["int_col_types"][
+        "o_totalprice"] == "dec2:double"
+    assert table_files.verify_table_files(spark, out)["mismatches"] == 0
+    [r] = table_files.agg_table_files(
+        spark, out, "o_totalprice", "o_orderkey", 1, 10 ** 9
+    ).collect()
+    [w] = duckdb.sql(
+        "SELECT CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS "
+        f"DECIMAL(38,2))/100 FROM read_parquet('{d}/*.parquet') "
+        "WHERE o_orderkey BETWEEN 1 AND 1000000000"
+    ).fetchall()
+    assert Decimal(str(r.sum_val)) == Decimal(str(w[0]))
+    # a restart redeclaring a different scale is a schema change: refused
+    sh.rmtree(f"{out}/_table_stream_checkpoint")
+    bad = dict(kw)
+    bad["decimal_cols"] = {"o_totalprice": 3}
+    with pytest.raises(Exception, match="different table schema"):
+        streaming.table_encode_stream(spark, d, out, **bad)
+
+
 def test_stream_split_target_pinned_to_dataset(spark, landing, tmp_path):
     """Restarting a stream with a different split_target_bytes would cut
     different split boundaries for replayed files and double-encode — the
