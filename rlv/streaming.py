@@ -306,7 +306,8 @@ def table_encode_stream(
     split_target_bytes: int = 16 * 1024 * 1024,
     decimal_cols: dict | None = None,
 ):
-    """Continuous ingest for ARBITRARY (int|string)-column tables: parquet
+    """Continuous ingest for ARBITRARY tables (plain ints, strings,
+    timestamps/dates, floats, decimal-declared currency): parquet
     files landing in ``input_dir`` are encoded per column into a
     :mod:`rlv.table_files` dataset as they arrive.
 

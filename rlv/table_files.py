@@ -14,9 +14,11 @@ Wire layout under ``out_dir``:
 
 * ``blocks/{split_id}.parquet`` — one row per (column, block):
   ``(split_seq, col_name, block_idx, n_values, n_nulls, n_runs, codec_id,
-  enc_bytes, naive_bytes, min_val, max_val, block)``.  ``min_val``/
+  enc_bytes, naive_bytes, min_val, max_val, sum_val, block)``.  ``min_val``/
   ``max_val`` are the block's zone map over its VALID values (r4) — the
-  block-skipping statistic :func:`scan_table_files` prunes on.  String columns contribute their
+  block-skipping statistic :func:`scan_table_files` prunes on — and
+  ``sum_val`` their exact decimal(38,0) sum, the stat that serves
+  full-matching aggregate blocks without a payload read.  String columns contribute their
   per-block dense-code stream (codes = rank of the value among the block's
   sorted distinct VALID values) through the INT codecs — parquet's
   dictionary-page / data-page split, same as
