@@ -1487,11 +1487,23 @@ def _plane_literal(schema: dict, col: str, v, side: str = "lo") -> int:
 
         if isinstance(v, _dt.datetime) and v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        # exact microsecond epoch first, then side-aware rounding into
+        # the column's coarser unit: a literal FINER than the unit must
+        # tighten toward the range's inside (lo ceils, hi floors) — plain
+        # truncation would widen a lo bound and admit wrong rows
+        t_us = int(
+            np.datetime64(v).astype("datetime64[us]").astype(np.int64)
+        )
         ts = _ts_alias_parts(alias)
         unit = ts[0] if ts else (
             "D" if alias == "date32[day]" else "ms"
         )
-        return int(np.datetime64(v, unit).astype(np.int64))
+        if unit == "ns":
+            return t_us * 1000  # finer unit: exact, no rounding
+        per_us = {"us": 1, "ms": 1000, "s": 10 ** 6,
+                  "D": 86400 * 10 ** 6}[unit]
+        q, r = divmod(t_us, per_us)
+        return int(q + 1) if side == "lo" and r else int(q)
     fv = float(v)
     if np.isnan(fv):
         raise ValueError(

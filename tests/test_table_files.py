@@ -1077,6 +1077,70 @@ def test_decimal_declared_columns_exact_sums(spark, tmp_path):
 
 
 
+def test_epoch_literals_round_toward_range_inside(spark, tmp_path):
+    """A literal finer than the column's epoch unit tightens toward the
+    range's inside: on a date32 column, a mid-day lo bound EXCLUDES that
+    day (ceil) while a mid-day hi bound INCLUDES it (floor) — plain
+    truncation would widen the lo bound and admit wrong rows.  Same on a
+    timestamp[s] column with microsecond literals."""
+    import datetime as dt
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 3000
+    days = [dt.date(2020, 1, 1) + dt.timedelta(days=i % 400)
+            for i in range(n)]
+    secs = [dt.datetime(2021, 1, 1) + dt.timedelta(seconds=i % 5000)
+            for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "d": pa.array(days, pa.date32()),
+                "t": pa.array(secs, pa.timestamp("s")),
+            }
+        ),
+        f"{d}/p.parquet",
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out, order_col="k",
+        int_cols=["k", "d", "t"], rows_per_block=512, num_tasks=2,
+    )
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/p.parquet')")
+    lo = dt.datetime(2020, 3, 1, 12, 0)   # mid-day: ceils to 2020-03-02
+    hi = dt.datetime(2020, 6, 1, 12, 0)   # mid-day: floors to 2020-06-01
+    got = table_files.scan_table_files_where(
+        spark, out, [("between", "d", lo, hi)], columns=["k", "d"]
+    ).collect()
+    want = duck.sql(
+        "SELECT k, d FROM t WHERE d >= TIMESTAMP '2020-03-01 12:00:00' "
+        "AND d <= TIMESTAMP '2020-06-01 12:00:00' ORDER BY 1"
+    ).fetchall()
+    assert sorted((r["k"], r["d"]) for r in got) == \
+        [(a, b) for a, b in want] and len(want) > 0
+    assert all(dt.date(2020, 3, 2) <= b <= dt.date(2020, 6, 1)
+               for _, b in want)
+    # timestamp[s] column, microsecond literals
+    lo2 = dt.datetime(2021, 1, 1, 0, 10, 0, 500000)  # ceils to :10:01
+    hi2 = dt.datetime(2021, 1, 1, 0, 40, 0, 500000)  # floors to :40:00
+    got2 = table_files.scan_table_files_where(
+        spark, out, [("between", "t", lo2, hi2)], columns=["k", "t"]
+    ).collect()
+    want2 = duck.sql(
+        "SELECT k, t FROM t WHERE t >= TIMESTAMP '2021-01-01 00:10:00.5' "
+        "AND t <= TIMESTAMP '2021-01-01 00:40:00.5' ORDER BY 1"
+    ).fetchall()
+    assert sorted((r["k"], r["t"]) for r in got2) == \
+        [(a, b) for a, b in want2] and len(want2) > 0
+
+
 def test_string_minmax_via_distinct_pipe(spark, tmp_path):
     """min/max on a STRING column under predicates: full blocks fold
     their dictionary sidecars, boundary blocks decode and mask; NULLs
