@@ -1077,6 +1077,73 @@ def test_decimal_declared_columns_exact_sums(spark, tmp_path):
 
 
 
+def test_float32_columns_roundtrip_and_scan(spark, tmp_path):
+    """float32 sources ride their own 32-bit total-order keys (never
+    widened to float64): bit-exact roundtrip incl. NULLs, range scans
+    equal DuckDB, and a float32 decimal declaration uses the float32
+    grid."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    rng = np.random.default_rng(7)
+    v = rng.normal(scale=100.0, size=n).astype(np.float32)
+    v[3] = np.float32(0.0)
+    v[5] = np.float32(-0.0)
+    mask = np.zeros(n, bool)
+    mask[::19] = True
+    cents = (rng.integers(0, 10 ** 6, size=n) / 100.0).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "f_n": pa.array(v, pa.float32(), mask=mask),
+                "c": pa.array(cents, pa.float32()),
+            }
+        ),
+        f"{d}/p.parquet",
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out, order_col="k",
+        int_cols=["k", "f_n", "c"], rows_per_block=512, num_tasks=2,
+        decimal_cols={"c": 2},
+    )
+    assert table_files.verify_table_files(spark, out)["mismatches"] == 0
+    dec_dir = str(tmp_path / "dec")
+    table_files.decode_table_files(spark, out, dec_dir)
+    got = pq.ParquetDataset(dec_dir).read().sort_by("k")
+    assert str(got.schema.field("f_n").type) == "float"
+    gm = got.column("f_n").fill_null(0).to_numpy(zero_copy_only=False)
+    sm = np.where(mask, np.float32(0), v)
+    assert np.array_equal(gm.view(np.int32), sm.view(np.int32))
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/p.parquet')")
+    gotr = table_files.scan_table_files_where(
+        spark, out, [("between", "f_n", -50.0, 75.5)],
+        columns=["k", "f_n"],
+    ).collect()
+    want = duck.sql(
+        "SELECT k, f_n FROM t WHERE f_n BETWEEN -50.0 AND 75.5 ORDER BY 1"
+    ).fetchall()
+    assert sorted((r["k"], r["f_n"]) for r in gotr) == \
+        [(a, b) for a, b in want] and len(want) > 100
+    # float32 decimal: exact sums on the scaled plane
+    from decimal import Decimal
+
+    [r] = table_files.agg_table_files(spark, out, "c", "k", 0, n).collect()
+    [w] = duck.sql(
+        "SELECT CAST(sum(CAST(round(CAST(c AS DOUBLE)*100) AS BIGINT)) "
+        "AS DECIMAL(38,2))/100 FROM t"
+    ).fetchall()
+    assert Decimal(str(r.sum_val)) == Decimal(str(w[0]))
+
+
 def test_epoch_literals_round_toward_range_inside(spark, tmp_path):
     """A literal finer than the column's epoch unit tightens toward the
     range's inside: on a date32 column, a mid-day lo bound EXCLUDES that
