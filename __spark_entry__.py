@@ -1911,6 +1911,44 @@ def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_idx_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-indexed point lookup on an UNCLUSTERED int key:
+    `index_cols=["o_custkey"]` writes each block's sorted-distinct plane
+    values into the dictionary sidecar as order-preserving keys, so
+    `WHERE o_custkey IN (...)` prunes to the blocks that actually hold a
+    key — zone maps alone cannot prune a scattered key.  The spec is
+    classification-only (the paired IN-list spec masks rows exactly), so
+    the result equals plain SQL."""
+    _ensure_shipped(spark)
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rlv import table_files as TF
+
+    out = tempfile.mkdtemp(prefix="rlv_idx_q_")
+    src = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+    ).sort_by("o_orderkey")
+    src_path = f"{out}/_src.parquet"
+    pq.write_table(src, src_path, row_group_size=2048)
+    TF.encode_table_files(
+        spark, [src_path], out,
+        order_col="o_orderkey", int_cols=["o_orderkey", "o_custkey"],
+        rows_per_block=2048, num_tasks=2,
+        index_cols=["o_custkey"],
+    )
+    return TF.scan_table_files_where(
+        spark, out,
+        [("int_in", "o_custkey", [7, 370, 1234])],
+        columns=["o_orderkey", "o_custkey"],
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+    )
+
+
 def _q_str_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRING MIN/MAX pushdown: `SELECT min(s), max(s) WHERE ...` routes
     through the DISTINCT pipe — full-matching blocks fold their dictionary
@@ -3357,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dec_sum_pushdown": _q_dec_sum_pushdown,
         "dec_group_rollup": _q_dec_group_rollup,
         "str_minmax_pushdown": _q_str_minmax_pushdown,
+        "idx_point_lookup": _q_idx_point_lookup,
         "where_group_agg": _q_where_group_agg,
         "ctas_roundtrip": _q_ctas_roundtrip,
         "where_topk": _q_where_topk,
@@ -4149,6 +4188,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem
 WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                      AND TIMESTAMP '1996-12-31 23:59:59'
+""",
+        "idx_point_lookup": """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (7, 370, 1234)
 """,
         "str_minmax_pushdown": """
 WITH v AS (

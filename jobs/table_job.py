@@ -56,6 +56,10 @@ def main(argv=None) -> int:
                     help="comma-separated col:scale pairs declaring float "
                          "columns decimal (exact scaled-int plane, e.g. "
                          "l_extendedprice:2,l_tax:2)")
+    ap.add_argument("--index-cols", default="",
+                    help="comma-separated int columns to carry a per-block "
+                         "membership index (point lookups on unclustered "
+                         "keys prune to blocks holding the key)")
     ap.add_argument("--rows-per-block", type=int, default=4096)
     ap.add_argument("--tasks", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
@@ -97,6 +101,7 @@ def main(argv=None) -> int:
             int_cols=int_cols,
             str_cols=str_cols,
             decimal_cols=decimal_cols,
+            index_cols=[c for c in args.index_cols.split(",") if c] or None,
             rows_per_block=args.rows_per_block,
             num_tasks=args.tasks,
             resume=not args.no_resume,

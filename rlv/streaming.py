@@ -305,6 +305,7 @@ def table_encode_stream(
     fsst_symbols: list[bytes] | None = None,
     split_target_bytes: int = 16 * 1024 * 1024,
     decimal_cols: dict | None = None,
+    index_cols: list[str] | None = None,
 ):
     """Continuous ingest for ARBITRARY tables (plain ints, strings,
     timestamps/dates, floats, decimal-declared currency): parquet
@@ -369,6 +370,7 @@ def table_encode_stream(
             fsst_symbols=fsst_symbols,
             splits=_plan_batch_files(files, split_target_bytes),
             decimal_cols=decimal_cols,
+            index_cols=index_cols,
         )
 
     reader = spark.readStream.schema(schema)

@@ -266,6 +266,30 @@ def _restore_plane(arr, alias: str | None):
     return pa.array(vals, target)
 
 
+def _idx_key_bytes(plane_v: int) -> bytes:
+    """Order-preserving 8-byte big-endian key of one plane int (sign bit
+    flipped, so unsigned bytewise order == signed int64 order) — the
+    dictionary-sidecar representation of INDEXED int columns."""
+    return ((int(plane_v) + 2 ** 63) % 2 ** 64).to_bytes(8, "big")
+
+
+def _idx_key_array(valid_vals: np.ndarray):
+    """Sorted-distinct index keys of one block's valid plane values, as an
+    Arrow binary array (vectorized: flip sign bits, big-endian view, one
+    buffer — no per-value Python)."""
+    import pyarrow as pa
+
+    u = (
+        np.unique(valid_vals.astype(np.int64, copy=False))
+        ^ np.int64(-(2 ** 63))
+    ).view(np.uint64).astype(">u8")
+    n = int(u.size)
+    offs = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 8).tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offs, pa.py_buffer(u.tobytes())]
+    )
+
+
 def _int_col_types(input_files: list[str], int_cols: list[str]) -> dict:
     """{col: arrow type alias} from the first file's footer (driver metadata
     only).  Beside the plain int widths, timestamps/dates record their
@@ -329,6 +353,7 @@ def _make_table_split_worker(
     rows_per_block: int,
     fsst_symbols_hex: tuple[str, ...] | None,
     col_types: dict | None = None,
+    index_cols: tuple[str, ...] = (),
 ):
     col_types = col_types or {}
     from rlv.util import tune_malloc
@@ -473,7 +498,23 @@ def _make_table_split_worker(
                         m = mask[sl] if mask is not None else None
                         if m is not None and m.all():
                             m = None
-                        emit_block(c, bi, a if m is None else a[m], m)
+                        valid_a = a if m is None else a[m]
+                        emit_block(c, bi, valid_a, m)
+                        if c in index_cols and valid_a.size:
+                            # membership index: the block's sorted-distinct
+                            # plane values as order-preserving binary keys
+                            # in the dictionary sidecar — point lookups on
+                            # UNCLUSTERED keys prune like string eq scans
+                            uniq = _idx_key_array(valid_a)
+                            dict_block = B.encode_strings(uniq, symbols)
+                            srows["split_seq"].append(str(split_id))
+                            srows["col_name"].append(c)
+                            srows["block_idx"].append(bi)
+                            srows["ndv"].append(len(uniq))
+                            srows["raw_bytes"].append(8 * len(uniq))
+                            srows["enc_bytes"].append(len(dict_block))
+                            srows["dict_block"].append(dict_block)
+                            dict_bytes += len(dict_block)
                 for c in str_cols:
                     arr = tbl.column(c).cast(pa.binary()).take(
                         pa.array(order)
@@ -534,7 +575,7 @@ def _make_table_split_worker(
                 tmp = final + ".inprogress"
                 _write_grouped(tmp, out)
                 os.replace(tmp, final)
-                if str_cols:
+                if srows["col_name"]:
                     sdir = os.path.join(
                         os.path.dirname(out_blocks_dir), "strings"
                     )
@@ -603,6 +644,7 @@ def encode_table_files(
     fsst_symbols: list[bytes] | None = None,
     splits: list[dict] | None = None,
     decimal_cols: dict | None = None,
+    index_cols: list[str] | None = None,
 ) -> dict:
     """Encode an arbitrary-column parquet table per column on the files
     plane.  ``int_cols`` takes plain ints of any width, timestamps/dates
@@ -615,6 +657,12 @@ def encode_table_files(
     scaled integers instead of IEEE keys — every value must round-trip at
     that scale (checked loudly per split) — which makes SUM/AVG push down
     exactly and the per-block ``sum_val`` stat meaningful.
+    ``index_cols`` names int columns that get a per-block MEMBERSHIP
+    INDEX in the dictionary sidecar (the block's sorted-distinct plane
+    values as order-preserving binary keys): point lookups and IN-lists
+    on UNCLUSTERED keys then prune blocks the key set misses — the int
+    analog of string dictionary membership — at the cost of the sidecar
+    bytes (tracked in ``dict_bytes``).
     ``order_col`` must totally order the rows of each split (it defines
     the value sequences, hence the run structure — ties would make blocks
     read-order-dependent); include it in ``int_cols`` to make the dataset
@@ -646,6 +694,12 @@ def encode_table_files(
                 f"{scale!r}"
             )
         col_types[c] = f"dec{int(scale)}:{col_types[c]}"
+    for c in index_cols or ():
+        if c not in list(int_cols):
+            raise ValueError(
+                f"index_cols[{c!r}]: membership indexes cover int-plane "
+                f"columns (int_cols={list(int_cols)})"
+            )
     schema = {
         "order_col": order_col,
         "int_cols": list(int_cols),
@@ -656,6 +710,10 @@ def encode_table_files(
         # int32, not the engine's internal int64
         "int_col_types": col_types,
     }
+    if index_cols:
+        # only recorded when used, so index-free datasets stay
+        # resume-compatible across engine versions
+        schema["index_cols"] = sorted(index_cols)
     existing = _load_table_schema(out_dir)
     if existing is not None and existing != schema:
         raise ValueError(
@@ -711,6 +769,7 @@ def encode_table_files(
                 else None
             ),
             col_types=schema["int_col_types"],
+            index_cols=tuple(sorted(index_cols or ())),
         ),
         TABLE_RESULT_SCHEMA,
     ).collect()
@@ -740,6 +799,7 @@ def cluster_encode_table_files(
     fsst_symbols: list[bytes] | None = None,
     stage_dir: str | None = None,
     decimal_cols: dict | None = None,
+    index_cols: list[str] | None = None,
 ) -> dict:
     """CLUSTER BY write path: globally sort the table by ``cluster_by``
     (range partition + partition-local sort — Spark's distributed sort),
@@ -809,6 +869,7 @@ def cluster_encode_table_files(
         num_tasks=len(files),
         fsst_symbols=fsst_symbols,
         decimal_cols=decimal_cols,
+        index_cols=index_cols,
     )
 
 
@@ -1679,6 +1740,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
     mem_by_col = {
         p["col"]: pi
         for pi, p in reversed(list(enumerate(mem_preds)))
+        if p["col"] in str_cols
     }
     # equality fast path: exactly one member pred on the column AND it is
     # single-literal -> every kept row IS the literal
@@ -1884,7 +1946,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                 } | {
                     p["col"]
                     for pi, p in enumerate(mem_preds)
-                    if not mem_full_flags[pi]
+                    if not mem_full_flags[pi] and not p.get("mask_free")
                 } | {
                     leaf["col"] for node in or_nodes for leaf in node
                 }
@@ -1961,7 +2023,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         }
                         surv = s if surv is None else (surv & s)
                     for pi, p in enumerate(mem_preds):
-                        if mem_full_flags[pi]:
+                        if mem_full_flags[pi] or p.get("mask_free"):
                             continue
                         s = {
                             bi for bi in per[p["col"]]
@@ -2034,7 +2096,7 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         pm = _int_pred_rowmask(p, vals, vvalid)
                         m = pm if m is None else (m & pm)
                     for pi, p in enumerate(mem_preds):
-                        if mem_full_flags[pi]:
+                        if mem_full_flags[pi] or p.get("mask_free"):
                             continue
                         vals, voffs, vvalid = _decode_col(p["col"])
                         # per-block code SETS; a block whose whole
@@ -2428,7 +2490,7 @@ def _invert_matcher(match):
     return neg
 
 
-def _norm_preds(schema: dict, preds) -> list[dict]:
+def _norm_preds(schema: dict, preds, _top: bool = True) -> list[dict]:
     """Normalize user predicate tuples to worker specs.  Accepted forms:
     ``("between", int_col, lo, hi)`` / ``("not_between", int_col, lo, hi)``,
     ``("int_in", int_col, [values...])`` (zone maps prune blocks no literal
@@ -2440,7 +2502,15 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
     ``("isnull", col)`` / ``("notnull", col)`` on EITHER column kind
     (classified from block ``(n_values, n_nulls)`` metadata alone).  Column
     kinds are validated here so a typo fails on the driver, not in a
-    task."""
+    task.
+
+    A ``between`` / ``int_in`` on an INDEXED int column (``index_cols``)
+    additionally emits a classification-only membership spec over the
+    column's sidecar keys (``mask_free``: it prunes and full-matches
+    blocks but never masks rows — the paired range spec masks exactly),
+    so point lookups on unclustered keys skip the blocks that don't hold
+    the key.  Top-level only: inside an OR node an extra spec would widen
+    the disjunction."""
     specs: list[dict] = []
     known_arity = {
         "between": 4, "not_between": 4, "raw_between": 4, "int_in": 3,
@@ -2457,7 +2527,7 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                     f"malformed predicate {p!r}: 'or' takes one list of "
                     "branch predicates"
                 )
-            branches = _norm_preds(schema, list(col))
+            branches = _norm_preds(schema, list(col), _top=False)
             if any(b["kind"] == "or" for b in branches):
                 raise ValueError("nested OR predicates are not supported")
             if len(branches) == 1:
@@ -2491,12 +2561,22 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                     "need a zone-mapped int column"
                 )
             if kind in ("between", "not_between"):
+                lo_k = _plane_literal(schema, col, p[2], "lo")
+                hi_k = _plane_literal(schema, col, p[3], "hi")
                 specs.append({
                     "kind": "range", "col": col,
-                    "lo": _plane_literal(schema, col, p[2], "lo"),
-                    "hi": _plane_literal(schema, col, p[3], "hi"),
+                    "lo": lo_k, "hi": hi_k,
                     "neg": kind == "not_between",
                 })
+                if _top and kind == "between" and \
+                        col in schema.get("index_cols", ()):
+                    specs.append({
+                        "kind": "member", "col": col,
+                        "match": _str_range_matcher(
+                            _idx_key_bytes(lo_k), _idx_key_bytes(hi_k)
+                        ),
+                        "eq_single": None, "mask_free": True,
+                    })
             elif kind == "raw_between":
                 # internal (top-k threshold stacking): bounds are already
                 # plane keys — no literal conversion
@@ -2518,6 +2598,14 @@ def _norm_preds(schema: dict, preds) -> list[dict]:
                 specs.append({"kind": "range", "col": col,
                               "lo": int(vals[0]), "hi": int(vals[-1]),
                               "vals": vals, "neg": False})
+                if _top and col in schema.get("index_cols", ()):
+                    specs.append({
+                        "kind": "member", "col": col,
+                        "match": _literals_matcher(tuple(
+                            _idx_key_bytes(int(v)) for v in vals
+                        )),
+                        "eq_single": None, "mask_free": True,
+                    })
             continue
         if col not in schema["str_cols"]:
             raise ValueError(
@@ -2759,6 +2847,9 @@ def ctas_table_files(
         for c in int_out
         if _dec_alias_parts(src_types.get(c, "int64"))
     } or None
+    idx_out = [
+        c for c in int_out if c in schema.get("index_cols", ())
+    ] or None
     if cluster_by is not None:
         # the clustered variant re-sorts anyway, so the scan output is
         # only a transient input: cluster-encode keeps ITS sorted stage
@@ -2780,6 +2871,7 @@ def ctas_table_files(
                 fsst_symbols=symbols,
                 stage_dir=stage_dir,
                 decimal_cols=dec_out,
+                index_cols=idx_out,
             )
         finally:
             shutil.rmtree(tmp_stage, ignore_errors=True)
@@ -2796,6 +2888,7 @@ def ctas_table_files(
         rows_per_block=rows_per_block, num_tasks=len(files),
         fsst_symbols=symbols,
         decimal_cols=dec_out,
+        index_cols=idx_out,
     )
 
 
@@ -3064,6 +3157,8 @@ def _pred_need_cols(key, pred_cls: list[dict],
     nothing, and a full leaf would have made the node full)."""
     cols: set[str] = set()
     for cl, p in zip(pred_cls, [*int_preds, *mem_preds]):
+        if p.get("mask_free"):
+            continue  # classification-only (indexed-int membership)
         if cl.get(key) != "full":
             cols.add(p["col"])
     base = len(int_preds) + len(mem_preds)
@@ -3096,7 +3191,7 @@ def _pred_mask(key, nv: int, pred_cls: list[dict],
     for mi, (cl, p) in enumerate(
         zip(pred_cls[len(int_preds):], mem_preds)
     ):
-        if cl.get(key) == "full":
+        if cl.get(key) == "full" or p.get("mask_free"):
             continue
         pv, _, pvalid = dec(p["col"])
         if key in mem_full[mi]:
@@ -4906,6 +5001,8 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
                 }
                 leaf_preds = [*int_preds, *mem_preds]
                 for i, p in enumerate(leaf_preds):
+                    if p.get("mask_free"):
+                        continue  # classification-only: never read
                     if not all(
                         pred_cls[i].get(k) == "full" for k in surv_keys
                     ) or not surv_keys:

@@ -1077,6 +1077,114 @@ def test_decimal_declared_columns_exact_sums(spark, tmp_path):
 
 
 
+def test_index_cols_prune_unclustered_point_lookups(spark, tmp_path):
+    """index_cols: a per-block membership index (sorted-distinct plane
+    values as order-preserving sidecar keys) prunes point lookups and
+    IN-lists on an UNCLUSTERED key to the blocks that actually hold the
+    key — classification-only (the paired range spec masks rows exactly),
+    so results equal SQL on every surface, surviving compaction."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 60000
+    rng = np.random.default_rng(11)
+    fk = rng.integers(0, 500_000, size=n)
+    fk[::97] = 777_777  # one repeated hot key across many blocks
+    nmask = np.zeros(n, bool)
+    nmask[::31] = True
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "fk_n": pa.array(fk, pa.int64(), mask=nmask),
+                "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            }
+        ),
+        f"{d}/p.parquet", row_group_size=16384,
+    )
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out, order_col="k",
+        int_cols=["k", "fk_n", "v"], rows_per_block=1024, num_tasks=3,
+        index_cols=["fk_n"],
+    )
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/p.parquet')")
+    key = int(fk[5])
+    assert not nmask[5]
+
+    def check():
+        got = table_files.scan_table_files_where(
+            spark, out, [("int_in", "fk_n", [key])], columns=["k", "fk_n"]
+        ).collect()
+        want = duck.sql(
+            f"SELECT k, fk_n FROM t WHERE fk_n = {key} ORDER BY 1"
+        ).fetchall()
+        assert sorted((r["k"], r["fk_n"]) for r in got) == \
+            [(a, b) for a, b in want] and len(want) >= 1
+        [ex] = table_files.explain_scan_table_files(
+            spark, out, [("int_in", "fk_n", [key])], columns=["k", "fk_n"]
+        ).collect()
+        # the membership index prunes to the blocks holding the key
+        assert 0 < (ex.blocks_full + ex.blocks_partial) <= len(want) + 1
+        assert ex.blocks_total >= 50
+        # IN-list incl. an absent literal; count + agg on the same pred
+        got2 = table_files.scan_table_files_where(
+            spark, out,
+            [("int_in", "fk_n", [key, 999_999_999])], columns=["k"],
+        ).collect()
+        assert sorted(r["k"] for r in got2) == [a for a, _ in want]
+        [c] = table_files.count_table_files_where(
+            spark, out, [("int_in", "fk_n", [777_777])]
+        ).collect()
+        [wc] = duck.sql(
+            "SELECT count(*) FROM t WHERE fk_n = 777777"
+        ).fetchall()
+        assert c.n_rows == wc[0] > 100
+        [a] = table_files.agg_table_files_where(
+            spark, out, "v", [("int_in", "fk_n", [777_777])]
+        ).collect()
+        [wa] = duck.sql(
+            "SELECT count(v), sum(v) FROM t WHERE fk_n = 777777"
+        ).fetchall()
+        assert (a.n_vals, int(a.sum_val)) == (wa[0], int(wa[1]))
+        # range predicates classify through the index too
+        got3 = table_files.scan_table_files_where(
+            spark, out, [("between", "fk_n", 777_000, 778_000)],
+            columns=["k", "fk_n"],
+        ).collect()
+        want3 = duck.sql(
+            "SELECT k, fk_n FROM t WHERE fk_n BETWEEN 777000 AND 778000 "
+            "ORDER BY 1"
+        ).fetchall()
+        assert sorted((r["k"], r["fk_n"]) for r in got3) == \
+            [(a, b) for a, b in want3]
+
+    check()
+    assert table_files.verify_table_files(spark, out)["mismatches"] == 0
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] == 1
+    check()  # index sidecars merged; pruning and results unchanged
+    # index declarations are pinned: a resume without them fails loudly
+    with pytest.raises(ValueError, match="different table schema"):
+        table_files.encode_table_files(
+            spark, [f"{d}/p.parquet"], out, order_col="k",
+            int_cols=["k", "fk_n", "v"], rows_per_block=1024, num_tasks=3,
+        )
+    # only int-plane columns can be indexed
+    with pytest.raises(ValueError, match="index_cols"):
+        table_files.encode_table_files(
+            spark, [f"{d}/p.parquet"], str(tmp_path / "bad"),
+            order_col="k", int_cols=["k"], index_cols=["nope"],
+            num_tasks=1,
+        )
+
+
 def test_float32_columns_roundtrip_and_scan(spark, tmp_path):
     """float32 sources ride their own 32-bit total-order keys (never
     widened to float64): bit-exact roundtrip incl. NULLs, range scans
