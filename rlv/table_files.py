@@ -5283,11 +5283,14 @@ def _make_stats_worker(schema: dict, symbols_hex: tuple[str, ...] | None):
     value (``n_runs > 0``; an all-NULL block's zone map is meaningless by
     construction), and 'dval' rows (counts NULL) carrying the file-local
     distinct valid values of each string column from its dictionary
-    sidecars.  No payload column is ever read."""
+    sidecars — and of each INDEXED int column from its membership keys,
+    which gives those columns an exact metadata-only NDV too.  No payload
+    column is ever read."""
     from rlv.util import tune_malloc
 
     int_cols = set(schema["int_cols"])
     str_cols = list(schema["str_cols"])
+    idx_cols = [c for c in schema.get("index_cols", ()) if c in int_cols]
 
     def run_stats(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -5331,7 +5334,7 @@ def _make_stats_worker(schema: dict, symbols_hex: tuple[str, ...] | None):
                         int(valid["max_val"].max()) if has_zm else None
                     )
                     out["sval"].append(None)
-                for c in str_cols:
+                for c in [*str_cols, *idx_cols]:
                     vals: set[bytes] = set()
                     for blob in _read_dict_sidecar(
                         path, file_sid, col=c, seg=seg
@@ -5345,7 +5348,13 @@ def _make_stats_worker(schema: dict, symbols_hex: tuple[str, ...] | None):
                         out["n_nulls"].append(None)
                         out["min_int"].append(None)
                         out["max_int"].append(None)
-                        out["sval"].append(v.decode("utf-8"))
+                        # index keys are 8-byte binary (not UTF-8): their
+                        # hex feeds the distinct COUNT only — min_str/
+                        # max_str stay NULL for int columns downstream
+                        out["sval"].append(
+                            v.decode("utf-8") if c in str_cols
+                            else v.hex()
+                        )
                 yield pd.DataFrame(
                     {
                         "col_name": pd.Series(out["col_name"], dtype=object),
@@ -5418,14 +5427,29 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
     )
     res = counts.join(dv, "col_name", "left")
     # a string column that is entirely NULL yields no dval rows: its exact
-    # NDV is 0, not unknown (int columns legitimately keep NULL ndv)
+    # NDV is 0, not unknown; INDEXED int columns get their exact NDV from
+    # the membership keys (other int columns legitimately keep NULL ndv),
+    # but their hex-key min/max are meaningless — NULLed below
+    idx_cols = [
+        c for c in schema.get("index_cols", ())
+        if c in set(schema["int_cols"])
+    ]
+    ndv_cols = [*str_cols, *idx_cols]
     ndv = (
         F.when(
-            F.col("col_name").isin(str_cols),
+            F.col("col_name").isin(ndv_cols),
             F.coalesce(F.col("ndv"), F.lit(0)),
         ).otherwise(F.col("ndv"))
-        if str_cols
+        if ndv_cols
         else F.col("ndv")
+    )
+    str_only = (
+        F.when(F.col("col_name").isin(str_cols), F.col("min_str"))
+        if str_cols else F.lit(None).cast("string")
+    )
+    str_only_max = (
+        F.when(F.col("col_name").isin(str_cols), F.col("max_str"))
+        if str_cols else F.lit(None).cast("string")
     )
     # logical type per column (the recorded alias — 'string', plain int
     # widths, timestamp/date epoch aliases, float total-order keys,
@@ -5444,8 +5468,8 @@ def stats_table_files(spark: SparkSession, enc_dir: str):
         F.col("min_int").cast("bigint").alias("min_int"),
         F.col("max_int").cast("bigint").alias("max_int"),
         ndv.cast("bigint").alias("ndv"),
-        "min_str",
-        "max_str",
+        str_only.alias("min_str"),
+        str_only_max.alias("max_str"),
     )
 
 

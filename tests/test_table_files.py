@@ -1166,6 +1166,15 @@ def test_index_cols_prune_unclustered_point_lookups(spark, tmp_path):
             [(a, b) for a, b in want3]
 
     check()
+    # ANALYZE: an indexed int column gains an exact metadata-only NDV
+    # (folded from its membership keys), hex keys never leak into
+    # min_str/max_str
+    st = {r.col_name: r
+          for r in table_files.stats_table_files(spark, out).collect()}
+    [wn] = duck.sql("SELECT count(DISTINCT fk_n) FROM t").fetchall()
+    assert st["fk_n"].ndv == wn[0]
+    assert st["fk_n"].min_str is None and st["fk_n"].max_str is None
+    assert st["k"].ndv is None  # unindexed ints keep NULL ndv
     assert table_files.verify_table_files(spark, out)["mismatches"] == 0
     res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
     assert res["bins_written"] == 1
