@@ -4690,6 +4690,68 @@ def _make_distinct_worker(col: str, symbols_hex: tuple[str, ...] | None):
     return run_distinct
 
 
+def _make_idx_distinct_worker(col: str,
+                              symbols_hex: tuple[str, ...] | None):
+    """Distinct-values worker for an INDEXED int column: the membership
+    sidecar IS each block's sorted-distinct valid plane values, so the
+    exact distinct set unions the (small) sidecars — ZERO payload bytes,
+    the same format-beats-raw shape string DISTINCT gets — with the NULL
+    row from block metadata."""
+    from rlv.util import tune_malloc
+
+    def run_distinct(
+        pdf_iter: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
+                keys: set[bytes] = set()
+                for blob in _read_dict_sidecar(
+                    path, file_sid, col=col, seg=seg
+                ).values():
+                    keys.update(
+                        B.decode_strings_arrow(blob, symbols).to_pylist()
+                    )
+                if keys:
+                    vals = (
+                        np.frombuffer(b"".join(sorted(keys)), ">u8")
+                        .astype(np.uint64)
+                        .view(np.int64)
+                        ^ np.int64(-(2 ** 63))
+                    )
+                else:
+                    vals = np.empty(0, np.int64)
+                nfilters: list = [("col_name", "=", col),
+                                  ("n_nulls", ">", 0)]
+                if seg is not None:
+                    nfilters.append(("split_seq", "=", seg))
+                has_null = len(
+                    pq.read_table(path, columns=["block_idx"],
+                                  filters=nfilters)
+                ) > 0
+                mask = np.zeros(vals.size + (1 if has_null else 0), bool)
+                if has_null:
+                    vals = np.concatenate([vals, np.zeros(1, np.int64)])
+                    mask[-1] = True  # SQL DISTINCT keeps one NULL row
+                yield pd.DataFrame(
+                    {col: pd.arrays.IntegerArray(vals, mask)}
+                )
+
+    return run_distinct
+
+
 def _make_int_distinct_worker(col: str):
     """Distinct-values worker over one blocks file, INT column: union each
     block's :func:`rlv.blocks.distinct_block_values` (RLE uniques its run
@@ -4937,6 +4999,9 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
         )
     elif is_str:
         worker = _make_distinct_worker(col, _symbols_hex(enc_dir))
+    elif col in schema.get("index_cols", ()):
+        # membership-indexed int column: the sidecar IS the distinct set
+        worker = _make_idx_distinct_worker(col, _symbols_hex(enc_dir))
     else:
         worker = _make_int_distinct_worker(col)
     tasks = _query_tasks(enc_dir)

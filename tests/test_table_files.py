@@ -1175,6 +1175,16 @@ def test_index_cols_prune_unclustered_point_lookups(spark, tmp_path):
     assert st["fk_n"].ndv == wn[0]
     assert st["fk_n"].min_str is None and st["fk_n"].max_str is None
     assert st["k"].ndv is None  # unindexed ints keep NULL ndv
+    # DISTINCT on the indexed column is sidecar-only and exact
+    dv = sorted(
+        r[0] for r in table_files.distinct_table_files(
+            spark, out, "fk_n"
+        ).collect() if r[0] is not None
+    )
+    wv = [a for (a,) in duck.sql(
+        "SELECT DISTINCT fk_n FROM t WHERE fk_n IS NOT NULL ORDER BY 1"
+    ).fetchall()]
+    assert dv == wv
     assert table_files.verify_table_files(spark, out)["mismatches"] == 0
     res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
     assert res["bins_written"] == 1
