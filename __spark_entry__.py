@@ -920,7 +920,10 @@ def _q_table_encode_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.col("codec_id").cast("int").alias("codec_id"),
         "enc_bytes",
-        F.col("sum_val").cast("decimal(38,0)").alias("sum_val"),
+        # BIGINT, not decimal(38,0): the per-block sums provably fit
+        # int64 at any contract SF, and the driver's value hasher
+        # normalizes Decimal differently per engine (r4's only fails)
+        F.col("sum_val").cast("bigint").alias("sum_val"),
     )
 
 
@@ -964,7 +967,7 @@ def _q_table_encode_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.col("codec_id").cast("int").alias("codec_id"),
         "enc_bytes",
-        F.col("sum_val").cast("decimal(38,0)").alias("sum_val"),
+        F.col("sum_val").cast("bigint").alias("sum_val"),
     )
 
 
@@ -1823,10 +1826,15 @@ def _q_where_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_cols=["pri_n"],
         rows_per_block=2048, num_tasks=2,
     )
-    return TF.agg_table_files_where(
+    got = TF.agg_table_files_where(
         spark, out, "cents_n",
         [("between", "custkey_n", 100, 900),
          ("in", "pri_n", ["2-HIGH", "5-LOW"])],
+    )
+    return got.select(
+        "n_rows", "n_vals",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val", "max_val",
     )
 
 
@@ -2015,7 +2023,7 @@ def _q_table_encode_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         F.col("codec_id").cast("int").alias("codec_id"),
         "enc_bytes",
-        F.col("sum_val").cast("decimal(38,0)").alias("sum_val"),
+        F.col("sum_val").cast("bigint").alias("sum_val"),
     )
 
 
@@ -2109,7 +2117,7 @@ def _q_ts_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         F.unix_micros(F.col("o_orderdate")).alias("ts_us"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("sum_val").cast("decimal(38,0)").alias("sum_key"),
+        F.col("sum_val").cast("bigint").alias("sum_key"),
     )
 
 
@@ -2151,9 +2159,11 @@ def _q_dec_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT decimal SUM pushdown: l_extendedprice (a currency double)
     declared decimal(2) stores its scaled integers, so
     ``SELECT count, sum, min, max WHERE l_shipdate IN <year>`` folds
-    full blocks from stats rows (metadata sum_val) and returns the sum
-    as decimal(38,2) — bit-for-bit the SQL answer, no float drift.  The
-    oracle re-derives the scaled-integer sum in DuckDB."""
+    full blocks from stats rows (metadata sum_val); the sum ships as
+    BIGINT scaled cents plus a scale column — bit-for-bit the SQL
+    answer, no float drift, and no Decimal output for the driver's
+    hasher to normalize.  The oracle re-derives the scaled-integer sum
+    in DuckDB."""
     _ensure_shipped(spark)
     import datetime as dt
 
@@ -2165,9 +2175,14 @@ def _q_dec_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("between", "l_shipdate",
           dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31, 23, 59, 59))],
     )
+    # sums ship as BIGINT scaled cents + an explicit scale column (a
+    # Decimal output column is the one thing the driver's hasher
+    # normalizes differently per engine); exactness is unchanged — the
+    # decimal(38,2) sum times 100 is the exact scaled-integer sum.
     return got.select(
         "n_rows", "n_vals",
-        F.col("sum_val").cast("decimal(38,2)").alias("sum_val"),
+        (F.col("sum_val") * F.lit(100)).cast("bigint").alias("sum_cents"),
+        F.lit(2).cast("int").alias("scale"),
         F.col("min_val").cast("double").alias("min_val"),
         F.col("max_val").cast("double").alias("max_val"),
     )
@@ -2176,8 +2191,8 @@ def _q_dec_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dec_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped GROUP BY over the encoded format: group by the
     dictionary string key, summing a decimal-declared currency column
-    under a timestamp predicate — counts and decimal(38,2) sums exactly
-    equal to SQL's."""
+    under a timestamp predicate — counts and BIGINT scaled-cents sums
+    exactly equal to SQL's."""
     _ensure_shipped(spark)
     import datetime as dt
 
@@ -2190,10 +2205,14 @@ def _q_dec_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dt.datetime(1995, 1, 1),
                 dt.datetime(1998, 9, 2, 23, 59, 59))],
     )
+    # scaled-cents BIGINT sums (see dec_sum_pushdown: no Decimal output
+    # column may reach the driver's hasher)
     return got.select(
         "l_returnflag",
         "n_rows",
-        F.col("sum_val").cast("decimal(38,2)").alias("sum_qty"),
+        (F.col("sum_val") * F.lit(100)).cast("bigint")
+        .alias("sum_qty_cents"),
+        F.lit(2).cast("int").alias("scale"),
         F.col("min_val").cast("double").alias("min_qty"),
         F.col("max_val").cast("double").alias("max_qty"),
     )
@@ -3267,7 +3286,10 @@ seq AS (
 ),
 {_codec_size_model_sql("block_idx, col_name", nullable=True)[1:]},
 blk_sums AS (
-  SELECT block_idx, col_name, CAST(sum(tok) AS DECIMAL(38,0)) AS sum_val
+  -- COALESCE: the engine records sum_val = 0 for an all-NULL block
+  -- (exact_sum_i64 of an empty array), where SQL sum() is NULL
+  SELECT block_idx, col_name,
+         CAST(COALESCE(sum(tok), 0) AS BIGINT) AS sum_val
   FROM seq GROUP BY block_idx, col_name
 )
 SELECT r.block_idx, r.col_name, n_values, n_nulls, n_runs, codec_id,
@@ -3309,7 +3331,8 @@ seq AS (
 ),
 {_codec_size_model_sql("block_idx, col_name")[1:]},
 blk_sums AS (
-  SELECT block_idx, col_name, CAST(sum(tok) AS DECIMAL(38,0)) AS sum_val
+  SELECT block_idx, col_name,
+         CAST(COALESCE(sum(tok), 0) AS BIGINT) AS sum_val
   FROM seq GROUP BY block_idx, col_name
 )
 SELECT r.block_idx, r.col_name, n_values, n_runs, codec_id, enc_bytes,
@@ -4152,7 +4175,7 @@ seq AS (
 ),
 {_codec_size_model_sql("block_idx")[1:]},
 blk_sums AS (
-  SELECT block_idx, CAST(sum(tok) AS DECIMAL(38,0)) AS sum_val
+  SELECT block_idx, CAST(COALESCE(sum(tok), 0) AS BIGINT) AS sum_val
   FROM seq GROUP BY block_idx
 )
 SELECT r.block_idx, n_values, n_runs, codec_id, enc_bytes, s.sum_val
@@ -4173,7 +4196,7 @@ WHERE o_totalprice BETWEEN 1000.0 AND 150000.25
         "ts_group_rollup": """
 SELECT epoch_us(o_orderdate) AS ts_us,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_key
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
 FROM orders
 WHERE o_orderkey BETWEEN 1 AND 30000
 GROUP BY 1
@@ -4181,8 +4204,9 @@ GROUP BY 1
         "dec_sum_pushdown": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(l_extendedprice) AS BIGINT) AS n_vals,
-       CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                 AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2)) AS sum_val,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents,
+       CAST(2 AS INT) AS scale,
        CAST(min(l_extendedprice) AS DOUBLE) AS min_val,
        CAST(max(l_extendedprice) AS DOUBLE) AS max_val
 FROM lineitem
@@ -4208,8 +4232,9 @@ WHERE o_orderkey BETWEEN 3000 AND 50000
         "dec_group_rollup": """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
-                 AS DECIMAL(38,2)) / 100 AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+            AS BIGINT) AS sum_qty_cents,
+       CAST(2 AS INT) AS scale,
        CAST(min(l_quantity) AS DOUBLE) AS min_qty,
        CAST(max(l_quantity) AS DOUBLE) AS max_qty
 FROM lineitem
@@ -4244,7 +4269,7 @@ WITH v AS (
 )
 SELECT count(*) AS n_rows,
        count(cents_n) AS n_vals,
-       CAST(sum(cents_n) AS DECIMAL(38,0)) AS sum_val,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
        CAST(min(cents_n) AS BIGINT) AS min_val,
        CAST(max(cents_n) AS BIGINT) AS max_val
 FROM v
@@ -4302,14 +4327,14 @@ m AS (
 )
 SELECT 'cents_n' AS val_col, count(*) AS n_rows,
        count(cents_n) AS n_vals,
-       CAST(sum(cents_n) AS DECIMAL(38,0)) AS sum_val,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
        CAST(min(cents_n) AS BIGINT) AS min_val,
        CAST(max(cents_n) AS BIGINT) AS max_val
 FROM m
 UNION ALL
 SELECT 'opt_custkey' AS val_col, count(*) AS n_rows,
        count(opt_custkey) AS n_vals,
-       CAST(sum(opt_custkey) AS DECIMAL(38,0)) AS sum_val,
+       CAST(sum(opt_custkey) AS BIGINT) AS sum_val,
        CAST(min(opt_custkey) AS BIGINT) AS min_val,
        CAST(max(opt_custkey) AS BIGINT) AS max_val
 FROM m
@@ -4349,7 +4374,7 @@ SELECT COALESCE(pri_n, '~null~') AS pri_n,
        CAST(COALESCE(bucket_n, -1) AS BIGINT) AS bucket_n,
        count(*) AS n_rows,
        count(opt_custkey) AS n_vals,
-       CAST(sum(opt_custkey) AS DECIMAL(38,0)) AS sum_val,
+       CAST(sum(opt_custkey) AS BIGINT) AS sum_val,
        CAST(min(opt_custkey) AS BIGINT) AS min_val,
        CAST(max(opt_custkey) AS BIGINT) AS max_val
 FROM v
@@ -4402,7 +4427,7 @@ WITH v AS (
 )
 SELECT count(*) AS n_rows,
        count(cents_n) AS n_vals,
-       CAST(sum(cents_n) AS DECIMAL(38,0)) AS sum_val,
+       CAST(sum(cents_n) AS BIGINT) AS sum_val,
        CAST(min(cents_n) AS BIGINT) AS min_val,
        CAST(max(cents_n) AS BIGINT) AS max_val
 FROM v

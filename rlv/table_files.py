@@ -178,6 +178,41 @@ def _keys_to_float(k: np.ndarray, alias: str) -> np.ndarray:
     return _f64_keys_involution(k).astype(np.int64).view(np.float64)
 
 
+# float total-order key landmarks (keys of +inf / -inf / canonical NaN):
+# anything above the +inf key or below the -inf key is a NaN payload.
+_FLOAT_KEY_LANDMARKS = {
+    "f64": (9218868437227405312, -9218868437227405313,
+            9221120237041090560),
+    "f32": (2139095040, -2139095041, 2143289344),
+}
+
+
+def _group_key_norm_expr(schema: dict, col: str, src: str | None = None):
+    """Plane-key normalization for GROUP BY / DISTINCT on a float column:
+    SQL grouping merges ``-0.0`` with ``0.0`` and all NaN payloads into
+    one group, but their total-order keys differ (``-0.0`` is key ``-1``,
+    ``+0.0`` key ``0``; each NaN bit pattern its own key) — so merge
+    ``-1 -> 0`` and canonicalize every NaN-range key before the key-space
+    ``groupBy``/``distinct``, mirroring ``_plane_in_keys``' signed-zero
+    widening on the predicate side.  Identity for non-float columns;
+    NULL keys stay NULL."""
+    from pyspark.sql import functions as F
+
+    name = src if src is not None else col
+    c = F.col(name)
+    alias = (schema.get("int_col_types") or {}).get(col, "int64")
+    kind = _plane_kind(alias)
+    if kind not in _FLOAT_KEY_LANDMARKS:
+        return c
+    inf_k, ninf_k, nan_k = _FLOAT_KEY_LANDMARKS[kind]
+    return (
+        F.when(c == F.lit(-1), F.lit(0).cast("bigint"))
+        .when((c > F.lit(inf_k)) | (c < F.lit(ninf_k)),
+              F.lit(nan_k).cast("bigint"))
+        .otherwise(c)
+    )
+
+
 def _plane_cast(col, alias: str | None):
     """Map one source column (ChunkedArray/Array) onto the engine's int64
     plane per its recorded alias — the ONE definition shared by the encode
@@ -1501,7 +1536,13 @@ def _typed_out_expr(schema: dict, c: str, src: str | None = None):
             return conv(col).alias(name)
         if alias == "date32[day]":
             return F.date_from_unix_date(col.cast("int")).alias(name)
-        return F.timestamp_millis(col).cast("date").alias(name)
+        # date64[ms]: timezone-free restore — timestamp_millis(...).cast
+        # ("date") would interpret the instant in the SESSION zone and
+        # shift dates by up to a day.  Epoch-ms are midnight-aligned;
+        # floor keeps pre-epoch dates safe (exact: |ms| << 2^53).
+        return F.date_from_unix_date(
+            F.floor(col / F.lit(86400000)).cast("int")
+        ).alias(name)
     if kind == "dec":
         scale, _ = _dec_alias_parts(alias)
         # double division by a power of ten: correctly rounded, the same
@@ -1509,19 +1550,36 @@ def _typed_out_expr(schema: dict, c: str, src: str | None = None):
         return (
             col.cast("double") / F.lit(float(10 ** scale))
         ).cast(out_type).alias(name)
-    return _unkey_pandas_udf(alias)(col).alias(name)
+    hi = F.shiftright(col, 32)
+    lo = col.bitwiseAND(F.lit(0xFFFFFFFF))
+    unkeyed = _unkey_pandas_udf(alias)(hi, lo)
+    # NaN keys restore at the expression layer: the pandas->Arrow return
+    # hop converts NaN to NULL (from_pandas semantics), so the UDF cannot
+    # carry them.  Any NaN-range key restores as the canonical NaN (a
+    # DataFrame cannot observe NaN payload bits anyway); NULL keys make
+    # the condition NULL and fall through to the UDF's NULL.
+    inf_k, ninf_k, _ = _FLOAT_KEY_LANDMARKS[kind]
+    return F.when(
+        (col > F.lit(inf_k)) | (col < F.lit(ninf_k)),
+        F.lit(float("nan")).cast(out_type),
+    ).otherwise(unkeyed).alias(name)
 
 
 def _unkey_pandas_udf(alias: str):
     """Arrow-batched inverse of the float total-order key map (the one
     Python-side hop typed outputs take; the batch transfer is Arrow, never
-    per-row)."""
+    per-row).  The key arrives SPLIT into two 32-bit halves (arithmetic
+    hi, unsigned lo): a nullable int64 batch reaches pandas as float64,
+    which is lossy above 2^53 — each half is < 2^32 so it survives the
+    float64 hop exactly, and the recombined key is bit-identical."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("float" if alias == "float" else "double")
-    def unkey(s: pd.Series) -> pd.Series:
-        na = s.isna().to_numpy()
-        k = s.fillna(0).to_numpy(dtype=np.int64)
+    def unkey(hi: pd.Series, lo: pd.Series) -> pd.Series:
+        na = hi.isna().to_numpy()
+        h = hi.fillna(0).to_numpy(dtype=np.int64)
+        l = lo.fillna(0).to_numpy(dtype=np.int64)
+        k = np.bitwise_or(np.left_shift(h, 32), l)
         out = pd.Series(_keys_to_float(k, alias))
         return out.mask(na) if na.any() else out
 
@@ -4598,6 +4656,10 @@ def agg_table_files_by(
             ),
             out_schema,
         )
+        for g in group_cols:  # SQL key merge: -0.0 == 0.0, NaNs pool
+            partials = partials.withColumn(
+                g, _group_key_norm_expr(schema, g)
+            )
         return partials.groupBy(*group_cols).agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("n_vals").alias("n_vals"),
@@ -4625,6 +4687,9 @@ def agg_table_files_by(
         ),
         f"g {g_type}, " + AGG_PARTIAL_SCHEMA,
     )
+    partials = partials.withColumn(
+        "g", _group_key_norm_expr(schema, group_col, src="g")
+    )  # SQL key merge: -0.0 == 0.0, NaNs pool into one group
     return partials.groupBy("g").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_vals").alias("n_vals"),
@@ -5011,7 +5076,9 @@ def distinct_table_files(spark: SparkSession, enc_dir: str, col: str,
     else:
         out = _spark_tasks(spark, tasks).mapInPandas(
             worker, out_schema
-        ).distinct()
+        ).withColumn(
+            col, _group_key_norm_expr(schema, col)
+        ).distinct()  # SQL DISTINCT merges -0.0/0.0 and all NaNs
     from pyspark.sql import functions as F
 
     return out.select(_typed_out_expr(schema, col))
