@@ -2832,6 +2832,155 @@ def semijoin_scan_table_files(
     )
 
 
+def join_table_files(
+    spark: SparkSession, enc_a: str, enc_b: str, on,
+    preds_a=None, preds_b=None,
+    columns_a: list[str] | None = None,
+    columns_b: list[str] | None = None,
+    broadcast_bytes: int = 64 << 20,
+    runtime_filter_max_keys: int = 10_000,
+    return_plan: bool = False,
+):
+    """General INNER join between two encoded datasets — the plan that
+    runs when :func:`semijoin_scan_table_files`'s driver-collected
+    runtime filter is the wrong shape (fact x fact, high-cardinality
+    dims).  Both sides leave the format through their own conjunctive
+    pruned scans (predicates prune blocks; the projection is pushed down
+    to join keys + requested columns), then a plain Spark join runs on
+    the restored relations.
+
+    Plan choices are decided from the format's own metadata, before a
+    payload byte moves:
+
+    * **Broadcast** — each side's exact decode bill comes from the
+      EXPLAIN classification (:func:`explain_scan_table_files`, a
+      payload-free metadata pass); when the smaller side's bill is
+      ``<= broadcast_bytes`` it broadcasts, otherwise Spark's shuffle
+      join runs (AQE may still re-plan at runtime).
+    * **Runtime filter** — on a single-column join whose key is a plain
+      int or string column, the smaller side's distinct keys (metadata-
+      cheap: dictionary sidecars / codec-level distinct through
+      :func:`distinct_table_files`) push into the LARGER side's scan as
+      an ``int_in`` / ``in`` predicate when there are at most
+      ``runtime_filter_max_keys`` of them — the DPP shape, shrinking the
+      fact scan before the join instead of after it.  More keys than the
+      cap: the filter is skipped (never an error — the join itself is
+      the right plan then).
+
+    ``on`` is one column name or a list present on BOTH sides with equal
+    restored Spark types; non-key projected columns must not collide
+    (Spark cannot disambiguate them after the join).  SQL inner-join
+    semantics throughout — NULL keys never match (the runtime filter
+    collects non-NULL keys only, so it cannot change results).  With
+    ``return_plan=True`` returns ``(df, plan)`` where ``plan`` records
+    both bills and the decisions, for tests and operators.
+    """
+    from pyspark.sql import functions as F
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if not on_cols:
+        raise ValueError("on must name at least one join column")
+    sides = []
+    for enc_dir, preds, columns in (
+        (enc_a, preds_a, columns_a), (enc_b, preds_b, columns_b),
+    ):
+        schema = _load_table_schema(enc_dir)
+        if schema is None:
+            raise FileNotFoundError(
+                f"no table schema recorded at {enc_dir}"
+            )
+        known = set(schema["int_cols"]) | set(schema["str_cols"])
+        missing = [c for c in on_cols if c not in known]
+        if missing:
+            raise ValueError(
+                f"join column(s) {missing} not in {enc_dir} "
+                f"(int_cols={schema['int_cols']} "
+                f"str_cols={schema['str_cols']})"
+            )
+        out_names = list(dict.fromkeys(
+            [*on_cols, *(columns if columns is not None else [])]
+        ))
+        # a predicate-free side still routes through the shared pruned
+        # scan: the order column is non-NULL by construction, so its
+        # notnull is a metadata-only predicate that full-matches every
+        # block (no extra decode, no extra payload column — notnull
+        # needs no payload read)
+        eff_preds = list(preds) if preds else [
+            ("notnull", schema["order_col"])
+        ]
+        sides.append({
+            "enc": enc_dir, "schema": schema, "preds": eff_preds,
+            "columns": out_names,
+        })
+    for c in on_cols:
+        ta = _typed_field_type(sides[0]["schema"], c)
+        tb = _typed_field_type(sides[1]["schema"], c)
+        if ta != tb:
+            raise ValueError(
+                f"join key {c!r} restores to {ta} on one side and {tb} "
+                "on the other — encode the sides to matching types"
+            )
+    clash = (set(sides[0]["columns"]) & set(sides[1]["columns"])) \
+        - set(on_cols)
+    if clash:
+        raise ValueError(
+            f"non-key column(s) {sorted(clash)} projected from both "
+            "sides — rename or drop one side's"
+        )
+
+    for s in sides:
+        [bill] = explain_scan_table_files(
+            spark, s["enc"], s["preds"], columns=s["columns"]
+        ).collect()
+        s["payload_bytes"] = int(bill["payload_bytes"])
+        s["rows_surviving"] = int(bill["rows_surviving"])
+    small, big = sorted(sides, key=lambda s: s["payload_bytes"])
+    plan = {
+        "payload_bytes_a": sides[0]["payload_bytes"],
+        "payload_bytes_b": sides[1]["payload_bytes"],
+        "broadcast": small["payload_bytes"] <= broadcast_bytes,
+        "runtime_filter_keys": None,
+    }
+
+    # DPP-style runtime filter from the metadata-smaller side, single
+    # plain-int/string key only (typed planes would need side-aware
+    # literal mapping the IN spec does not carry)
+    if len(on_cols) == 1 and runtime_filter_max_keys > 0:
+        key = on_cols[0]
+        kschema = small["schema"]
+        alias = (kschema.get("int_col_types") or {}).get(key, "int64")
+        is_str = key in set(kschema["str_cols"])
+        if is_str or _plane_kind(alias) == "int":
+            keys = [
+                r[key]
+                for r in distinct_table_files(
+                    spark, small["enc"], key,
+                    preds=small["preds"],
+                ).limit(runtime_filter_max_keys + 2).collect()
+                if r[key] is not None
+            ]
+            if 0 < len(keys) <= runtime_filter_max_keys:
+                big["preds"] = list(big["preds"]) + [
+                    ("in" if is_str else "int_in", key, keys)
+                ]
+                plan["runtime_filter_keys"] = len(keys)
+
+    dfs = {}
+    for s in sides:
+        dfs[id(s)] = scan_table_files_where(
+            spark, s["enc"], s["preds"], columns=s["columns"]
+        )
+    small_df, big_df = dfs[id(small)], dfs[id(big)]
+    if plan["broadcast"]:
+        small_df = F.broadcast(small_df)
+    out = big_df.join(small_df, on=on_cols, how="inner").select(
+        *on_cols,
+        *[c for c in sides[0]["columns"] if c not in on_cols],
+        *[c for c in sides[1]["columns"] if c not in on_cols],
+    )
+    return (out, plan) if return_plan else out
+
+
 def ctas_table_files(
     spark: SparkSession, src_enc: str, dst_dir: str, preds,
     columns: list[str] | None = None,
