@@ -1827,13 +1827,15 @@ def _make_scan_worker(schema: dict, preds: list[dict],
         tune_malloc()
         meta_pred_cols = sorted(
             {p["col"] for p in int_preds}
-            | {leaf["col"] for node in or_nodes for leaf in node
-               if leaf["kind"] in ("range", "valid")}
+            | {atom["col"] for node in or_nodes for leaf in node
+               for atom in _leaf_atoms(leaf)
+               if atom["kind"] in ("range", "valid")}
         )
         all_mem_cols = sorted(
             set(mem_cols)
-            | {leaf["col"] for node in or_nodes for leaf in node
-               if leaf["kind"] == "member"}
+            | {atom["col"] for node in or_nodes for leaf in node
+               for atom in _leaf_atoms(leaf)
+               if atom["kind"] == "member"}
         )
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
@@ -1948,7 +1950,26 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                         node_surv: set[int] = set()
                         ldata: list = []
                         for leaf in node:
-                            if leaf["kind"] in ("range", "valid"):
+                            if leaf["kind"] == "andgroup":
+                                # group survivors = INTERSECTION over its
+                                # conjuncts (the branch is an AND)
+                                g_surv: set[int] | None = None
+                                adata: list = []
+                                for atom in leaf["specs"]:
+                                    if atom["kind"] in ("range", "valid"):
+                                        s = _int_phase1(atom)
+                                        adata.append(None)
+                                    else:
+                                        codes, dicts = _mem_phase1(atom)
+                                        adata.append((codes, dicts))
+                                        s = {bi for _, bi in codes}
+                                    g_surv = (
+                                        s if g_surv is None
+                                        else (g_surv & s)
+                                    )
+                                node_surv |= g_surv or set()
+                                ldata.append(adata)
+                            elif leaf["kind"] in ("range", "valid"):
                                 node_surv |= _int_phase1(leaf)
                                 ldata.append(None)
                             else:
@@ -2006,7 +2027,8 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                     for pi, p in enumerate(mem_preds)
                     if not mem_full_flags[pi] and not p.get("mask_free")
                 } | {
-                    leaf["col"] for node in or_nodes for leaf in node
+                    atom["col"] for node in or_nodes for leaf in node
+                    for atom in _leaf_atoms(leaf)
                 }
                 # phase 2 — payloads for SURVIVING block ordinals only (the
                 # in-filter over-reads a block_idx that survives in one
@@ -2088,24 +2110,34 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                             if (seq, bi) in mem_codes[pi]
                         }
                         surv = s if surv is None else (surv & s)
+                    def _atom_seg_surv(atom, ld, per=per, seq=seq):
+                        if atom["kind"] in ("range", "valid"):
+                            return {
+                                bi
+                                for bi, (nv, nr, mn, mx, _, nn)
+                                in per[atom["col"]].items()
+                                if _int_pred_class(
+                                    atom, nv, nn, nr, mn, mx
+                                ) is not None
+                            }
+                        codes, _ = ld
+                        return {
+                            bi for bi in per[atom["col"]]
+                            if (seq, bi) in codes
+                        }
+
                     for node, ldata in zip(or_nodes, or_leaf):
                         s = set()
                         for leaf, ld in zip(node, ldata):
-                            if leaf["kind"] in ("range", "valid"):
-                                s |= {
-                                    bi
-                                    for bi, (nv, nr, mn, mx, _, nn)
-                                    in per[leaf["col"]].items()
-                                    if _int_pred_class(
-                                        leaf, nv, nn, nr, mn, mx
-                                    ) is not None
-                                }
+                            if leaf["kind"] == "andgroup":
+                                gs: set[int] | None = None
+                                for atom, ad in zip(leaf["specs"], ld):
+                                    asrv = _atom_seg_surv(atom, ad)
+                                    gs = asrv if gs is None \
+                                        else (gs & asrv)
+                                s |= gs or set()
                             else:
-                                codes, _ = ld
-                                s |= {
-                                    bi for bi in per[leaf["col"]]
-                                    if (seq, bi) in codes
-                                }
+                                s |= _atom_seg_surv(leaf, ld)
                         surv = s if surv is None else (surv & s)
                     if surv is None:
                         # every pred segment-full: all fetched ordinals of
@@ -2168,29 +2200,39 @@ def _make_scan_worker(schema: dict, preds: list[dict],
                             sl = slice(int(voffs[j]), int(voffs[j + 1]))
                             pm[sl] &= np.isin(vals[sl], codes)
                         m = pm if m is None else (m & pm)
+                    def _atom_rowmask(atom, ld, seq=seq,
+                                      survivors=survivors):
+                        vals, voffs, vvalid = _decode_col(atom["col"])
+                        if atom["kind"] in ("range", "valid"):
+                            return _int_pred_rowmask(atom, vals, vvalid)
+                        codes, dicts = ld
+                        pm = np.zeros(vvalid.size, bool)
+                        for j, bi in enumerate(survivors):
+                            cs = codes.get((seq, bi))
+                            if cs is None:
+                                continue
+                            sl = slice(int(voffs[j]), int(voffs[j + 1]))
+                            if cs.size == len(dicts[(seq, bi)]):
+                                pm[sl] = vvalid[sl]
+                            else:
+                                pm[sl] = vvalid[sl] & np.isin(
+                                    vals[sl], cs
+                                )
+                        return pm
+
                     for node, ldata in zip(or_nodes, or_leaf):
                         # node mask = UNION of leaf masks (a leaf with no
-                        # survivors at a block contributes nothing there)
+                        # survivors at a block contributes nothing there);
+                        # an andgroup leaf's mask = AND over its conjuncts
                         nm = None
                         for leaf, ld in zip(node, ldata):
-                            vals, voffs, vvalid = _decode_col(leaf["col"])
-                            if leaf["kind"] in ("range", "valid"):
-                                pm = _int_pred_rowmask(leaf, vals, vvalid)
+                            if leaf["kind"] == "andgroup":
+                                pm = None
+                                for atom, ad in zip(leaf["specs"], ld):
+                                    am = _atom_rowmask(atom, ad)
+                                    pm = am if pm is None else (pm & am)
                             else:
-                                codes, dicts = ld
-                                pm = np.zeros(vvalid.size, bool)
-                                for j, bi in enumerate(survivors):
-                                    cs = codes.get((seq, bi))
-                                    if cs is None:
-                                        continue
-                                    sl = slice(int(voffs[j]),
-                                               int(voffs[j + 1]))
-                                    if cs.size == len(dicts[(seq, bi)]):
-                                        pm[sl] = vvalid[sl]
-                                    else:
-                                        pm[sl] = vvalid[sl] & np.isin(
-                                            vals[sl], cs
-                                        )
+                                pm = _atom_rowmask(leaf, ld)
                             nm = pm if nm is None else (nm | pm)
                         m = nm if m is None else (m & nm)
                     if m is None:
@@ -2461,6 +2503,42 @@ def _str_prefix_matcher(prefix: bytes):
     return match
 
 
+def _str_contains_matcher(needle: bytes):
+    """Per-block dictionary matcher for ``col LIKE '%needle%'``: matching
+    codes are the entries containing ``needle`` as a byte substring
+    (vectorized Arrow ``match_substring`` over the sorted-distinct
+    sidecar).  Unlike prefix/range the dictionary's SORT order can't
+    bound the search — but the sidecar is still tiny next to the payload,
+    so blocks whose dictionary holds no match prune without a payload
+    byte, exactly like the other membership predicates.  The empty needle
+    is SQL's ``LIKE '%%'`` — every valid entry."""
+    def match(uniq) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        if not needle:
+            return np.arange(len(uniq), dtype=np.int64)
+        m = pc.match_substring(uniq, needle)
+        return np.flatnonzero(m.to_numpy(zero_copy_only=False))
+
+    return match
+
+
+def _str_suffix_matcher(suffix: bytes):
+    """Per-block dictionary matcher for ``col LIKE '%suffix'``: matching
+    codes are the entries whose trailing bytes equal ``suffix``
+    (vectorized Arrow ``ends_with``).  The empty suffix matches every
+    valid entry."""
+    def match(uniq) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        if not suffix:
+            return np.arange(len(uniq), dtype=np.int64)
+        m = pc.ends_with(uniq, suffix)
+        return np.flatnonzero(m.to_numpy(zero_copy_only=False))
+
+    return match
+
+
 def _require_str_col(enc_dir: str, col: str, what: str) -> dict:
     schema = _load_table_schema(enc_dir)
     if schema is None:
@@ -2556,11 +2634,23 @@ def _norm_preds(schema: dict, preds, _top: bool = True) -> list[dict]:
     ``("eq", str_col, value)`` / ``("ne", str_col, value)``,
     ``("in", str_col, [values...])`` / ``("not_in", str_col, [values...])``,
     ``("str_between", str_col, lo, hi)``, ``("prefix", str_col, p)`` /
-    ``("not_prefix", str_col, p)``, and the validity predicates
+    ``("contains", str_col, s)`` / ``("suffix", str_col, s)`` (each with
+    a ``not_``-prefixed negation — the LIKE family ``'p%'`` / ``'%s%'``
+    / ``'%s'``), and the validity predicates
     ``("isnull", col)`` / ``("notnull", col)`` on EITHER column kind
     (classified from block ``(n_values, n_nulls)`` metadata alone).  Column
     kinds are validated here so a typo fails on the driver, not in a
     task.
+
+    Boolean structure: the ``preds`` list is a CONJUNCTION; ``("or",
+    [branch, ...])`` nodes disjoin branches, and each branch may be a
+    leaf or ``("and", [leaf, ...])`` — full OR-of-AND inside the
+    top-level AND, i.e. any one-alternation WHERE clause.  A top-level
+    ``("and", [...])`` splices into the conjunction.  Deeper nesting
+    (OR inside a branch's AND) is refused loudly — normalize the clause
+    to AND-of-OR-of-AND first.  An ``andgroup`` branch classifies as the
+    MIN over its conjuncts (pruned if any conjunct prunes, full if all
+    do) and masks as the AND of their row masks.
 
     A ``between`` / ``int_in`` on an INDEXED int column (``index_cols``)
     additionally emits a classification-only membership spec over the
@@ -2574,18 +2664,47 @@ def _norm_preds(schema: dict, preds, _top: bool = True) -> list[dict]:
         "between": 4, "not_between": 4, "raw_between": 4, "int_in": 3,
         "eq": 3, "ne": 3, "in": 3, "not_in": 3, "str_between": 4,
         "prefix": 3, "not_prefix": 3, "isnull": 2, "notnull": 2,
+        "contains": 3, "not_contains": 3, "suffix": 3, "not_suffix": 3,
     }
     for p in preds:
         if not isinstance(p, (tuple, list)) or len(p) < 2:
             raise ValueError(f"malformed predicate {p!r}")
         kind, col = p[0], p[1]
+        if kind == "and":
+            # top-level AND splices into the conjunction (the whole preds
+            # list IS an AND); inside an OR branch it becomes an andgroup
+            # leaf below
+            if len(p) != 2 or not isinstance(col, (tuple, list)):
+                raise ValueError(
+                    f"malformed predicate {p!r}: 'and' takes one list of "
+                    "conjunct predicates"
+                )
+            specs.extend(_norm_preds(schema, list(col), _top=_top))
+            continue
         if kind == "or":
             if len(p) != 2 or not isinstance(col, (tuple, list)):
                 raise ValueError(
                     f"malformed predicate {p!r}: 'or' takes one list of "
                     "branch predicates"
                 )
-            branches = _norm_preds(schema, list(col), _top=False)
+            branches: list[dict] = []
+            for b in col:
+                if isinstance(b, (tuple, list)) and len(b) == 2 \
+                        and b[0] == "and":
+                    conj = _norm_preds(schema, list(b[1]), _top=False)
+                    if any(c["kind"] in ("or", "andgroup") for c in conj):
+                        raise ValueError(
+                            "OR branches nest at most one AND level: "
+                            "('or', [..., ('and', [leaf, ...]), ...])"
+                        )
+                    if len(conj) == 1:
+                        branches.append(conj[0])
+                    else:
+                        branches.append(
+                            {"kind": "andgroup", "specs": conj}
+                        )
+                    continue
+                branches.extend(_norm_preds(schema, [b], _top=False))
             if any(b["kind"] == "or" for b in branches):
                 raise ValueError("nested OR predicates are not supported")
             if len(branches) == 1:
@@ -2709,11 +2828,15 @@ def _norm_preds(schema: dict, preds, _top: bool = True) -> list[dict]:
                 ),
                 "eq_single": None,
             })
-        else:  # prefix / not_prefix
-            match = _str_prefix_matcher(p[2].encode("utf-8"))
+        else:  # prefix / contains / suffix and their negations
+            base = kind.removeprefix("not_")
+            mk = {"prefix": _str_prefix_matcher,
+                  "contains": _str_contains_matcher,
+                  "suffix": _str_suffix_matcher}[base]
+            match = mk(p[2].encode("utf-8"))
             specs.append({
                 "kind": "member", "col": col,
-                "match": _invert_matcher(match) if kind == "not_prefix"
+                "match": _invert_matcher(match) if kind != base
                 else match,
                 "eq_single": None,
             })
@@ -3251,12 +3374,20 @@ def _spec_parts(preds: list[dict]):
     return int_preds, mem_preds, or_nodes
 
 
+def _leaf_atoms(leaf: dict) -> list[dict]:
+    """Atomic specs of one OR-node leaf: an ``andgroup`` leaf's conjuncts,
+    else the leaf itself."""
+    return leaf["specs"] if leaf["kind"] == "andgroup" else [leaf]
+
+
 def _spec_cols(specs: list[dict]) -> list[str]:
-    """Predicate columns in first-mention order, OR leaves flattened."""
+    """Predicate columns in first-mention order, OR leaves (and their
+    andgroup conjuncts) flattened."""
     cols: list[str] = []
     for p in specs:
         for leaf in (p["specs"] if p["kind"] == "or" else (p,)):
-            cols.append(leaf["col"])
+            for atom in _leaf_atoms(leaf):
+                cols.append(atom["col"])
     return list(dict.fromkeys(cols))
 
 
@@ -3327,21 +3458,43 @@ def _pred_classify(path: str, file_sid: str, info: dict,
         pred_cls.append(cl)
         mem_codes.append(codes)
         mem_full.append(whole)
+    def _one_leaf(leaf):
+        if leaf["kind"] in ("range", "valid"):
+            return _int_leaf_class_map(leaf, info[leaf["col"]]), None
+        cl, codes, whole = _mem_leaf_classify(
+            path, file_sid, info, leaf, symbols, seg=seg
+        )
+        return cl, (codes, whole)
+
     or_data: list[tuple] = []
     for node in or_nodes:
         leaf_cls: list[dict] = []
-        leaf_mem: list[tuple | None] = []
+        leaf_mem: list = []
         for leaf in node:
-            if leaf["kind"] in ("range", "valid"):
-                leaf_cls.append(_int_leaf_class_map(leaf,
-                                                    info[leaf["col"]]))
-                leaf_mem.append(None)
+            if leaf["kind"] == "andgroup":
+                # the group's class at a key = AND over its conjuncts:
+                # pruned when ANY conjunct prunes, full when ALL do
+                atom_cls: list[dict] = []
+                atom_mem: list = []
+                for atom in leaf["specs"]:
+                    acl, amem = _one_leaf(atom)
+                    atom_cls.append(acl)
+                    atom_mem.append(amem)
+                gcl: dict = {}
+                for key in atom_cls[0]:
+                    kinds = [cl.get(key) for cl in atom_cls]
+                    if any(k is None for k in kinds):
+                        continue
+                    gcl[key] = (
+                        "full" if all(k == "full" for k in kinds)
+                        else "partial"
+                    )
+                leaf_cls.append(gcl)
+                leaf_mem.append(("and", atom_cls, atom_mem))
             else:
-                cl, codes, whole = _mem_leaf_classify(
-                    path, file_sid, info, leaf, symbols, seg=seg
-                )
+                cl, mem = _one_leaf(leaf)
                 leaf_cls.append(cl)
-                leaf_mem.append((codes, whole))
+                leaf_mem.append(mem)
         ncl: dict = {}
         for cl in leaf_cls:
             for key, kind in cl.items():
@@ -3372,9 +3525,18 @@ def _pred_need_cols(key, pred_cls: list[dict],
     for ni, node in enumerate(or_nodes):
         if pred_cls[base + ni].get(key) == "full":
             continue
-        leaf_cls, _ = or_data[ni]
+        leaf_cls, leaf_mem = or_data[ni]
         for li, leaf in enumerate(node):
-            if leaf_cls[li].get(key) == "partial":
+            if leaf_cls[li].get(key) != "partial":
+                continue
+            if leaf["kind"] == "andgroup":
+                # a partial group masks as the AND of its conjuncts:
+                # only the conjuncts not full at this block decode
+                _, atom_cls, _ = leaf_mem[li]
+                for ai, atom in enumerate(leaf["specs"]):
+                    if atom_cls[ai].get(key) != "full":
+                        cols.add(atom["col"])
+            else:
                 cols.add(leaf["col"])
     return cols
 
@@ -3410,19 +3572,32 @@ def _pred_mask(key, nv: int, pred_cls: list[dict],
         if pred_cls[base + ni].get(key) == "full":
             continue
         leaf_cls, leaf_mem = or_data[ni]
+
+        def _atom_mask(atom, mem):
+            pv, _, pvalid = dec(atom["col"])
+            if atom["kind"] in ("range", "valid"):
+                return _int_pred_rowmask(atom, pv, pvalid)
+            codes, whole = mem
+            if key in whole:
+                return pvalid.copy()
+            return pvalid & np.isin(pv, codes[key])
+
         nm = np.zeros(nv, bool)
         for li, leaf in enumerate(node):
             if leaf_cls[li].get(key) is None:
                 continue
-            pv, _, pvalid = dec(leaf["col"])
-            if leaf["kind"] in ("range", "valid"):
-                nm |= _int_pred_rowmask(leaf, pv, pvalid)
+            if leaf["kind"] == "andgroup":
+                # group mask = AND over conjuncts; a conjunct full at
+                # this block matches every row (no decode)
+                _, atom_cls, atom_mem = leaf_mem[li]
+                gm = np.ones(nv, bool)
+                for ai, atom in enumerate(leaf["specs"]):
+                    if atom_cls[ai].get(key) == "full":
+                        continue
+                    gm &= _atom_mask(atom, atom_mem[ai])
+                nm |= gm
             else:
-                codes, whole = leaf_mem[li]
-                if key in whole:
-                    nm |= pvalid
-                else:
-                    nm |= pvalid & np.isin(pv, codes[key])
+                nm |= _atom_mask(leaf, leaf_mem[li])
         mask &= nm
     return mask
 
@@ -5278,7 +5453,8 @@ def _make_explain_worker(preds: list[dict], read_cols: list[str],
                 # (unless projected or referenced by an OR leaf)
                 surv_keys = set(cls)
                 needed = set(read_cols) | {
-                    leaf["col"] for node in or_nodes for leaf in node
+                    atom["col"] for node in or_nodes for leaf in node
+                    for atom in _leaf_atoms(leaf)
                 }
                 leaf_preds = [*int_preds, *mem_preds]
                 for i, p in enumerate(leaf_preds):

@@ -4088,3 +4088,237 @@ def test_minmax_pushdown_matches_python(spark, tmp_path):
     res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
     assert res["bins_written"] == 1
     check()
+
+
+def test_or_of_and_pushdown_matches_sql(spark, tmp_path):
+    """One AND level inside OR branches (`("or", [..., ("and", [leaf,
+    ...]), ...])`) — full one-alternation WHERE clauses: a branch group
+    classifies as the MIN over its conjuncts (pruned if any conjunct
+    prunes, full if all do) and masks as the AND of their row masks,
+    checked vs plain SQL on scan / aggregate / GROUP BY / DISTINCT /
+    top-k, stable under compaction, deeper nesting refused."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "tag_n": pa.array(
+                [None if i % 13 == 0 else f"w{i % 19:02d}"
+                 for i in range(n)],
+                pa.string(),
+            ),
+            "v_n": pa.array(
+                [None if i % 7 == 4 else (i * 37) % 1000
+                 for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    cases = [
+        # (A AND B) OR C — cross-type group
+        ([("or", [("and", [("between", "v_n", 0, 400),
+                           ("prefix", "tag_n", "w0")]),
+                  ("between", "k", 5500, 6000)])],
+         "((v_n BETWEEN 0 AND 400 AND tag_n LIKE 'w0%') "
+         "OR k BETWEEN 5500 AND 6000)"),
+        # two AND groups disjoined
+        ([("or", [("and", [("between", "v_n", 0, 100),
+                           ("eq", "tag_n", "w03")]),
+                  ("and", [("between", "v_n", 900, 999),
+                           ("isnull", "tag_n")])])],
+         "((v_n BETWEEN 0 AND 100 AND tag_n = 'w03') OR "
+         "(v_n BETWEEN 900 AND 999 AND tag_n IS NULL))"),
+        # group with validity conjunct, ANDed with a top-level range
+        ([("or", [("and", [("notnull", "v_n"),
+                           ("not_between", "v_n", 100, 899)]),
+                  ("eq", "tag_n", "w05")]),
+          ("between", "k", 100, 5900)],
+         "((v_n IS NOT NULL AND v_n NOT BETWEEN 100 AND 899) "
+         "OR tag_n = 'w05') AND k BETWEEN 100 AND 5900"),
+        # top-level ("and", [...]) splices into the conjunction
+        ([("and", [("between", "k", 0, 3000),
+                   ("between", "v_n", 0, 500)])],
+         "k BETWEEN 0 AND 3000 AND v_n BETWEEN 0 AND 500"),
+    ]
+
+    def check():
+        for preds, where in cases:
+            got = sorted(
+                (r["k"], r["v_n"], r["tag_n"]) for r in
+                table_files.scan_table_files_where(
+                    spark, out, preds,
+                    columns=["k", "v_n", "tag_n"]).collect()
+            )
+            want = sorted(duckdb.sql(
+                f"SELECT k, v_n, tag_n FROM read_parquet('{src}') "
+                f"WHERE {where}"
+            ).fetchall())
+            assert got == want and len(got) > 0, (preds, where)
+        orand = [("or", [("and", [("between", "v_n", 0, 300),
+                                  ("prefix", "tag_n", "w1")]),
+                         ("isnull", "v_n")])]
+        w_sql = ("(v_n BETWEEN 0 AND 300 AND tag_n LIKE 'w1%') "
+                 "OR v_n IS NULL")
+        # aggregate
+        agg = table_files.agg_table_files_where(
+            spark, out, "k", orand).collect()[0]
+        w = duckdb.sql(
+            "SELECT count(*), count(k), sum(k), min(k), max(k) "
+            f"FROM read_parquet('{src}') WHERE {w_sql}"
+        ).fetchone()
+        assert (agg["n_rows"], agg["n_vals"], int(agg["sum_val"]),
+                agg["min_val"], agg["max_val"]) == (
+            w[0], w[1], int(w[2]), w[3], w[4])
+        # group
+        key = lambda t: ("" if t[0] is None else "z" + t[0],) + t[1:]
+        g = sorted(
+            ((r["tag_n"], r["n_rows"], int(r["sum_val"])) for r in
+             table_files.agg_table_files_by(
+                 spark, out, "k", "tag_n", preds=orand).collect()),
+            key=key)
+        wg = sorted(
+            ((t, c, int(s)) for t, c, s in duckdb.sql(
+                "SELECT tag_n, count(*), sum(k) "
+                f"FROM read_parquet('{src}') WHERE {w_sql} "
+                "GROUP BY tag_n"
+            ).fetchall()), key=key)
+        assert g == wg and len(g) > 0
+        # DISTINCT
+        dd = sorted(
+            ("~n~" if r["tag_n"] is None else r["tag_n"]) for r in
+            table_files.distinct_table_files(
+                spark, out, "tag_n", preds=orand).collect()
+        )
+        wd = sorted(("~n~" if t is None else t) for (t,) in duckdb.sql(
+            f"SELECT DISTINCT tag_n FROM read_parquet('{src}') "
+            f"WHERE {w_sql}"
+        ).fetchall())
+        assert dd == wd and len(dd) > 0
+        # top-k
+        tk = [(r["k"], r["v_n"]) for r in table_files.topk_table_files(
+            spark, out, "k", 15, ascending=False,
+            columns=["k", "v_n"], preds=orand,
+        ).collect()]
+        wt = [tuple(x) for x in duckdb.sql(
+            f"SELECT k, v_n FROM read_parquet('{src}') WHERE {w_sql} "
+            "ORDER BY k DESC LIMIT 15"
+        ).fetchall()]
+        assert tk == wt
+        # count
+        assert table_files.count_table_files_where(
+            spark, out, orand).collect()[0]["n_rows"] == duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{src}') WHERE {w_sql}"
+        ).fetchone()[0]
+
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+
+    # deeper nesting refused, loudly
+    with pytest.raises(ValueError, match="one AND level"):
+        table_files.scan_table_files_where(
+            spark, out,
+            [("or", [("and", [("or", [("between", "v_n", 0, 1),
+                                      ("between", "v_n", 5, 6)]),
+                              ("eq", "tag_n", "w01")]),
+                     ("isnull", "v_n")])])
+    with pytest.raises(ValueError, match="one list of conjunct"):
+        table_files.scan_table_files_where(spark, out, [("and", "v_n")])
+
+
+def test_contains_suffix_pushdown_matches_sql(spark, tmp_path):
+    """LIKE '%s%' / '%s' via the dictionary sidecar: `contains` /
+    `suffix` (+ negations) are membership matchers over each block's
+    sorted-distinct entries — blocks whose dictionary holds no match
+    prune without a payload byte (EXPLAIN-checked on a clustered tag
+    column), and results equal plain SQL on scan and aggregate."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 4000
+    # clustered tags: distinct dictionary content per block region
+    tags = [None if i % 17 == 0 else f"grp{i // 500:02d}_item{i % 23:02d}"
+            for i in range(n)]
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "tag_n": pa.array(tags, pa.string()),
+    })
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k"], str_cols=["tag_n"],
+        rows_per_block=500, num_tasks=2,
+    )
+
+    cases = [
+        ([("contains", "tag_n", "item07")], "tag_n LIKE '%item07%'"),
+        ([("suffix", "tag_n", "item11")], "tag_n LIKE '%item11'"),
+        ([("not_contains", "tag_n", "grp03")],
+         "tag_n NOT LIKE '%grp03%'"),
+        ([("not_suffix", "tag_n", "2")], "tag_n NOT LIKE '%2'"),
+        ([("contains", "tag_n", "grp05"), ("suffix", "tag_n", "1")],
+         "tag_n LIKE '%grp05%' AND tag_n LIKE '%1'"),
+        ([("contains", "tag_n", "")], "tag_n LIKE '%%'"),
+    ]
+    for preds, where in cases:
+        got = sorted(
+            (r["k"], r["tag_n"]) for r in
+            table_files.scan_table_files_where(
+                spark, out, preds, columns=["k", "tag_n"]).collect()
+        )
+        want = sorted(duckdb.sql(
+            f"SELECT k, tag_n FROM read_parquet('{src}') WHERE {where}"
+        ).fetchall())
+        assert got == want and len(got) > 0, (preds, where)
+    # aggregate surface
+    agg = table_files.agg_table_files_where(
+        spark, out, "k", [("contains", "tag_n", "grp02")]
+    ).collect()[0]
+    w = duckdb.sql(
+        "SELECT count(*), sum(k) FROM read_parquet("
+        f"'{src}') WHERE tag_n LIKE '%grp02%'"
+    ).fetchone()
+    assert (agg["n_rows"], int(agg["sum_val"])) == (w[0], int(w[1]))
+    # pruning: 'grp05' lives only in blocks 4000/500*[2500..2999] — the
+    # other blocks' dictionaries have no match, so their payloads never
+    # read; EXPLAIN bills exactly the matching region
+    [full] = table_files.explain_scan_table_files(
+        spark, out, [("contains", "tag_n", "grp")], columns=["k"]
+    ).collect()
+    [one] = table_files.explain_scan_table_files(
+        spark, out, [("contains", "tag_n", "grp05")], columns=["k"]
+    ).collect()
+    assert (one["blocks_full"] + one["blocks_partial"]
+            < full["blocks_full"] + full["blocks_partial"])
+    assert one["payload_bytes"] < full["payload_bytes"]
+    # block-granular: exactly the grp05 region's 500 rows survive
+    # classification (the ~29 NULLs inside mask out at decode)
+    assert one["rows_surviving"] == 500
+    assert table_files.scan_table_files_where(
+        spark, out, [("contains", "tag_n", "grp05")], columns=["k"]
+    ).count() == sum(
+        1 for t in tags if t is not None and "grp05" in t)
