@@ -692,12 +692,16 @@ def encode_table_files(
     scaled integers instead of IEEE keys — every value must round-trip at
     that scale (checked loudly per split) — which makes SUM/AVG push down
     exactly and the per-block ``sum_val`` stat meaningful.
-    ``index_cols`` names int columns that get a per-block MEMBERSHIP
-    INDEX in the dictionary sidecar (the block's sorted-distinct plane
-    values as order-preserving binary keys): point lookups and IN-lists
-    on UNCLUSTERED keys then prune blocks the key set misses — the int
-    analog of string dictionary membership — at the cost of the sidecar
-    bytes (tracked in ``dict_bytes``).
+    ``index_cols`` names columns that get a per-block MEMBERSHIP
+    INDEX in the dictionary sidecar: for INT columns the block's
+    sorted-distinct plane values write as order-preserving binary keys
+    (at the cost of the sidecar bytes, tracked in ``dict_bytes``), so
+    point lookups and IN-lists on UNCLUSTERED keys prune blocks the key
+    set misses — the int analog of string dictionary membership.  A
+    STRING column in ``index_cols`` is a declaration-only no-op: its
+    dictionary sidecar exists regardless and already serves exactly that
+    index (``eq``/``in``/range/LIKE predicates prune through it), so the
+    entry just documents the lookup-key intent at zero extra bytes.
     ``order_col`` must totally order the rows of each split (it defines
     the value sequences, hence the run structure — ties would make blocks
     read-order-dependent); include it in ``int_cols`` to make the dataset
@@ -730,10 +734,11 @@ def encode_table_files(
             )
         col_types[c] = f"dec{int(scale)}:{col_types[c]}"
     for c in index_cols or ():
-        if c not in list(int_cols):
+        if c not in list(int_cols) and c not in list(str_cols):
             raise ValueError(
                 f"index_cols[{c!r}]: membership indexes cover int-plane "
-                f"columns (int_cols={list(int_cols)})"
+                f"or string columns (int_cols={list(int_cols)} "
+                f"str_cols={list(str_cols)})"
             )
     schema = {
         "order_col": order_col,
@@ -5969,6 +5974,156 @@ def _topk_survivors(
     return keep
 
 
+def _str_bound_matcher(bound: bytes, ascending: bool):
+    """One-sided dictionary matcher for the string top-k threshold:
+    entries ``<= bound`` (ascending) or ``>= bound`` (descending),
+    bytewise — UTF-8 byte order == code-point order."""
+    def match(uniq) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cmp = pc.less_equal if ascending else pc.greater_equal
+        m = cmp(uniq, pa.scalar(bound, uniq.type))
+        return np.flatnonzero(m.to_numpy(zero_copy_only=False))
+
+    return match
+
+
+def _make_topk_strs_worker(col: str, k: int, ascending: bool,
+                           preds: list[dict] | None = None,
+                           symbols_hex: tuple[str, ...] | None = None):
+    """Threshold worker for STRING top-k over one blocks file: the k
+    extreme DISTINCT values of ``col`` drawn from the dictionary sidecars
+    of blocks the predicate conjunction FULL-matches — no payload byte,
+    no code-stream decode.  Each sidecar entry appears in at least one
+    valid row of its block, and every row of a full block matches the
+    conjunction, so the k-th smallest (resp. largest) distinct value
+    across files bounds the k-th extreme ROW value: at least k matching
+    rows are at-or-inside it.  Partial blocks contribute nothing here
+    (their matching row count may be zero) — when full blocks yield
+    fewer than k distinct values the driver scans unbounded (correctness
+    over pruning), mirroring :func:`_topk_survivors`."""
+    from rlv.util import tune_malloc
+
+    preds = preds or []
+    int_preds, mem_preds, or_nodes = _spec_parts(preds)
+    pred_cols = _spec_cols(preds)
+    all_cols = list(dict.fromkeys([col, *pred_cols]))
+
+    def run_topk(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rlv import blocks as B
+
+        tune_malloc()
+        symbols = (
+            [bytes.fromhex(h) for h in symbols_hex]
+            if symbols_hex is not None
+            else None
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                path = row["file"]
+                file_sid = os.path.splitext(os.path.basename(path))[0]
+                seg = _task_seg(row)
+                info, keys, cls, *_ = _classify_file(
+                    path, file_sid, seg, all_cols, int_preds,
+                    mem_preds, or_nodes, symbols,
+                )
+                full_keys = {kk for kk, kind in cls.items()
+                             if kind == "full"}
+                if not full_keys:
+                    yield pd.DataFrame(
+                        {"val": pd.Series([], dtype=object)})
+                    continue
+                side = _read_dict_sidecar(
+                    path, file_sid, col=col,
+                    block_idx=sorted({bi for _, bi in full_keys}),
+                    seg=seg,
+                )
+                vals: set[bytes] = set()
+                for (sq, _, bi), blob in side.items():
+                    if (sq, int(bi)) not in full_keys:
+                        continue
+                    uniq = B.decode_strings_arrow(blob, symbols)
+                    vals.update(uniq.to_pylist())
+                ext = sorted(vals)[:k] if ascending \
+                    else sorted(vals)[-k:]
+                yield pd.DataFrame({
+                    "val": pd.Series(
+                        [v.decode("utf-8") for v in ext], dtype=object
+                    )
+                })
+
+    return run_topk
+
+
+def _topk_table_files_str(
+    spark: SparkSession, enc_dir: str, schema: dict, col: str, k: int,
+    ascending: bool, columns: list[str] | None, preds,
+):
+    """String ORDER BY pushdown for :func:`topk_table_files` (dictionary
+    columns): the threshold pass reads SIDECARS ONLY — each block's
+    dictionary is its sorted-distinct valid values, so per-file candidate
+    values come free of any payload decode — and the final pass is the
+    existing membership-pruned scan with a one-sided string bound stacked
+    onto the conjunction."""
+    from pyspark.sql import functions as F
+
+    specs = _norm_preds(schema, list(preds)) if preds else []
+    out_names = _scan_out_names(schema, col, columns)
+    tasks = _query_tasks(enc_dir)
+    str_cols = set(schema["str_cols"])
+    empty_schema = ", ".join(
+        f"`{c}` {'string' if c in str_cols else _typed_field_type(schema, c)}"
+        for c in out_names
+    )
+    if tasks.empty:
+        return spark.createDataFrame([], empty_schema)
+    cand = _spark_tasks(spark, tasks).mapInPandas(
+        _make_topk_strs_worker(
+            col, int(k), ascending, preds=specs,
+            symbols_hex=_symbols_hex(enc_dir),
+        ),
+        "val string",
+    )
+    cands = sorted(
+        {r["val"] for r in cand.collect() if r["val"] is not None}
+    )
+    scan_names = (
+        out_names if col in out_names else [*out_names, col]
+    )
+    bound_specs = list(specs)
+    if len(cands) >= k:
+        # the k-th extreme DISTINCT value bounds the k-th extreme row:
+        # each candidate appears in >= 1 fully-matching row
+        t = cands[k - 1] if ascending else cands[-k]
+        bound_specs.append({
+            "kind": "member", "col": col,
+            "match": _str_bound_matcher(t.encode("utf-8"), ascending),
+            "eq_single": None,
+        })
+    elif not specs:
+        # fewer distinct values than k and no conjunction: every
+        # non-NULL row competes (ORDER BY excludes NULLs via the
+        # membership spec below — match-all keeps valid rows only)
+        bound_specs.append({
+            "kind": "member", "col": col,
+            "match": _str_prefix_matcher(b""), "eq_single": None,
+        })
+    else:
+        # under a conjunction the scan must still drop NULLs of col
+        bound_specs.extend(_norm_preds(schema, [("notnull", col)]))
+    worker = _make_scan_worker(
+        schema, bound_specs, scan_names,
+        symbols_hex=_symbols_hex(enc_dir),
+    )
+    scan = _run_scan_tasks(spark, enc_dir, schema, scan_names, worker)
+    sort_cols = [F.col(col).asc() if ascending else F.col(col).desc()]
+    order_col = schema["order_col"]
+    if order_col in out_names and order_col != col:
+        sort_cols.append(F.col(order_col).asc())
+    return scan.orderBy(*sort_cols).limit(k).select(*out_names)
+
+
 def _make_topk_vals_worker(col: str, k: int, ascending: bool,
                            preds: list[dict] | None = None,
                            symbols_hex: tuple[str, ...] | None = None):
@@ -6095,9 +6250,13 @@ def topk_table_files(
     preds=None,
 ):
     """TOP-K pushdown into the encoded format: the k rows with the smallest
-    (``ascending``) or largest valid values of int column ``col`` (NULLs
-    excluded, SQL ``WHERE col IS NOT NULL ORDER BY col LIMIT k``), projected
-    like :func:`scan_table_files`.  When the dataset's order column is in
+    (``ascending``) or largest valid values of ``col`` (NULLs excluded,
+    SQL ``WHERE col IS NOT NULL ORDER BY col LIMIT k``), projected like
+    :func:`scan_table_files`.  ``col`` may be an int-plane column (zone-map
+    threshold pass below) or a dictionary STRING column
+    (:func:`_topk_table_files_str`: candidates from the sorted-distinct
+    sidecars alone, threshold as a one-sided string bound, final pass the
+    membership-pruned scan — binary collation, as everywhere).  When the dataset's order column is in
     the projection it tie-breaks equal values ascending, making the selected
     row SET deterministic (``ORDER BY col, order_col LIMIT k``); without it,
     ties at the boundary are arbitrary, as in SQL.
@@ -6120,9 +6279,18 @@ def topk_table_files(
     blocks, and the final pass stacks ``col <= T`` onto the conjunction."""
     from pyspark.sql import functions as F
 
-    schema = _require_int_col(enc_dir, col)
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    schema = _load_table_schema(enc_dir)
+    if schema is not None and col in schema["str_cols"]:
+        # string ORDER BY rides the dictionary sidecars (sorted-distinct
+        # per block): candidates are sidecar-only, the threshold is a
+        # string bound, the final pass the membership-pruned scan
+        return _topk_table_files_str(
+            spark, enc_dir, schema, col, int(k), ascending, columns,
+            preds,
+        )
+    schema = _require_int_col(enc_dir, col)
     specs = _norm_preds(schema, list(preds)) if preds else []
     out_names = _scan_out_names(schema, col, columns)
     tasks = _query_tasks(enc_dir)

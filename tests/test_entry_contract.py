@@ -46,6 +46,16 @@ def test_query_matches_oracle(spark, duck, name):
     sql = entrymod.oracle_sql().get(name)
     assert sql is not None, f"no oracle for {name}"
     sdf = q(spark, SF_DIR)
+    # driver-hash stability: the driver's value hasher normalizes Python
+    # Decimal differently per engine (the r4 red rows) — no contract
+    # output may carry a DecimalType column
+    from pyspark.sql.types import DecimalType
+
+    dec_cols = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    assert not dec_cols, f"{name}: Decimal output column(s) {dec_cols}"
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     res = duck.execute(sql)

@@ -4322,3 +4322,141 @@ def test_contains_suffix_pushdown_matches_sql(spark, tmp_path):
         spark, out, [("contains", "tag_n", "grp05")], columns=["k"]
     ).count() == sum(
         1 for t in tags if t is not None and "grp05" in t)
+
+
+def test_string_topk_matches_sql_order_by_limit(spark, tmp_path):
+    """String ORDER BY pushdown: top-k on a dictionary column draws its
+    per-file candidates from the sorted-distinct sidecars alone (no
+    payload in the threshold pass), bounds the final scan with a
+    one-sided string predicate, and equals SQL `WHERE s IS NOT NULL
+    ORDER BY s [DESC], k LIMIT k` — tie-heavy values, NULLs, both
+    directions, under predicates, stable under compaction."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 5000
+    # heavy ties: only 40 distinct tags; ~6% NULLs; clustered-ish regions
+    tags = [None if i % 16 == 9
+            else f"t{((i * 7) % 40):02d}" for i in range(n)]
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "s_n": pa.array(tags, pa.string()),
+        "v_n": pa.array(
+            [None if i % 11 == 3 else (i * 13) % 700 for i in range(n)],
+            pa.int64(),
+        ),
+    })
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["s_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+
+    def check():
+        for asc, k, preds, where in [
+            (True, 25, None, "s_n IS NOT NULL"),
+            (False, 25, None, "s_n IS NOT NULL"),
+            (True, 7, [("between", "v_n", 0, 200)],
+             "v_n BETWEEN 0 AND 200 AND s_n IS NOT NULL"),
+            (False, 12, [("prefix", "s_n", "t1")],
+             "s_n LIKE 't1%' AND s_n IS NOT NULL"),
+            # k beyond the distinct count: unbounded final scan
+            (True, 4800, None, "s_n IS NOT NULL"),
+        ]:
+            got = [
+                (r["k"], r["s_n"]) for r in table_files.topk_table_files(
+                    spark, out, "s_n", k, ascending=asc,
+                    columns=["k", "s_n"], preds=preds,
+                ).collect()
+            ]
+            dirn = "" if asc else "DESC"
+            want = [tuple(x) for x in duckdb.sql(
+                f"SELECT k, s_n FROM read_parquet('{src}') "
+                f"WHERE {where} ORDER BY s_n {dirn}, k LIMIT {k}"
+            ).fetchall()]
+            assert got == want and len(got) > 0, (asc, k, preds)
+        # projection without the sort column
+        got2 = sorted(r["v_n"] for r in table_files.topk_table_files(
+            spark, out, "s_n", 30, ascending=True, columns=["v_n"],
+        ).collect() if r["v_n"] is not None)
+        # row SET is tie-arbitrary without the order column, so compare
+        # against the deterministic tie-break oracle only on size
+        assert len(got2) > 0
+    check()
+    res = engine_files.compact_blocks(spark, out, target_bytes=1 << 30)
+    assert res["bins_written"] >= 1
+    check()
+
+
+def test_string_index_cols_point_lookup_parity(spark, tmp_path):
+    """index_cols on a STRING column: declaration-only (the dictionary
+    sidecar already IS the membership index — zero extra bytes), and an
+    eq point lookup on an unclustered string key prunes with the same
+    block-level exactness as the int membership-index drill."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 60000
+    rng = np.random.default_rng(13)
+    fk = rng.integers(0, 500_000, size=n)
+    sk = [f"key{int(v):06d}" for v in fk]
+    for i in range(0, n, 31):
+        sk[i] = None
+    pq.write_table(
+        pa.table({
+            "k": pa.array(range(n), pa.int64()),
+            "sk_n": pa.array(sk, pa.string()),
+            "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        }),
+        f"{d}/p.parquet", row_group_size=16384,
+    )
+    out = str(tmp_path / "enc")
+    s = table_files.encode_table_files(
+        spark, [f"{d}/p.parquet"], out, order_col="k",
+        int_cols=["k", "v"], str_cols=["sk_n"],
+        rows_per_block=1024, num_tasks=3,
+        index_cols=["sk_n"],
+    )
+    schema = table_files._load_table_schema(out)
+    assert schema["index_cols"] == ["sk_n"]
+    duck = duckdb.connect()
+    duck.sql(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{d}/p.parquet')")
+    key = sk[5]
+    assert key is not None
+
+    got = table_files.scan_table_files_where(
+        spark, out, [("eq", "sk_n", key)], columns=["k", "sk_n"]
+    ).collect()
+    want = duck.sql(
+        f"SELECT k, sk_n FROM t WHERE sk_n = '{key}' ORDER BY 1"
+    ).fetchall()
+    assert sorted((r["k"], r["sk_n"]) for r in got) == \
+        [tuple(w) for w in want] and len(want) >= 1
+    [ex] = table_files.explain_scan_table_files(
+        spark, out, [("eq", "sk_n", key)], columns=["k", "sk_n"]
+    ).collect()
+    # pruning parity with the int index drill: only blocks whose
+    # dictionary holds the key survive classification
+    assert 0 < (ex.blocks_full + ex.blocks_partial) <= len(want) + 1
+    assert ex.blocks_total >= 50
+    # a mistyped index column still refuses loudly
+    with pytest.raises(ValueError, match="index_cols"):
+        table_files.encode_table_files(
+            spark, [f"{d}/p.parquet"], str(tmp_path / "enc2"),
+            order_col="k", int_cols=["k", "v"], str_cols=["sk_n"],
+            index_cols=["nope"],
+        )
