@@ -1523,12 +1523,13 @@ def _q_neg_pred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_cols=["pri_n"],
         rows_per_block=2048, num_tasks=2,
     )
+    # contract outputs must be driver-hash-stable: no Decimal columns
     return TF.agg_table_files_where(
         spark, out, "cents_n",
         [("not_between", "custkey_n", 200, 1100),
          ("not_in", "pri_n", ["1-URGENT", "2-HIGH"]),
          ("notnull", "cents_n")],
-    )
+    ).withColumn("sum_val", F.col("sum_val").cast("bigint"))
 
 
 def _q_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,11 +1567,13 @@ def _q_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_cols=["pri_n"],
         rows_per_block=2048, num_tasks=2,
     )
+    # contract outputs must be driver-hash-stable: no Decimal columns
+    # (both sums provably fit int64 at this SF)
     return TF.agg_table_files_where(
         spark, out, ["cents_n", "opt_custkey"],
         [("between", "o_orderkey", 50, 12000),
          ("in", "pri_n", ["2-HIGH", "4-NOT SPECIFIED"])],
-    )
+    ).withColumn("sum_val", F.col("sum_val").cast("bigint"))
 
 
 def _q_enc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,7 +1692,10 @@ def _q_multi_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("pri_n"), F.lit("~null~")).alias("pri_n"),
         F.coalesce(F.col("bucket_n").cast("bigint"), F.lit(-1))
         .alias("bucket_n"),
-        "n_rows", "n_vals", "sum_val", "min_val", "max_val",
+        "n_rows", "n_vals",
+        # no Decimal in contract outputs (driver-hash stability)
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        "min_val", "max_val",
     )
 
 

@@ -12,8 +12,11 @@ Predicates (`--where`) are a JSON list of the pushdown kinds::
       ["in","tag",["a","b"]], ["not_in","tag",["a","b"]],
       ["str_between","tag","a","mz"],
       ["prefix","tag","Clerk#0"], ["not_prefix","tag","Clerk#0"],
+      ["contains","tag","erk"], ["suffix","tag","#042"],
       ["isnull","tag"], ["notnull","k"],
-      ["or",[["between","k",0,9], ["eq","tag","w03"]]]]'
+      ["or",[["between","k",0,9], ["eq","tag","w03"]]],
+      ["or",[["and",[["between","k",0,9],["prefix","tag","w"]]],
+             ["eq","tag","w03"]]]]'
 
 Cluster:
     spark-submit --py-files rlv.zip jobs/query_job.py scan \
@@ -33,6 +36,12 @@ Cluster:
     spark-submit ... jobs/query_job.py stats --data ...
     spark-submit ... jobs/query_job.py ctas --data ... --output dst \
         --where '[["prefix","tag","w0"]]' [--cluster-by v]
+    spark-submit ... jobs/query_job.py join --data encA --data2 encB \
+        --on k[,k2] [--where ...] [--where2 ...] \
+        [--columns a1,a2] [--columns2 b1] --output dst
+        (general encoded x encoded inner join: both sides through their
+         own pruned scans; broadcast + runtime filter decided from the
+         format's metadata)
 
 Sandbox: python jobs/query_job.py <action> ... --cpus 32
 """
@@ -68,11 +77,21 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("action", choices=[
         "scan", "agg", "count", "minmax", "group", "topk", "distinct",
-        "ndv", "stats", "ctas", "explain", "explain-agg",
+        "ndv", "stats", "ctas", "explain", "explain-agg", "join",
     ])
     ap.add_argument("--data", required=True, help="encoded dataset dir")
     ap.add_argument("--where", default=None, help="JSON predicate list")
     ap.add_argument("--columns", default=None, help="comma-separated")
+    ap.add_argument("--data2", default=None,
+                    help="join: second encoded dataset dir")
+    ap.add_argument("--where2", default=None,
+                    help="join: JSON predicate list for --data2")
+    ap.add_argument("--columns2", default=None,
+                    help="join: projected columns from --data2")
+    ap.add_argument("--on", default=None,
+                    help="join key column(s), comma-separated")
+    ap.add_argument("--how", default="inner", choices=["inner", "left"],
+                    help="join type (left preserves --data's rows)")
     ap.add_argument("--col", default=None,
                     help="topk sort / distinct column")
     ap.add_argument("--value", default=None,
@@ -195,6 +214,18 @@ def main(argv=None) -> int:
         out["result"] = TF.explain_agg_table_files(
             spark, args.data, value, preds
         ).collect()[0].asDict()
+    elif args.action == "join":
+        if not args.data2 or not args.on:
+            ap.error("join requires --data2 and --on")
+        on = _columns(args.on)
+        df, plan = TF.join_table_files(
+            spark, args.data, args.data2, on,
+            preds_a=preds, preds_b=_preds(args.where2),
+            columns_a=cols, columns_b=_columns(args.columns2),
+            return_plan=True, how=args.how,
+        )
+        out["plan"] = plan
+        _emit(df, True)
     else:  # ctas
         if not args.output or not preds:
             ap.error("ctas requires --output and --where")

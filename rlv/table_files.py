@@ -2968,6 +2968,7 @@ def join_table_files(
     broadcast_bytes: int = 64 << 20,
     runtime_filter_max_keys: int = 10_000,
     return_plan: bool = False,
+    how: str = "inner",
 ):
     """General INNER join between two encoded datasets — the plan that
     runs when :func:`semijoin_scan_table_files`'s driver-collected
@@ -2997,11 +2998,16 @@ def join_table_files(
 
     ``on`` is one column name or a list present on BOTH sides with equal
     restored Spark types; non-key projected columns must not collide
-    (Spark cannot disambiguate them after the join).  SQL inner-join
-    semantics throughout — NULL keys never match (the runtime filter
-    collects non-NULL keys only, so it cannot change results).  With
-    ``return_plan=True`` returns ``(df, plan)`` where ``plan`` records
-    both bills and the decisions, for tests and operators.
+    (Spark cannot disambiguate them after the join).  SQL join semantics
+    throughout — NULL keys never match (the runtime filter collects
+    non-NULL keys only, so it cannot change results).  ``how`` is
+    ``"inner"`` (default) or ``"left"`` — LEFT preserves side A, so plan
+    asymmetries apply: only side B may broadcast (Spark cannot broadcast
+    the preserved side of an outer join) and the runtime filter may only
+    flow A -> B (filtering B cannot drop preserved A rows; the reverse
+    would).  With ``return_plan=True`` returns ``(df, plan)`` where
+    ``plan`` records both bills and the decisions, for tests and
+    operators.
     """
     from pyspark.sql import functions as F
 
@@ -3056,6 +3062,10 @@ def join_table_files(
             "sides — rename or drop one side's"
         )
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left', got {how!r}"
+        )
     for s in sides:
         [bill] = explain_scan_table_files(
             spark, s["enc"], s["preds"], columns=s["columns"]
@@ -3063,6 +3073,11 @@ def join_table_files(
         s["payload_bytes"] = int(bill["payload_bytes"])
         s["rows_surviving"] = int(bill["rows_surviving"])
     small, big = sorted(sides, key=lambda s: s["payload_bytes"])
+    if how == "left":
+        # only side B may broadcast (Spark cannot broadcast the
+        # preserved side of an outer join), and only A's keys may filter
+        # B (filtering B never drops preserved A rows; the reverse would)
+        small, big = sides[1], sides[0]
     plan = {
         "payload_bytes_a": sides[0]["payload_bytes"],
         "payload_bytes_b": sides[1]["payload_bytes"],
@@ -3070,25 +3085,34 @@ def join_table_files(
         "runtime_filter_keys": None,
     }
 
-    # DPP-style runtime filter from the metadata-smaller side, single
-    # plain-int/string key only (typed planes would need side-aware
-    # literal mapping the IN spec does not carry)
-    if len(on_cols) == 1 and runtime_filter_max_keys > 0:
+    # DPP-style runtime filter from the metadata-smaller side (inner) /
+    # the preserved side (left), single plain-int/string key only (typed
+    # planes would need side-aware literal mapping the IN spec does not
+    # carry); on a LEFT join the key source is A regardless of size, so
+    # only attempt it when A's bill is also the smaller one — the
+    # distinct pass stays as cheap as the inner-join case
+    filter_src, filter_dst = (small, big) if how == "inner" else (
+        (sides[0], sides[1])
+        if sides[0]["payload_bytes"] <= sides[1]["payload_bytes"]
+        else (None, None)
+    )
+    if len(on_cols) == 1 and runtime_filter_max_keys > 0 \
+            and filter_src is not None:
         key = on_cols[0]
-        kschema = small["schema"]
+        kschema = filter_src["schema"]
         alias = (kschema.get("int_col_types") or {}).get(key, "int64")
         is_str = key in set(kschema["str_cols"])
         if is_str or _plane_kind(alias) == "int":
             keys = [
                 r[key]
                 for r in distinct_table_files(
-                    spark, small["enc"], key,
-                    preds=small["preds"],
+                    spark, filter_src["enc"], key,
+                    preds=filter_src["preds"],
                 ).limit(runtime_filter_max_keys + 2).collect()
                 if r[key] is not None
             ]
             if 0 < len(keys) <= runtime_filter_max_keys:
-                big["preds"] = list(big["preds"]) + [
+                filter_dst["preds"] = list(filter_dst["preds"]) + [
                     ("in" if is_str else "int_in", key, keys)
                 ]
                 plan["runtime_filter_keys"] = len(keys)
@@ -3101,7 +3125,9 @@ def join_table_files(
     small_df, big_df = dfs[id(small)], dfs[id(big)]
     if plan["broadcast"]:
         small_df = F.broadcast(small_df)
-    out = big_df.join(small_df, on=on_cols, how="inner").select(
+    # LEFT: A must be the left operand (big/small were remapped above so
+    # big IS side A); inner is orientation-free
+    out = big_df.join(small_df, on=on_cols, how=how).select(
         *on_cols,
         *[c for c in sides[0]["columns"] if c not in on_cols],
         *[c for c in sides[1]["columns"] if c not in on_cols],

@@ -138,6 +138,75 @@ def test_join_with_predicates_both_sides(spark, joined):
     assert got == want and len(want) > 10
 
 
+def test_left_join_preserves_unmatched_and_filters_one_way(spark, joined):
+    """how='left': side A's rows survive unmatched (NULL-filled B
+    columns, incl. the NULL-key fact rows), the runtime filter may only
+    flow A -> B, and only B may broadcast."""
+    df, plan = TF.join_table_files(
+        spark, joined["fact_enc"], joined["dim_enc"], on="cust",
+        columns_a=["o_orderkey", "cents"], columns_b=["segment"],
+        return_plan=True, how="left",
+    )
+    got = sorted(
+        ((-1 if r["cust"] is None else r["cust"]), r["o_orderkey"],
+         r["cents"], (-1 if r["segment"] is None else r["segment"]))
+        for r in df.collect()
+    )
+    want = sorted(  # python sort: SQL NULLS-LAST order != the -1 sentinel's
+        ((-1 if c is None else c), k, v, (-1 if s is None else s))
+        for c, k, v, s in joined["duck"].sql(
+            f"WITH f AS (SELECT * FROM read_parquet('{joined['fact_src']}')),"
+            "d AS (SELECT DISTINCT o_custkey AS cust, "
+            " CAST(o_custkey % 13 AS BIGINT) AS segment "
+            " FROM read_parquet("
+            "'/root/testdata/sf0.01/orders.parquet') WHERE o_custkey <= 400)"
+            "SELECT f.cust, f.o_orderkey, f.cents, d.segment "
+            "FROM f LEFT JOIN d ON f.cust = d.cust"
+        ).fetchall()
+    )
+    assert got == want
+    # unmatched fact rows (cust NULL or > 400) must be present
+    assert sum(1 for r in got if r[3] == -1) > 100
+    # the dim (B) side is the broadcastable one; A is bigger, so the
+    # A->B-only filter is skipped for this orientation
+    assert plan["broadcast"] is True
+    assert plan["runtime_filter_keys"] is None
+
+    # inverted orientation: dim LEFT JOIN fact — A is the smaller side,
+    # so its keys push into the fact (B) scan
+    df2, plan2 = TF.join_table_files(
+        spark, joined["dim_enc"], joined["fact_enc"], on="cust",
+        columns_a=["segment"], columns_b=["o_orderkey", "cents"],
+        return_plan=True, how="left",
+    )
+    got2 = sorted(
+        (r["cust"], r["segment"],
+         (-1 if r["o_orderkey"] is None else r["o_orderkey"]),
+         (-1 if r["cents"] is None else r["cents"]))
+        for r in df2.collect()
+    )
+    want2 = sorted(
+        (c, s, (-1 if k is None else k), (-1 if v is None else v))
+        for c, s, k, v in joined["duck"].sql(
+            f"WITH f AS (SELECT * FROM read_parquet('{joined['fact_src']}')),"
+            "d AS (SELECT DISTINCT o_custkey AS cust, "
+            " CAST(o_custkey % 13 AS BIGINT) AS segment "
+            " FROM read_parquet("
+            "'/root/testdata/sf0.01/orders.parquet') WHERE o_custkey <= 400)"
+            "SELECT d.cust, d.segment, f.o_orderkey, f.cents "
+            "FROM d LEFT JOIN f ON d.cust = f.cust"
+        ).fetchall()
+    )
+    assert got2 == want2 and len(want2) > 100
+    assert plan2["runtime_filter_keys"] is not None
+
+    with pytest.raises(ValueError, match="how must be"):
+        TF.join_table_files(
+            spark, joined["fact_enc"], joined["dim_enc"], on="cust",
+            how="full",
+        )
+
+
 def test_join_guards(spark, joined, tmp_path):
     with pytest.raises(ValueError, match="not in"):
         TF.join_table_files(
