@@ -92,6 +92,22 @@ def main(argv=None) -> int:
     )
     t_encode = time.monotonic() - t0
 
+    # round-5 join leg: a dim of ~100 custkeys (distinct + attribute),
+    # encoded once — the fact side's runtime filter comes from it
+    dim_out = f"{work}/dim_enc"
+    con.sql(
+        f"COPY (SELECT DISTINCT custkey_n, "
+        "CAST(custkey_n % 13 AS BIGINT) AS seg "
+        f"FROM read_parquet('{work}/src/*.parquet') "
+        "WHERE custkey_n BETWEEN 1000 AND 1100 ORDER BY custkey_n) "
+        f"TO '{work}/dim.parquet' (FORMAT PARQUET)"
+    )
+    TF.encode_table_files(
+        spark, [f"{work}/dim.parquet"], dim_out,
+        order_col="custkey_n", int_cols=["custkey_n", "seg"],
+        rows_per_block=4096, num_tasks=1,
+    )
+
     kmax = args.replicas * stride
     res: dict = {
         "rows": int(n_rows),
@@ -221,6 +237,53 @@ def main(argv=None) -> int:
             columns=["k", "custkey_n"]).count(),
             want=dsql("SELECT count(*) FROM SRC WHERE custkey_n IS NULL OR "
                       "k BETWEEN 0 AND 1000")[0])
+
+        # 11. (r5) OR-of-AND: one-alternation WHERE clause
+        timed("scan_or_of_and", lambda: TF.scan_table_files_where(
+            spark, out,
+            [("or", [("and", [("between", "k", lo10, hi10),
+                              ("prefix", "clerk", "Clerk#0")]),
+                     ("eq", "pri_n", "1-URGENT")])],
+            columns=["k", "pri_n", "clerk"]).count(),
+            want=dsql(f"SELECT count(*) FROM SRC WHERE (k BETWEEN {lo10} "
+                      f"AND {hi10} AND clerk LIKE 'Clerk#0%') OR "
+                      "pri_n = '1-URGENT'")[0])
+
+        # 12. (r5) LIKE-contains via dictionary sidecars ("049" hits
+        # custkeys 49, 490-499, 1049, ... at every SF — selective but
+        # never empty)
+        timed("scan_contains", lambda: TF.scan_table_files_where(
+            spark, out, [("contains", "clerk", "049")],
+            columns=["k", "clerk"]).count(),
+            want=dsql("SELECT count(*) FROM SRC WHERE clerk LIKE "
+                      "'%049%'")[0])
+
+        # 13. (r5) string ORDER BY top-k: threshold from sidecars alone
+        def str_topk():
+            rows = TF.topk_table_files(
+                spark, out, "clerk", 100, ascending=False,
+                columns=["k", "clerk"]).collect()
+            return (len(rows), min(r["clerk"] for r in rows))
+        timed("str_topk_100", str_topk,
+              want=(100, dsql(
+                  "SELECT min(clerk) FROM (SELECT clerk FROM SRC "
+                  "ORDER BY clerk DESC LIMIT 100)")[0]))
+
+        # 14. (r5) encoded x encoded join: the ~100-key dim pushes its
+        # keys into the 9.6M-row fact scan as a runtime filter before
+        # the broadcast join
+        def join_inner():
+            df, plan = TF.join_table_files(
+                spark, out, dim_out, on="custkey_n",
+                columns_a=["k", "cents"], columns_b=["seg"],
+                return_plan=True,
+            )
+            return (df.count(), plan["runtime_filter_keys"] is not None)
+        timed("join_dim_100keys", join_inner,
+              want=(dsql(
+                  "SELECT count(*) FROM SRC f JOIN (SELECT DISTINCT "
+                  "custkey_n AS ck FROM SRC WHERE custkey_n BETWEEN "
+                  "1000 AND 1100) d ON f.custkey_n = d.ck")[0], True))
 
     run_battery()
     if args.compact_target:
