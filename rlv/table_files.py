@@ -6070,7 +6070,16 @@ def _make_topk_strs_worker(col: str, k: int, ascending: bool,
                     if (sq, int(bi)) not in full_keys:
                         continue
                     uniq = B.decode_strings_arrow(blob, symbols)
-                    vals.update(uniq.to_pylist())
+                    # each dictionary is SORTED-distinct, so only its k
+                    # extreme entries can reach the task's top-k; the
+                    # periodic re-prune keeps the set O(k), not O(NDV)
+                    ent = uniq.to_pylist()
+                    vals.update(ent[:k] if ascending else ent[-k:])
+                    if len(vals) > 4 * k:
+                        vals = set(
+                            sorted(vals)[:k] if ascending
+                            else sorted(vals)[-k:]
+                        )
                 ext = sorted(vals)[:k] if ascending \
                     else sorted(vals)[-k:]
                 yield pd.DataFrame({
