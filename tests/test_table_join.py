@@ -207,6 +207,56 @@ def test_left_join_preserves_unmatched_and_filters_one_way(spark, joined):
         )
 
 
+def test_multi_key_join_matches_sql(spark, joined, tmp_path):
+    """Composite-key join: `on` as a column list — the runtime filter is
+    single-key-only by design (skipped here), the join itself must still
+    equal SQL on the key TUPLE."""
+    # second side: (cust, segment) pairs with an extra attribute, only
+    # even custkeys — so both key columns genuinely participate
+    d = str(tmp_path / "mk_src")
+    os.makedirs(d)
+    duck = joined["duck"]
+    pq.write_table(
+        duck.sql(
+            "SELECT DISTINCT o_custkey AS cust, "
+            "CAST(o_custkey % 13 AS BIGINT) AS segment, "
+            "CAST(o_custkey % 7 AS BIGINT) AS attr "
+            "FROM read_parquet('/root/testdata/sf0.01/orders.parquet') "
+            "WHERE o_custkey <= 400 AND o_custkey % 2 = 0 ORDER BY cust"
+        ).arrow(),
+        f"{d}/p.parquet",
+    )
+    mk_enc = str(tmp_path / "mk_enc")
+    TF.encode_table_files(
+        spark, [f"{d}/p.parquet"], mk_enc, order_col="cust",
+        int_cols=["cust", "segment", "attr"],
+        rows_per_block=256, num_tasks=1,
+    )
+    df, plan = TF.join_table_files(
+        spark, joined["dim_enc"], mk_enc, on=["cust", "segment"],
+        columns_b=["attr"], return_plan=True,
+    )
+    assert plan["runtime_filter_keys"] is None  # multi-key: no filter
+    got = sorted(
+        (r["cust"], r["segment"], r["attr"]) for r in df.collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck.sql(
+            "WITH d AS (SELECT DISTINCT o_custkey AS cust, "
+            " CAST(o_custkey % 13 AS BIGINT) AS segment FROM read_parquet("
+            "'/root/testdata/sf0.01/orders.parquet') WHERE o_custkey <= 400),"
+            "m AS (SELECT DISTINCT o_custkey AS cust, "
+            " CAST(o_custkey % 13 AS BIGINT) AS segment, "
+            " CAST(o_custkey % 7 AS BIGINT) AS attr FROM read_parquet("
+            "'/root/testdata/sf0.01/orders.parquet') "
+            " WHERE o_custkey <= 400 AND o_custkey % 2 = 0) "
+            "SELECT m.cust, m.segment, m.attr FROM d "
+            "JOIN m ON d.cust = m.cust AND d.segment = m.segment"
+        ).fetchall()
+    )
+    assert got == want and len(want) > 50
+
+
 def test_join_guards(spark, joined, tmp_path):
     with pytest.raises(ValueError, match="not in"):
         TF.join_table_files(
