@@ -4460,3 +4460,118 @@ def test_string_index_cols_point_lookup_parity(spark, tmp_path):
             order_col="k", int_cols=["k", "v"], str_cols=["sk_n"],
             index_cols=["nope"],
         )
+
+
+def test_random_clause_sweep_matches_sql(spark, tmp_path):
+    """Seeded adversarial sweep over the WHOLE predicate algebra: 40
+    random one-alternation clauses (every leaf kind incl. negations,
+    validity, the LIKE family, OR and OR-of-AND nodes, degenerate
+    literals like inverted ranges and absent values) compared against
+    DuckDB on COUNT(*) — the last-line-of-defense property test behind
+    the curated per-kind cases."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    n = 6000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "tag_n": pa.array(
+            [None if i % 13 == 0 else f"w{i % 19:02d}" for i in range(n)],
+            pa.string(),
+        ),
+        "v_n": pa.array(
+            [None if i % 7 == 4 else (i * 37) % 1000 for i in range(n)],
+            pa.int64(),
+        ),
+    })
+    src = f"{d}/src.parquet"
+    pq.write_table(tbl, src, row_group_size=1000)
+    out = str(tmp_path / "enc")
+    table_files.encode_table_files(
+        spark, [src], out,
+        order_col="k", int_cols=["k", "v_n"], str_cols=["tag_n"],
+        rows_per_block=512, num_tasks=2,
+    )
+    rng = np.random.default_rng(20260818)
+
+    def leaf():
+        kind = rng.integers(0, 12)
+        if kind in (0, 1):  # int range, sometimes inverted/empty
+            a, b = int(rng.integers(-50, 1050)), int(rng.integers(-50, 1050))
+            if rng.random() < 0.8 and a > b:
+                a, b = b, a
+            neg = "NOT " if kind == 1 else ""
+            return (("not_between" if kind == 1 else "between",
+                     "v_n", a, b),
+                    f"v_n {neg}BETWEEN {a} AND {b}")
+        if kind == 2:
+            vals = sorted({int(x) for x in rng.integers(-5, 1005, 4)})
+            return (("int_in", "v_n", vals),
+                    f"v_n IN ({', '.join(map(str, vals))})")
+        if kind in (3, 4):  # eq/ne incl. an absent literal
+            t = (f"w{int(rng.integers(0, 22)):02d}"
+                 if rng.random() < 0.9 else "zzz")
+            op = ("eq", "=") if kind == 3 else ("ne", "<>")
+            return ((op[0], "tag_n", t), f"tag_n {op[1]} '{t}'")
+        if kind in (5, 6):
+            vals = sorted({f"w{int(x):02d}" for x in rng.integers(0, 22, 3)})
+            lst = ", ".join(f"'{v}'" for v in vals)
+            if kind == 5:
+                return (("in", "tag_n", vals), f"tag_n IN ({lst})")
+            return (("not_in", "tag_n", vals), f"tag_n NOT IN ({lst})")
+        if kind == 7:
+            p = ["w0", "w1", "w", "x"][int(rng.integers(0, 4))]
+            if rng.random() < 0.5:
+                return (("prefix", "tag_n", p), f"tag_n LIKE '{p}%'")
+            return (("not_prefix", "tag_n", p),
+                    f"tag_n NOT LIKE '{p}%'")
+        if kind == 8:
+            s = ["0", "1", "05", "9"][int(rng.integers(0, 4))]
+            if rng.random() < 0.5:
+                return (("contains", "tag_n", s), f"tag_n LIKE '%{s}%'")
+            return (("suffix", "tag_n", s), f"tag_n LIKE '%{s}'")
+        if kind == 9:
+            lo, hi = sorted([f"w{int(rng.integers(0, 22)):02d}",
+                             f"w{int(rng.integers(0, 22)):02d}"])
+            return (("str_between", "tag_n", lo, hi),
+                    f"tag_n BETWEEN '{lo}' AND '{hi}'")
+        col = ["v_n", "tag_n"][int(rng.integers(0, 2))]
+        if kind == 10:
+            return (("isnull", col), f"{col} IS NULL")
+        return (("notnull", col), f"{col} IS NOT NULL")
+
+    def node():
+        if rng.random() < 0.45:  # OR node, branches may be AND groups
+            branches, sqls = [], []
+            for _ in range(int(rng.integers(2, 4))):
+                if rng.random() < 0.4:
+                    l1, s1 = leaf()
+                    l2, s2 = leaf()
+                    branches.append(("and", [l1, l2]))
+                    sqls.append(f"({s1} AND {s2})")
+                else:
+                    l, s = leaf()
+                    branches.append(l)
+                    sqls.append(s)
+            return ("or", branches), "(" + " OR ".join(sqls) + ")"
+        return leaf()
+
+    duck = duckdb.connect()
+    for trial in range(40):
+        preds, sqls = [], []
+        for _ in range(int(rng.integers(1, 4))):
+            p, s = node()
+            preds.append(p)
+            sqls.append(s)
+        where = " AND ".join(sqls)
+        got = table_files.count_table_files_where(
+            spark, out, preds).collect()[0]["n_rows"]
+        want = duck.sql(
+            f"SELECT count(*) FROM read_parquet('{src}') WHERE {where}"
+        ).fetchone()[0]
+        assert got == want, (trial, preds, where, got, want)
