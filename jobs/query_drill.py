@@ -285,6 +285,32 @@ def main(argv=None) -> int:
                   "custkey_n AS ck FROM SRC WHERE custkey_n BETWEEN "
                   "1000 AND 1100) d ON f.custkey_n = d.ck")[0], True))
 
+        # 15. (r5) fact x fact SELF-join on the unique key: both bills
+        # exceed the broadcast cap and the key NDV exceeds the runtime-
+        # filter cap, so this is the pure SHUFFLE plan — the join shape
+        # the DPP semi-join refuses, over two pruned scans of 9.6M rows
+        lo60, hi40 = 0, int(kmax * 0.6)
+        lo40 = int(kmax * 0.4)
+        ff_plan = {}
+        def join_fact_fact():
+            df, plan = TF.join_table_files(
+                spark, out, out, on="k",
+                preds_a=[("between", "k", lo60, hi40)],
+                preds_b=[("between", "k", lo40, kmax)],
+                columns_a=["cents"], columns_b=["custkey_n"],
+                broadcast_bytes=1 << 20, return_plan=True,
+            )
+            ff_plan.update(plan)
+            # the key NDV far exceeds the cap: the rows_surviving guard
+            # must skip the distinct pass outright
+            return (df.count(), plan["runtime_filter_keys"] is None)
+        e = timed("join_fact_fact_shuffle", join_fact_fact,
+                  want=(dsql(
+                      f"SELECT count(*) FROM SRC a JOIN SRC b ON a.k = "
+                      f"b.k WHERE a.k BETWEEN {lo60} AND {hi40} "
+                      f"AND b.k BETWEEN {lo40} AND {kmax}")[0], True))
+        e["broadcast"] = ff_plan["broadcast"]  # False at drill scale
+
     run_battery()
     if args.compact_target:
         from rlv import engine_files

@@ -3097,7 +3097,14 @@ def join_table_files(
         else (None, None)
     )
     if len(on_cols) == 1 and runtime_filter_max_keys > 0 \
-            and filter_src is not None:
+            and filter_src is not None \
+            and filter_src["rows_surviving"] \
+            <= 50 * runtime_filter_max_keys:
+        # the rows_surviving guard (metadata-free: it is already in the
+        # EXPLAIN bill) skips the distinct pass when the source side is
+        # so large its key set would almost surely exceed the cap — a
+        # fact x fact join must not pay a distinct shuffle to learn the
+        # filter does not apply
         key = on_cols[0]
         kschema = filter_src["schema"]
         alias = (kschema.get("int_col_types") or {}).get(key, "int64")
